@@ -1,0 +1,72 @@
+"""SparkSession factory and fixture loading.
+
+Scale notes (100 TB design intent, tested on local[32]):
+
+* AQE on — runtime coalescing, skew-join splitting, and join-strategy
+  switching are the first line of defense on a real cluster.
+* ``spark.sql.shuffle.partitions`` defaults to 32 locally (match cores);
+  on a 1000-executor cluster this is overridden to ~2-4x total cores via
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` — AQE coalesces the excess.
+* Session timezone pinned to UTC: fixtures carry naive timestamps and the
+  DuckDB oracle is UTC-naive; any other TZ silently shifts values.
+* Arrow enabled for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "mysql_clickhouse_replication_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession with scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (parquet scan; Catalyst prunes columns and
+    pushes predicates into the row-group reader — see scan_* operators)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so spark.sql() queries mirror
+    the DuckDB oracle's pre-registered views 1:1."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,1 @@
+"""Placeholder — filled in by build phases (SURVEY.md section 7)."""

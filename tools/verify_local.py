@@ -1,0 +1,136 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()[k]`` on Spark and the matching ``oracle_sql()[k]``
+on DuckDB over the same parquet fixtures, then compares:
+
+* row count
+* column-name set
+* order-insensitive value hash (columns sorted by name, rows sorted,
+  values canonicalized)
+
+Stricter-than-driver canonicalization: floats compared via repr of the
+exact double — any mismatch here is a real nondeterminism bug to fix at
+the query level (decimal casts / rounding / tiebreaks), not to paper over.
+
+Usage:
+    python tools/verify_local.py [key ...]           # default: all keys
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_local.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(argv: list[str]) -> int:
+    import __spark_entry__ as e
+    from mysql_clickhouse_replication_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = argv or sorted(qs)
+    n_pass = n_fail = n_rows_only = 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {key}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"rows  {key}: {len(srows)} rows (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[key])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {key}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                # print first differing canonical row for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("\x1f".join(_canon(r[i]) for i in order_s) for r in srows)
+                lo = sorted("\x1f".join(_canon(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark : {a[:300]}")
+                        problems.append(f"  oracle: {b[:300]}")
+                        break
+        if problems:
+            print(f"FAIL  {key}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            n_fail += 1
+        else:
+            print(f"PASS  {key}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
+          f"(sf_dir={SF_DIR})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
