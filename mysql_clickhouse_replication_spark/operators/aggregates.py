@@ -78,3 +78,279 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 register("agg_groupby_multi", oracle=_Q1_ORACLE)(flagship_q1)
+
+
+# --- 2.E remaining aggregate surface ----------------------------------------
+
+
+@register(
+    "agg_hash_global",
+    oracle=f"""
+SELECT COUNT(*) AS n,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+""",
+)
+def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — partial aggregation on every partition then a
+    single-row final combine (no keyed shuffle at any scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDV per group (ClickHouse uniqExact). Spark expands distinct
+    aggregates into a two-phase plan (partial distinct before the shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NDV (ClickHouse uniq/HLL). At 100 TB this is THE way to
+    count distincts: fixed-size sketch per partition, no distinct shuffle.
+    Rows-only check — HyperLogLog estimates are engine-specific."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_extendedprice', 'sum_price')}, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey,
+       {sql_dsum('c_acctbal', 'sum_bal')}, COUNT(*) AS n
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        dsum("c_acctbal", "sum_bal"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       MEDIAN(o_totalprice) AS med_price,
+       QUANTILE_CONT(o_totalprice, 0.25) AS p25,
+       QUANTILE_CONT(o_totalprice, 0.90) AS p90
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (both engines: linear interpolation at
+    p*(n-1)). Exact percentile requires a per-group sort — at 100 TB swap
+    in approx_percentile (t-digest sketch) unless exactness is contractual."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+    )
+
+
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syyy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxx - sx*sx/n) / (n - 1) AS var_price,
+       SQRT((sxx - sx*sx/n) / (n - 1)) AS stddev_price,
+       (sxy - sx*sy/n) / (n - 1) AS covar_price_qty,
+       (sxy - sx*sy/n) / (SQRT(sxx - sx*sx/n) * SQRT(syy - sy*sy/n)) AS corr_price_qty,
+       ((syyy - 3*(sy/n)*syy + 2*n*(sy/n)*(sy/n)*(sy/n)) / n)
+           / (((syy - sy*sy/n) / n) * SQRT((syy - sy*sy/n) / n)) AS skew_qty
+FROM s
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (variance/stddev/covar/corr/skewness) computed from
+    exact decimal power sums, finished in double — single-pass, one shuffle,
+    and bit-identical across engines (native streaming-variance kernels merge
+    in partition order and cannot hash-match; same math, stable form).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = dec("l_extendedprice")
+    y = dec("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y * y).cast("double").alias("syyy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy, syyy = F.col("sy"), F.col("syy"), F.col("sxy"), F.col("syyy")
+    mean_y = sy / n
+    var_price = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_price.alias("var_price"),
+        F.sqrt(var_price).alias("stddev_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_price_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_price_qty"),
+        (
+            ((syyy - 3 * mean_y * syy + 2 * n * mean_y * mean_y * mean_y) / n)
+            / (((syy - sy * sy / n) / n) * F.sqrt((syy - sy * sy / n) / n))
+        ).alias("skew_qty"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+SELECT o_orderstatus,
+       MIN_BY(o_custkey, o_orderkey) AS first_cust,
+       MAX_BY(o_custkey, o_orderkey) AS last_cust,
+       MAX_BY(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS priciest_order
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMin/argMax (ClickHouse argMin/argMax). Ordering values are made
+    unique (o_orderkey, or price epsilon-salted by unique key) — min_by on a
+    tied ordering value is nondeterministic in any engine."""
+    o = table(spark, sf_dir, "orders")
+    uniq_price = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_custkey", "o_orderkey").alias("first_cust"),
+        F.max_by("o_custkey", "o_orderkey").alias("last_cust"),
+        F.max_by("o_orderkey", uniq_price).alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey,
+       LIST_SORT(LIST(n_name)) AS nations,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation GROUP BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group array/string aggregation (ClickHouse groupArray).
+    collect_list order is partition-dependent -> always array_sort."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       BOOL_AND(value > 1.0) AS all_nontrivial,
+       BOOL_OR(value > 400.0) AS any_large
+FROM events GROUP BY user_id
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countIf / boolean aggregates (ClickHouse countIf/min&max over UInt8)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.bool_and(F.col("value") > 1.0).alias("all_nontrivial"),
+        F.bool_or(F.col("value") > 400.0).alias("any_large"),
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()

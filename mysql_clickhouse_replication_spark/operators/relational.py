@@ -1,1 +1,184 @@
-"""Placeholder — filled in by build phases (SURVEY.md section 7)."""
+"""Scans, projections, filters, predicates (SURVEY.md sections 2.B, 2.C).
+
+Reference parity: the reference lands rows into ClickHouse and users scan/
+filter there (SURVEY.md section 3.1; empty snapshot, semantics [P:med]).
+Spark-side, each of these compiles to a parquet scan with column pruning
+and predicate pushdown — verified via .explain() (PushedFilters/ReadSchema)
+in tests/test_plans.py.
+
+Scale notes: filters and projections are embarrassingly parallel — the only
+scale lever is making sure they reach the scan (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+from ._util import D4, dec
+
+
+# --- 2.B scans -------------------------------------------------------------
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan + count (reference: initial table load path)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must contain exactly these 3 columns
+    (asserted in tests/test_plans.py) — at 100 TB this is the difference
+    between reading 3/11 of the table and all of it."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "scan_partition_filter",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+""",
+)
+def scan_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushed to parquet row-group stats (PushedFilters in the
+    plan); on a date-partitioned production layout this prunes whole
+    partitions before any IO."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+# --- 2.C projections / filters ---------------------------------------------
+
+
+@register(
+    "project_compute",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS revenue,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE)
+           AS taxed_qty
+FROM lineitem
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic derived columns (decimal-exact, surfaced as double)."""
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(D4)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * (one - dec("l_discount", D4)))
+        .cast("double")
+        .alias("revenue"),
+        (dec("l_quantity") * dec("l_tax", D4)).cast("double").alias("taxed_qty"),
+    )
+
+
+@register(
+    "filter_conjunctive",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE (l_quantity > 30 AND l_discount <= 0.05) OR l_returnflag = 'R'
+""",
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05)) | (
+        F.col("l_returnflag") == "R"
+    )
+    return li.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+  AND p_size BETWEEN 5 AND 25
+  AND p_type LIKE '%M%'
+""",
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & F.col("p_size").between(5, 25)
+        & F.col("p_type").like("%M%")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') AS nullsafe_is_f
+FROM orders
+WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL
+""",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL + null-safe equality (fixtures carry no NULLs, so they
+    are synthesized with NULLIF — the canonical CDC pattern for soft-deleted
+    columns arriving as sentinel values)."""
+    o = table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            status_or_null.eqNullSafe(F.lit("F")).alias("nullsafe_is_f"),
+        )
+        .filter(F.col("status_or_null").isNotNull())
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS bucket,
+       o_orderpriority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket, "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

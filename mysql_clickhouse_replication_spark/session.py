@@ -57,7 +57,19 @@ def get_spark(app_name: str = "mysql_clickhouse_replication_spark") -> SparkSess
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (parquet scan; Catalyst prunes columns and
-    pushes predicates into the row-group reader — see scan_* operators)."""
+    pushes predicates into the row-group reader — see scan_* operators).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default: read it as raw nanos (legacy conf, set at runtime so it also
+    works under the driver's own SparkSession) and truncate to microseconds
+    — exactly what DuckDB's Python fetch does, so oracle hashes agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
