@@ -128,15 +128,32 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n,
+       TRUE AS approx_within_10pct
+FROM events GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NDV (ClickHouse uniq/HLL). At 100 TB this is THE way to
     count distincts: fixed-size sketch per partition, no distinct shuffle.
-    Rows-only check — HyperLogLog estimates are engine-specific."""
+
+    HLL estimates are engine-specific, so the estimate itself cannot be
+    hash-matched; instead the query emits the exact NDV alongside and a
+    boolean asserting the HLL++ sketch (rsd=2%) landed within 10% of it —
+    deterministic for a fixed input set (the sketch is order-insensitive),
+    and the oracle pins the boolean to TRUE."""
     ev = table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
+        (F.abs(approx - exact) <= 0.10 * exact).alias("approx_within_10pct"),
     )
 
 
@@ -232,12 +249,12 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (sxx - sx*sx/n) / (n - 1) AS var_price,
-       SQRT((sxx - sx*sx/n) / (n - 1)) AS stddev_price,
-       (sxy - sx*sy/n) / (n - 1) AS covar_price_qty,
-       (sxy - sx*sy/n) / (SQRT(sxx - sx*sx/n) * SQRT(syy - sy*sy/n)) AS corr_price_qty,
-       ((syyy - 3*(sy/n)*syy + 2*n*(sy/n)*(sy/n)*(sy/n)) / n)
-           / (((syy - sy*sy/n) / n) * SQRT((syy - sy*sy/n) / n)) AS skew_qty
+       ROUND((sxx - sx*sx/n) / (n - 1), 2) AS var_price,
+       ROUND(SQRT((sxx - sx*sx/n) / (n - 1)), 4) AS stddev_price,
+       ROUND((sxy - sx*sy/n) / (n - 1), 2) AS covar_price_qty,
+       ROUND((sxy - sx*sy/n) / (SQRT(sxx - sx*sx/n) * SQRT(syy - sy*sy/n)), 6) AS corr_price_qty,
+       ROUND(((syyy - 3*(sy/n)*syy + 2*n*(sy/n)*(sy/n)*(sy/n)) / n)
+           / (((syy - sy*sy/n) / n) * SQRT((syy - sy*sy/n) / n)), 6) AS skew_qty
 FROM s
 """
 
@@ -245,9 +262,14 @@ FROM s
 @register("agg_stats", oracle=_STATS_ORACLE)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment statistics (variance/stddev/covar/corr/skewness) computed from
-    exact decimal power sums, finished in double — single-pass, one shuffle,
-    and bit-identical across engines (native streaming-variance kernels merge
-    in partition order and cannot hash-match; same math, stable form).
+    exact decimal power sums, finished in double — single-pass, one shuffle.
+
+    The power sums are decimal-exact in both engines; the derived moments
+    are double expression chains whose last-ulp can drift across engines
+    (FMA / reassociation), so every derived stat is rounded to a precision
+    far coarser than the drift but far finer than the signal: absolute-
+    large stats (var/covar ~1e8) to 2 decimals, stddev (~1e4) to 4,
+    O(1) stats (corr/skew) to 6. Oracle applies identical ROUNDs.
     """
     li = table(spark, sf_dir, "lineitem")
     x = dec("l_extendedprice")
@@ -268,16 +290,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        var_price.alias("var_price"),
-        F.sqrt(var_price).alias("stddev_price"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_price_qty"),
-        (
+        F.round(var_price, 2).alias("var_price"),
+        F.round(F.sqrt(var_price), 4).alias("stddev_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("covar_price_qty"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
         ).alias("corr_price_qty"),
-        (
+        F.round(
             ((syyy - 3 * mean_y * syy + 2 * n * mean_y * mean_y * mean_y) / n)
-            / (((syy - sy * sy / n) / n) * F.sqrt((syy - sy * sy / n) / n))
+            / (((syy - sy * sy / n) / n) * F.sqrt((syy - sy * sy / n) / n)),
+            6,
         ).alias("skew_qty"),
     )
 
@@ -309,18 +333,20 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
 SELECT n_regionkey,
-       LIST_SORT(LIST(n_name)) AS nations,
-       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv,
+       COUNT(*) AS n_nations
 FROM nation GROUP BY n_regionkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group array/string aggregation (ClickHouse groupArray).
-    collect_list order is partition-dependent -> always array_sort."""
+    collect_list order is partition-dependent -> always array_sort; the
+    array is then serialized (concat_ws) because the correctness gate's
+    value-hasher only handles scalar columns."""
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
     )
 
 

@@ -74,13 +74,18 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-SELECT c_custkey AS key FROM customer
-EXCEPT ALL
 SELECT o_custkey AS key FROM orders
+EXCEPT ALL
+SELECT c_custkey AS key FROM customer
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (EXCEPT ALL — multiset semantics)."""
-    c = _cust_keys(spark, sf_dir)
+    """EXCEPT ALL — multiset semantics. Orders-side custkeys carry
+    multiplicity = #orders per customer, the customer side exactly 1, so
+    the difference keeps each custkey (#orders - 1) times — a non-empty,
+    duplicate-preserving result that actually exercises the multiset path
+    (customer EXCEPT orders is empty on the fixtures: every customer has
+    an order)."""
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
-    return c.exceptAll(o)
+    c = _cust_keys(spark, sf_dir)
+    return o.exceptAll(c)
