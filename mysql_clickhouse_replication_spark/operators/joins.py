@@ -1,1 +1,362 @@
-"""Placeholder — filled in by build phases (SURVEY.md section 7)."""
+"""Join operators (SURVEY.md section 2.D).
+
+Reference parity: the reference class delegates all joins to ClickHouse SQL
+over the replicated tables (SURVEY.md section 3.1 — empty snapshot, no
+citable file:line; semantics tagged [P:med] there). ASOF JOIN is a native
+ClickHouse feature of the sink engine, re-expressed here with the
+union+window trick.
+
+Scale notes (100 TB): every dimension at or below nation/region size is
+explicitly ``F.broadcast`` — no shuffle for the dim side, fact side stays
+in place. Fact-to-fact joins (orders⋈customer, lineitem⋈orders) shuffle
+both sides on the key and rely on AQE for skew splitting; at 100 TB these
+become sort-merge joins over co-bucketed tables. Non-equi joins (theta /
+interval) broadcast the literal dim so the plan is a single pass over the
+fact — BroadcastNestedLoopJoin is inherent to theta joins and safe only
+because the broadcast side is tiny. The asof join is ONE shuffle
+(partitionBy user) + ONE in-partition sort — strictly better at scale
+than the naive per-left-row subquery, which would be a quadratic range
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+_BIG = 450000.0  # ~10% of orders; splits customers into have/have-not
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-FK equi join. Planner picks broadcast-hash while customer fits the
+    threshold and switches to sort-merge/shuffled-hash beyond it (AQE); no
+    hint on purpose — this key exercises the default strategy."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue',
+                 'DECIMAL(18,4)')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star chain (TPC-H Q5 shape). Fact⋈fact legs shuffle on the
+    join key; nation/region are broadcast so the star adds zero extra
+    shuffles. The date filter is pushed into the orders parquet scan before
+    the join (verified in tests/test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT r_name, n_name, COUNT(*) AS n_custs, {sql_dsum('c_acctbal', 'sum_bal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of the two smallest dims (25 / 5 rows).
+    At 100 TB this is THE dim-join pattern: ship the dim to every executor,
+    zero shuffle of the fact. tests/test_plans.py asserts the
+    BroadcastHashJoin appears in the plan."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "sum_bal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM customer LEFT JOIN (
+  SELECT * FROM orders WHERE o_totalprice > {_BIG}
+) big ON c_custkey = o_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a filtered right side so both match and null-padded
+    rows exist (every customer has SOME order on the fixtures; only ~60%
+    have one above the threshold)."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(cs.nationkey, ss.nationkey) AS nationkey, n_cust, n_supp
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey) cs
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey) ss
+ON cs.nationkey = ss.nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with a structural key split (customers restricted to
+    nations 0-14, suppliers to 10-24) so left-only, right-only, and
+    both-sides keys are all guaranteed non-empty at every scale factor."""
+    cs = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cs.join(ss, cs.nationkey == ss.nationkey, "full").select(
+        F.coalesce(cs.nationkey, ss.nationkey).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "join_semi",
+    oracle=f"""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > {_BIG})
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: the right side is reduced to its key set
+    during the build, output carries only left columns — at 100 TB this is
+    far cheaper than inner-join+distinct."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle=f"""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {_BIG})
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join (null-safe: anti join keeps left rows
+    with no build-side match, the set complement of join_semi)."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (5 x 25). Only ever sane when one side is
+    a broadcastable constant-size dim — which the planner turns into a
+    BroadcastNestedLoopJoin, not a shuffled cartesian."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+_SIZE_BUCKETS = [
+    ("small", 1, 10),
+    ("medium", 11, 25),
+    ("large", 26, 40),
+    ("xlarge", 41, 50),
+]
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+SELECT bucket, COUNT(*) AS n_parts, {sql_davg('p_retailprice', 'avg_price')}
+FROM part
+JOIN (VALUES {', '.join(f"('{b}', {lo}, {hi})" for b, lo, hi in _SIZE_BUCKETS)})
+     v(bucket, lo, hi)
+ON p_size BETWEEN lo AND hi
+GROUP BY bucket
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta/range) join against a literal bucket dim. Non-equi
+    predicates cannot hash-partition, so the ONLY scalable physical shape
+    is broadcasting the tiny side (BroadcastNestedLoopJoin) — one pass
+    over the fact, no shuffle before the final aggregation."""
+    p = table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(_SIZE_BUCKETS, "bucket string, lo int, hi int")
+    cond = (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi"))
+    return (
+        p.join(F.broadcast(dim), cond)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg("p_retailprice", "avg_price"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts AS r_ts, MAX_BY(value, event_id) AS r_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.user_id, l.ts, l.value AS purchase_value,
+       r.r_value AS last_view_value, r.r_ts AS last_view_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ClickHouse ASOF JOIN: latest right row with r.ts <= l.ts
+    per key), via the union+window trick: tag both sides, sort each user's
+    rows by (ts, side) with right rows first on ties, and carry the last
+    non-null right payload forward. ONE shuffle on user_id + one
+    in-partition sort — the scalable alternative to a per-row range
+    subquery. Right side is pre-aggregated to unique (user_id, ts) so tie
+    resolution is deterministic in both engines."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("r_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "r_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_value",
+        F.last("r_value", ignorenulls=True).over(w).alias("last_view_value"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_view_ts"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "user_id", "ts", "purchase_value", "last_view_value", "last_view_ts"
+    )
+
+
+_WINDOWS = [
+    ("1996H1", "1996-01-01", "1996-07-01"),
+    ("1996H2", "1996-07-01", "1997-01-01"),
+    ("1999H1", "1999-01-01", "1999-07-01"),
+    ("2001H1", "2001-01-01", "2001-07-01"),
+]
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+SELECT w_name, COUNT(*) AS n_orders
+FROM orders
+JOIN (VALUES {', '.join(f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _WINDOWS)})
+     w(w_name, w_start, w_end)
+ON o_orderdate <= w_end AND o_orderdate + INTERVAL 30 DAY >= w_start
+GROUP BY w_name
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order spans [o_orderdate, +30d], matched
+    against literal report windows via a_start <= b_end AND b_start <=
+    a_end. Same physical shape as join_theta_range: broadcast the literal
+    window dim, single fact pass."""
+    o = table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        _WINDOWS, "w_name string, w_start string, w_end string"
+    ).select(
+        "w_name",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    o_end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    cond = (F.col("o_orderdate") <= F.col("w_end")) & (o_end >= F.col("w_start"))
+    return (
+        o.join(F.broadcast(dim), cond)
+        .groupBy("w_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
