@@ -1,1 +1,176 @@
-"""Placeholder — filled in by build phases (SURVEY.md section 7)."""
+"""Window-function operators (SURVEY.md section 2.F).
+
+Reference parity: ClickHouse window functions over replicated tables
+(SURVEY.md section 3.1; [P:med] — empty snapshot, no citable file:line).
+
+Scale notes (100 TB): every window here is partitionBy(key) — ONE shuffle
+keyed by the partition column, then an in-partition sort; no global sort
+anywhere. Frame aggregates over DOUBLE go through exact DECIMAL casts:
+engines disagree on frame-summation order (DuckDB uses segment trees,
+Spark streams the frame), so only order-insensitive exact arithmetic
+hash-matches.
+
+Determinism rules: row_number/ntile demand a TOTAL order -> unique
+tiebreak column in the ORDER BY; rank/dense_rank are exercised on a
+tie-heavy key instead (their outputs are per-value deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+
+
+@register(
+    "win_ranking",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk,
+       NTILE(4)     OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/ntile over a total order (unique o_orderkey tiebreak);
+    rank/dense_rank over the tie-heavy priority column so gap semantics
+    are actually exercised."""
+    o = table(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ties = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_ties).alias("rk"),
+        F.dense_rank().over(w_ties).alias("drk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+SELECT user_id, event_id, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       FIRST_VALUE(value) OVER w AS first_value,
+       NTH_VALUE(value, 2) OVER w AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/nth_value per user in event order (event_id
+    breaks ts ties). Values pass through untouched -> bit-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(wo).alias("prev_value"),
+        F.lead("value").over(wo).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_last3
+FROM orders
+""",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding ROWS-frame sums per customer in order-date order.
+    DECIMAL-exact inside the frame (engines sum frames in different
+    orders), surfaced as DOUBLE."""
+    o = table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = base.rowsBetween(-2, Window.currentRow)
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price).over(run).cast("double").alias("running_spend"),
+        F.sum(price).over(last3).cast("double").alias("spend_last3"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per-user trailing-hour event count and
+    (decimal-exact) value sum, ordered by epoch seconds. RANGE peers
+    (equal timestamps) are included identically by both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    val = F.col("value").cast("decimal(12,2)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(val).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "win_percent",
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+""",
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist of account balance within nation. Both are a
+    single integer-ratio division -> bit-identical across engines; balance
+    ties (if any) resolve to the same rank in both."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
