@@ -1,1 +1,220 @@
-"""Placeholder — filled in by build phases (SURVEY.md section 7)."""
+"""CDC / changelog operators — the reference's own surface (SURVEY.md
+section 2.A, batch-checkable half).
+
+Reference parity: the reference tails the MySQL row-based binlog
+(python-mysql-replication WriteRows/UpdateRows/DeleteRows events), decodes
+each event to (op, pk, row, position), batches, and applies to ClickHouse
+ReplacingMergeTree tables where the LATEST VERSION PER PRIMARY KEY wins and
+deletes collapse the key (SURVEY.md sections 1.1, 3.1 — [P:high/med], empty
+snapshot). Here the changelog is a DataFrame and "FINAL" compaction is
+``row_number() OVER (PARTITION BY pk ORDER BY seq DESC) = 1``.
+
+The `events` fixture plays the binlog: pk = user_id, seq = event_id
+(monotonic), op derived from event_type (signup->insert, error->delete,
+rest->update), routed table synthesized from the pk domain.
+
+Scale notes (100 TB): compaction is ONE shuffle keyed by pk — the same
+shape ClickHouse pays in its background merges. Skewed pks (a hot row
+updated millions of times) are AQE-split; in production the changelog is
+additionally partitioned by (table, date) so compaction prunes to the
+touched partitions instead of rewriting the world.
+
+The streaming half (cdc_stream_source / cdc_sink / cdc_checkpoint) lives
+in streaming/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+
+# Shared decode: events fixture -> normalized changelog.
+# Oracle twin of _changelog() — keep the two in lockstep.
+_DECODE_SQL = """
+SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+            WHEN event_type = 'error'  THEN 'delete'
+            ELSE 'update' END                          AS op,
+       't' || CAST(user_id % 4 AS VARCHAR)             AS tbl,
+       user_id                                         AS pk,
+       event_id                                        AS seq,
+       ts,
+       value,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (op, tbl, pk, seq, ts, value, prop_k) changelog rows —
+    the DataFrame rendering of a decoded binlog RowsEvent stream."""
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    return ev.select(
+        op.alias("op"),
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tbl"),
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "cdc_snapshot",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders",
+)
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial full load: read the source table, land it in the sink
+    (parquet here; JDBC/ClickHouse in production), read back. The snapshot
+    is the base the incremental changelog applies onto — the reference's
+    '--initial-sync' phase. Roundtrip through the sink is part of the
+    check: what's verified is the LANDED data."""
+    import os
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sink = os.path.join(repo, ".scratch", "cdc_snapshot", os.path.basename(sf_dir))
+    src.write.mode("overwrite").parquet(sink)
+    return spark.read.parquet(sink)
+
+
+@register("cdc_decode", oracle=_DECODE_SQL)
+def cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog event -> normalized changelog row (op, table, pk, seq, ts,
+    payload); JSON props decoded engine-side (get_json_object, no Python
+    UDF in the decode path)."""
+    return _changelog(spark, sf_dir)
+
+
+@register(
+    "cdc_filter_tables",
+    oracle=f"""
+SELECT op, tbl, pk, seq FROM ({_DECODE_SQL})
+WHERE tbl IN ('t1', 't2')
+""",
+)
+def cdc_filter_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """only_schemas/only_tables event routing: drop events for untracked
+    tables BEFORE any further work — the reference's cheapest and most
+    important filter, here pushed into the scan by Catalyst."""
+    return (
+        _changelog(spark, sf_dir)
+        .filter(F.col("tbl").isin("t1", "t2"))
+        .select("op", "tbl", "pk", "seq")
+    )
+
+
+_UPSERT_SQL = f"""
+SELECT pk, seq, op, value, prop_k FROM ({_DECODE_SQL})
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+"""
+
+
+@register("cdc_apply_upsert", oracle=_UPSERT_SQL)
+def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree FINAL semantics: the latest version (max seq) per
+    primary key wins. One shuffle on pk; at 100 TB this is the core merge
+    the reference delegates to ClickHouse background merges."""
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    return (
+        _changelog(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pk", "seq", "op", "value", "prop_k")
+    )
+
+
+@register(
+    "cdc_apply_delete",
+    oracle=f"SELECT * FROM ({_UPSERT_SQL}) WHERE op != 'delete'",
+)
+def cdc_apply_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete application on top of upsert compaction: if the LAST event
+    for a pk is a delete, the key vanishes from current state (ClickHouse
+    sign-collapse / ALTER DELETE semantics)."""
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    return (
+        _changelog(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("pk", "seq", "op", "value", "prop_k")
+    )
+
+
+@register(
+    "cdc_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type, value FROM events",
+)
+def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery -> exact duplicate suppression. Dedup key =
+    the full projected row, so the survivor is unambiguous (dropDuplicates
+    on a key SUBSET keeps an arbitrary row — never hash-checkable)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "cdc_batch_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def cdc_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based micro-batching: tumbling 1-hour buckets over the
+    changelog (the reference's flush-every-N-seconds buffer, made
+    declarative). Batch twin of stream_tumbling."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "cdc_type_cast",
+    oracle="""
+SELECT CAST(l_orderkey AS BIGINT)            AS orderkey,
+       CAST(l_linenumber AS SMALLINT)        AS linenumber,
+       CAST(l_quantity AS DECIMAL(12,2))     AS quantity,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+       CAST(l_shipdate AS DATE)              AS shipdate,
+       CAST(l_returnflag AS VARCHAR)         AS returnflag
+FROM lineitem
+""",
+)
+def cdc_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MySQL->ClickHouse static type map (SURVEY.md section 1.2) as
+    Spark casts: integer narrowing, DOUBLE->DECIMAL money, TIMESTAMP->DATE,
+    string passthrough — the reference's column-mapper, schema-checked by
+    the gate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("bigint").alias("orderkey"),
+        F.col("l_linenumber").cast("smallint").alias("linenumber"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_shipdate").cast("date").alias("shipdate"),
+        F.col("l_returnflag").cast("string").alias("returnflag"),
+    )
