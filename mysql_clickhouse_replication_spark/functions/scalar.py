@@ -1,1 +1,215 @@
-"""Placeholder — filled in by build phases (SURVEY.md section 7)."""
+"""Scalar function families (SURVEY.md section 2.I): date, math, array,
+map, json, hash.
+
+Reference parity: the everyday ClickHouse expression surface over
+replicated tables (SURVEY.md section 3.1; [P:med] — empty snapshot).
+``fn_string`` lives in functions/text.py with the text-analysis keys.
+
+Dialect discipline: every function here was probed against DuckDB 1.0
+for identical semantics. Known traps routed around: DuckDB date_trunc
+returns DATE (Spark: TIMESTAMP -> cast), epoch() returns DOUBLE (cast
+BIGINT both sides), dayofweek bases differ (skipped in favor of
+year/month/day/hour extracts), transcendental results (ln/log10/pow/sqrt)
+are rounded on both sides because libm implementations differ in the last
+ulp. Everything is JVM-side builtin expressions — zero Python UDFs, full
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)  AS yr,
+       month(o_orderdate) AS mth,
+       day(o_orderdate)   AS dom,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extracts, truncation, last_day, day arithmetic,
+    epoch seconds, formatting (ClickHouse toYear/toStartOfMonth/
+    toUnixTimestamp/formatDateTime family)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mth"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp(d).alias("unix_ts"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        (d + F.expr("INTERVAL 30 DAYS")).cast("date").alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)), 1) AS DOUBLE) AS gross,
+       ABS(l_discount - 0.05)                 AS disc_dev,
+       CAST(CEIL(l_quantity)  AS BIGINT)      AS qty_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       MOD(l_orderkey, 7)                     AS bucket7,
+       ROUND(LN(l_extendedprice), 6)          AS ln_price,
+       ROUND(SQRT(l_quantity), 6)             AS sqrt_qty,
+       ROUND(POWER(l_discount, 2), 8)         AS disc_sq,
+       ROUND(LOG10(l_extendedprice), 6)       AS log10_price
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: rounding, abs, ceil/floor, modulo, transcendentals
+    (rounded — libm last-ulp differs across engines; plain * and -
+    are single IEEE ops and stay exact)."""
+    li = table(spark, sf_dir, "lineitem")
+    price, qty, disc = F.col("l_extendedprice"), F.col("l_quantity"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # decimal-exact product before ROUND: rounding a double at a .x5
+        # boundary is engine-dependent, rounding an exact decimal is not
+        F.round(price.cast("decimal(12,2)") * qty.cast("decimal(12,2)"), 1)
+        .cast("double")
+        .alias("gross"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        F.ceil(qty).cast("bigint").alias("qty_ceil"),
+        F.floor(price).cast("bigint").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("bucket7"),
+        F.round(F.ln(price), 6).alias("ln_price"),
+        F.round(F.sqrt(qty), 6).alias("sqrt_qty"),
+        F.round(F.pow(disc, 2), 8).alias("disc_sq"),
+        F.round(F.log10(price), 6).alias("log10_price"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                          AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))           AS n_uniq_tokens,
+       list_contains(string_split(text, ' '), 'join')        AS has_join,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+           AS first3_sorted,
+       string_split(text, ' ')[1]                            AS first_token
+FROM documents
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized text: size, distinct, membership,
+    sort+slice, element access. Array-valued intermediates stay internal;
+    outputs are serialized scalars (the gate's hasher is scalar-only)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       map_extract(MAP(['type','id'], [event_type, CAST(user_id AS VARCHAR)]),
+                   'type')[1] AS m_type,
+       map_extract(MAP(['type','id'], [event_type, CAST(user_id AS VARCHAR)]),
+                   'id')[1]   AS m_id,
+       len(map_keys(MAP(['type','id'], [event_type, CAST(user_id AS VARCHAR)])))
+           AS n_keys
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction from arrays, key extraction, cardinality.
+    Map-valued columns never reach the output (hasher is scalar-only);
+    DuckDB's map_extract returns a LIST, unwrapped with [1]."""
+    ev = table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("id")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "id").alias("m_id"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k')                  AS k_str,
+       json_extract_string(props, '$.missing') IS NULL    AS missing_is_null,
+       length(props)                                      AS props_len
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the CDC props payload: typed extraction, missing-
+    path null semantics. This is the decode path cdc_decode uses — JSON
+    stays engine-side (get_json_object), no Python parsing."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("int").alias("k_int"),
+        k.alias("k_str"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text)    AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(lang || ':' || source) AS slice_md5
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (ClickHouse MD5/SHA256 equivalents). md5/sha256 are
+    standardized algorithms with identical hex output in every engine —
+    unlike xxhash64/cityHash64, whose seeds differ, so those stay out of
+    checked outputs (they ARE used internally for LSH bucketing in
+    functions/text.py, where only exact-verified results surface)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", F.col("lang"), F.col("source"))).alias("slice_md5"),
+    )
