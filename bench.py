@@ -1,0 +1,102 @@
+"""Benchmark harness: times the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"<key>": <sec>, ...}, "sf": 0.1}
+
+Method: one warm-up action to absorb JVM/codegen startup, then each query
+is executed twice and the best wall time is kept (steady-state number,
+immune to one-off JIT/IO noise). Queries are materialized with the noop
+writer — full execution on the executors, no driver-side row transfer, so
+the number measures the PLAN, not py4j serialization.
+
+The headline set spans every operator family of SURVEY.md section 2
+(scan/filter, aggregation, join incl. asof, window, CDC compaction,
+dedup/LSH, vector search, text analytics, sessionization). Streaming keys
+are excluded: their wall time is dominated by fixed micro-batch machinery
+(~1-2 s constants), which at bench scale measures trigger overhead, not
+operator throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "scan_projection_pushdown",
+    "filter_conjunctive",
+    "agg_groupby_multi",
+    "agg_stats",
+    "agg_percentiles",
+    "join_inner_equi",
+    "join_multiway",
+    "join_broadcast",
+    "join_asof",
+    "win_ranking",
+    "win_frame_rows",
+    "topk_per_group",
+    "cdc_apply_upsert",
+    "cdc_batch_window",
+    "sessionize_batch",
+    "dedup_exact_text",
+    "dedup_minhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_tfidf_terms",
+]
+
+N_RUNS = 2  # keep the best (steady-state) time per query
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from mysql_clickhouse_replication_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+    keys = [k for k in HEADLINE if k in qs]
+
+    _materialize(qs["agg_groupby_multi"](spark, SF_DIR))  # warm-up
+
+    times: dict[str, float] = {}
+    for key in keys:
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            _materialize(qs[key](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[key] = round(best, 3)
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions (SURVEY.md section 4.2; VERDICT round-1
+item 9): the scale claims in operator docstrings — pushdown, pruning,
+broadcast, top-k specialization — asserted against explain() output, so a
+regression that silently degrades the 100 TB plan fails the suite."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as e
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = e.queries()
+
+    def get(key: str, mode: str = "formatted") -> str:
+        return _plan(qs[key](spark, sf_dir), mode)
+
+    return get
+
+
+def test_partition_filter_pushed_to_scan(plans):
+    p = plans("scan_partition_filter")
+    assert "PushedFilters: [" in p
+    # the predicate must reach the parquet reader, not sit in a Filter only
+    assert "IsNotNull(o_orderdate)" in p or "GreaterThan" in p or "LessThan" in p
+
+
+def test_projection_pruned_to_read_schema(plans):
+    p = plans("scan_projection_pushdown")
+    # only the projected columns are read from parquet
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    assert "l_orderkey" in read[0]
+    assert "l_comment" not in read[0]
+    assert read[0].count("struct<") == 1 and read[0].count(",") <= 3
+
+
+def test_topk_global_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("topk_global")
+
+
+def test_topk_per_group_uses_window_group_limit(plans):
+    assert "WindowGroupLimit" in plans("topk_per_group")
+
+
+def test_dim_joins_are_broadcast(plans):
+    p = plans("join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiway_star_broadcasts_dims_and_pushes_date_filter(plans):
+    p = plans("join_multiway")
+    assert "BroadcastHashJoin" in p  # nation/region legs
+    assert "PushedFilters: [" in p and "o_orderdate" in p
+
+
+def test_theta_join_broadcasts_literal_dim(plans):
+    p = plans("join_theta_range")
+    assert "BroadcastNestedLoopJoin" in p  # inherent to non-equi predicates
+    assert "CartesianProduct" not in p
+
+
+def test_q1_flagship_is_single_shuffle_partial_agg(plans):
+    p = plans("agg_groupby_multi", "simple")
+    # partial + final hash aggregate around exactly one exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_minhash_has_no_cartesian(plans):
+    p = plans("dedup_minhash")
+    assert "CartesianProduct" not in p
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    p = plans("sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_python_row_udfs_in_relational_plans(plans):
+    # BatchEvalPython = row-at-a-time Python UDF — banned from the hot path
+    for key in ("agg_groupby_multi", "join_multiway", "win_frame_rows",
+                "cdc_apply_upsert", "sim_cosine_topk", "text_tfidf_terms"):
+        assert "BatchEvalPython" not in plans(key), key
