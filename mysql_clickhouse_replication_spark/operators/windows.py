@@ -129,19 +129,21 @@ SELECT user_id, event_id,
        COUNT(*) OVER w AS n_last_hour,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
 )
 def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame: per-user trailing-hour event count and
-    (decimal-exact) value sum, ordered by epoch seconds. RANGE peers
-    (equal timestamps) are included identically by both engines."""
+    (decimal-exact) value sum, ordered by MICROSECOND epoch — second
+    granularity would flip boundary rows (Spark unix_timestamp floors,
+    DuckDB's epoch cast rounds). RANGE peers (equal timestamps) are
+    included identically by both engines."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     val = F.col("value").cast("decimal(12,2)")
     return ev.select(
