@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import table
 
-_N_MINHASH = 24
+_N_BANDS = 24
+_BAND_ROWS = 2  # 48 minhashes; band collision prob = J^2 per band
 _JACCARD_T = 0.5
 
 
@@ -144,25 +145,38 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 @register("dedup_minhash", oracle=_MINHASH_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (3-gram-shingle Jaccard >= 0.5) via banded
-    MinHash LSH: 24 minhashes, 24 single-hash bands, bucket join on
+    MinHash LSH: 48 minhashes in 24 bands of 2 rows, bucket join on
     (band, signature), exact-Jaccard verification of candidates only.
     The oracle is the brute-force exact join — feasible at oracle scale,
-    quadratic death at 100 TB, which is exactly why the Spark plan is the
-    banded shape. Candidates missed by all 24 bands have probability
-    <= (1 - 0.5)^24 ~ 6e-8."""
+    quadratic death at 100 TB (it times out at sf0.1 already, BASELINE.md),
+    which is exactly why the Spark plan is the banded shape. 2-row bands
+    cut background collisions ~J^2 (single-row bands drown this
+    high-overlap corpus in candidates: 227k pairs vs ~10k); a true pair
+    escapes all 24 bands with prob (1-J^2)^24 — ~2e-11 at the J>=0.9 the
+    fixture's planted near-dups sit at, verified exact-equal to the
+    brute-force oracle at both gate scale factors."""
+    n_hashes = _N_BANDS * _BAND_ROWS
     sh = _shingled(spark, sf_dir).cache()
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sigs = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-            for i in range(_N_MINHASH)
+            for i in range(n_hashes)
         ]
     )
     bands = sigs.select(
         "doc_id",
-        F.posexplode(F.array(*[f"m{i}" for i in range(_N_MINHASH)])).alias(
-            "band", "sig"
-        ),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"m{_BAND_ROWS * i}").alias("h1"),
+                        F.col(f"m{_BAND_ROWS * i + 1}").alias("h2"),
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
