@@ -1,0 +1,278 @@
+"""Training-data quality operators (SURVEY.md section 2.K extensions):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting, embedding near-dup.
+
+These complete the mandated LLM-pipeline surface (BASELINE.json north
+star: dedup / similarity / text analysis at 100 TB). All text math is
+JVM-side expressions; the only cross-engine subtlety is numeric hashing,
+solved portably: md5 is bit-identical everywhere, so
+``bigint(first 8 hex chars of md5)`` is a deterministic 32-bit hash both
+Spark (conv(...,16,10)) and DuckDB (('0x'||...)::BIGINT) agree on.
+
+Scale notes: every operator is a single pass + (at most) one aggregation
+shuffle; text_langid broadcasts the constant marker table; dedup_embedding
+reuses the IVF cell structure of sim_ann_lsh so candidate pairs are
+same-cell only (K cells cut pairwise work by ~K; size K ~ sqrt(corpus) in
+production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+from .vectors import _cos, _vecs
+
+# BPE-ish tokenizer: letter chunks (<=4 chars, BPE-like subwords), digit
+# runs, or single non-space symbols. POSIX-safe so Java regex and RE2
+# agree.
+_BPE_RE = "[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9 ]"
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+
+def _md5_hash32(col: Column) -> Column:
+    """Portable 32-bit numeric hash: bigint of the first 8 md5 hex chars
+    (identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' '))                   AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))     AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+'))     AS n_words,
+       len(regexp_extract_all(text, '[0-9]+'))        AS n_numbers
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for budget/packing decisions: whitespace tokens and
+    a BPE-ish regex tokenization (<=4-char letter chunks + digit runs +
+    symbols) — the cheap engine-side proxy for a real BPE vocab, counted
+    without materializing token arrays."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-zA-Z]+"), 0)).alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).alias("n_numbers"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_token_len,
+       ROUND(CAST(len(list_intersect(string_split(text, ' '),
+                                     {_STOPWORDS})) AS DOUBLE)
+             / len(list_distinct(string_split(text, ' '))), 6) AS stopword_ratio,
+       CASE WHEN length(text) BETWEEN 40 AND 2000
+                 AND len(string_split(text, ' ')) >= 5
+            THEN 'keep' ELSE 'drop' END AS quality_bucket
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length, mean token length, stopword
+    ratio) plus the keep/drop gate a filtering pipeline applies before
+    training — single pass, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(t, " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_intersect(toks, stop)).cast("double")
+            / F.size(F.array_distinct(toks)),
+            6,
+        ).alias("stopword_ratio"),
+        F.when(
+            F.length(t).between(40, 2000) & (F.size(toks) >= 5), "keep"
+        )
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+# Marker vocab slices per language (arbitrary but fixed; the fixture's
+# text is synthetic jargon, so this demonstrates the argmax mechanism on
+# realistic plumbing rather than real linguistics).
+_LANG_MARKERS = {
+    "en": ["the", "join", "table", "row", "fast"],
+    "es": ["data", "value", "filter", "scan", "slow"],
+    "fr": ["window", "agg", "hash", "line", "part"],
+    "de": ["order", "batch", "spark", "column", "key"],
+    "zh": ["small", "cust", "index", "group", "sort"],
+}
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH m(m_lang, markers) AS (VALUES {', '.join(
+    "('" + lang + "', [" + ", ".join("'" + w + "'" for w in ws) + "])"
+    for lang, ws in _LANG_MARKERS.items())}),
+scored AS (
+  SELECT doc_id, lang, m_lang,
+         len(list_intersect(list_distinct(string_split(text, ' ')), markers))
+             AS score
+  FROM documents CROSS JOIN m
+)
+SELECT doc_id, lang, m_lang AS pred_lang, score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) = 1
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of marker-token overlap per language
+    (n-gram/stopword profiling in miniature). The marker table is a
+    broadcast constant; prediction is a window argmax with a lang-name
+    tiebreak. Emits the fixture's true lang alongside for downstream
+    accuracy checks."""
+    d = table(spark, sf_dir, "documents")
+    m = spark.createDataFrame(
+        [(lang, ws) for lang, ws in _LANG_MARKERS.items()],
+        "m_lang string, markers array<string>",
+    )
+    scored = d.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "lang",
+        "m_lang",
+        F.size(
+            F.array_intersect(F.array_distinct(F.split("text", " ")), F.col("markers"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("m_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("m_lang").alias("pred_lang"), "score")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, text,
+         [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+             AS shingles
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT doc_id,
+       list_reduce([('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN shingles],
+                   (h, x) -> (h * 1000003 + x) % 2147483647) AS rolling_hash,
+       list_min([('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN shingles])
+           AS min_shingle_hash,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS content_hash32
+FROM sh
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: a rolling (polynomial) hash over the shingle
+    stream — order-sensitive, near-identical docs with reordered content
+    diverge; the min shingle hash — the 1-hash MinHash sketch; and a plain
+    content hash. All built on the portable md5-derived 32-bit hash so
+    both engines compute identical fingerprints; the polynomial state
+    stays < 2^51, no overflow in either engine."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    hashes = F.transform(shingles, lambda s: F.conv(
+        F.substring(F.md5(s), 1, 8), 16, 10
+    ).cast("bigint"))
+    rolling = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda h, x: (h * 1000003 + x) % 2147483647,
+    )
+    return d.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.array_min(hashes).alias("min_shingle_hash"),
+        _md5_hash32(F.col("text")).alias("content_hash32"),
+    )
+
+
+_DUP_COS = 0.99
+_K_CELLS = 16
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {_DUP_COS}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, IVF-bucketed: duplicates are
+    injected (every 20th vector re-appended with an offset id — the
+    re-crawl scenario), vectors are assigned to their nearest of
+    {_K_CELLS} deterministic centroids, and ONLY same-cell pairs are
+    exact-verified against cosine >= {_DUP_COS}. Identical vectors always
+    share a cell (identical assignment scores), so recall for true
+    duplicates is structural, not probabilistic; the oracle brute-forces
+    all pairs. Same-cell candidate volume is ~1/K of brute force and K
+    grows ~sqrt(N) at scale."""
+    v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    clones = v.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "vec"
+    )
+    corpus = v.unionByName(clones)
+    c = F.broadcast(
+        v.filter(F.col("vec_id") < _K_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    sim = corpus.crossJoin(c).select(
+        "vec_id", "vec", "cid", F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assigned = (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_cos(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= _DUP_COS)
+        .select("id_a", "id_b", "cos")
+    )

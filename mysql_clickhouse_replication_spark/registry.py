@@ -60,8 +60,9 @@ def load_all() -> None:
         sorts,
         windows,
     )
-    from .functions import scalar, text, vectors  # noqa: F401
+    from .functions import quality, scalar, text, vectors  # noqa: F401
     from .plans import cdc  # noqa: F401
+    from .sources import formats  # noqa: F401
     from .streaming import batch_twin, queries as streaming_queries  # noqa: F401
 
     _LOADED = True
