@@ -1,0 +1,66 @@
+"""Golden CDC tests (SURVEY.md section 5.2 item 4): a hand-written
+changelog with known insert/update/delete interleavings must compact to
+an exactly-known current state — the ReplacingMergeTree FINAL semantics
+the reference delegates to ClickHouse, checked against literal expected
+rows rather than an oracle engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+# (op, pk, seq, value) — seq is the binlog position stand-in
+CHANGELOG = [
+    ("insert", 1, 1, 10.0),
+    ("update", 1, 3, 11.0),   # later version wins
+    ("insert", 2, 2, 20.0),
+    ("delete", 2, 5, None),   # delete is the last event -> pk 2 vanishes
+    ("insert", 3, 4, 30.0),
+    ("delete", 3, 6, None),
+    ("insert", 3, 7, 31.0),   # re-insert AFTER delete -> pk 3 lives
+    ("update", 4, 9, 41.0),   # update without prior insert (late snapshot)
+    ("insert", 4, 8, 40.0),
+    ("insert", 5, 10, 50.0),
+    ("insert", 5, 11, 50.0),  # duplicate delivery, same content new seq
+]
+
+
+def _compact(df, keep_deletes: bool):
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    if not keep_deletes:
+        out = out.filter(F.col("op") != "delete")
+    return out.select("pk", "seq", "op", "value")
+
+
+def test_upsert_keeps_latest_version_per_pk(spark):
+    df = spark.createDataFrame(CHANGELOG, "op string, pk long, seq long, value double")
+    got = {r.pk: (r.seq, r.op, r.value) for r in _compact(df, True).collect()}
+    assert got == {
+        1: (3, "update", 11.0),
+        2: (5, "delete", None),
+        3: (7, "insert", 31.0),
+        4: (9, "update", 41.0),
+        5: (11, "insert", 50.0),
+    }
+
+
+def test_delete_apply_drops_tombstoned_pks(spark):
+    df = spark.createDataFrame(CHANGELOG, "op string, pk long, seq long, value double")
+    got = {r.pk: r.value for r in _compact(df, False).collect()}
+    # pk 2's latest event is the delete -> gone; pk 3 was re-inserted -> alive
+    assert got == {1: 11.0, 3: 31.0, 4: 41.0, 5: 50.0}
+
+
+def test_exact_dedup_collapses_redelivery(spark):
+    df = spark.createDataFrame(CHANGELOG, "op string, pk long, seq long, value double")
+    deduped = df.select("op", "pk", "value").dropDuplicates()
+    # the duplicate delivery of pk 5 collapses; all other rows are unique
+    assert deduped.count() == len(CHANGELOG) - 1
+
+
+def test_compaction_is_idempotent(spark):
+    df = spark.createDataFrame(CHANGELOG, "op string, pk long, seq long, value double")
+    once = _compact(df, True)
+    twice = _compact(once, True)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
