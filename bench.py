@@ -48,9 +48,12 @@ HEADLINE = [
     "sessionize_batch",
     "dedup_exact_text",
     "dedup_minhash",
+    "dedup_embedding",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_tfidf_terms",
+    "text_fingerprint",
+    "text_quality",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

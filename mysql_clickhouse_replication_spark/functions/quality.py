@@ -195,23 +195,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute identical fingerprints; the polynomial state
     stays < 2^51, no overflow in either engine."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    # materialize token/shingle/hash arrays ONCE per row — higher-order
+    # functions are interpreted per element, so repeating `split(text)`
+    # inside the transform lambda would cost O(tokens^2) per doc and the
+    # hash array would be computed twice (rolling + min)
+    staged = (
+        d.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            ).alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.transform(
+                "shingles",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                    "bigint"
+                ),
+            ).alias("hashes"),
+        )
     )
-    hashes = F.transform(shingles, lambda s: F.conv(
-        F.substring(F.md5(s), 1, 8), 16, 10
-    ).cast("bigint"))
     rolling = F.aggregate(
-        hashes,
+        F.col("hashes"),
         F.lit(0).cast("bigint"),
         lambda h, x: (h * 1000003 + x) % 2147483647,
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         rolling.alias("rolling_hash"),
-        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_min("hashes").alias("min_shingle_hash"),
         _md5_hash32(F.col("text")).alias("content_hash32"),
     )
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import table
-from ._util import D4, davg, dec, dsum, sql_davg, sql_dsum
+from ._util import D4, D8, davg, dec, dsum, sql_davg, sql_dsum
 
 _Q1_CUTOFF = "1998-09-02 00:00:00"
 
@@ -35,7 +35,9 @@ def flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashAggregate. One shuffle, whole-stage codegen end to end.
     """
     li = table(spark, sf_dir, "lineitem")
-    price = dec("l_extendedprice")
+    # D8 x D4 keeps both product chains at precision <= 18 (compact
+    # 64-bit decimals; see _util width policy)
+    price = dec("l_extendedprice", D8)
     one = F.lit(1).cast(D4)
     disc_price = price * (one - dec("l_discount", D4))
     charge = disc_price * (one + dec("l_tax", D4))
@@ -60,10 +62,10 @@ _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity', 'sum_qty')},
        {sql_dsum('l_extendedprice', 'sum_base_price')},
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
            AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
                 * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
            AS sum_charge,
@@ -240,12 +242,12 @@ _STATS_ORACLE = """
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syyy
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS syyy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -272,8 +274,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) stats (corr/skew) to 6. Oracle applies identical ROUNDs.
     """
     li = table(spark, sf_dir, "lineitem")
-    x = dec("l_extendedprice")
-    y = dec("l_quantity")
+    # narrow operands -> every power-sum product stays compact (<= 18)
+    x = dec("l_extendedprice", D8)
+    y = dec("l_quantity", D4)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).cast("double").alias("sx"),

@@ -53,8 +53,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle=f"""
 SELECT r_name, n_name,
-       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue',
-                 'DECIMAL(18,4)')},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -78,8 +79,9 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    # D8 x D4 product stays at precision 13 — compact decimal fast path
+    rev = F.col("l_extendedprice").cast("decimal(8,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
