@@ -134,21 +134,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
         )
     )
-    sim = v.crossJoin(c).select(
-        "vec_id", "cid", F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s")
-    )
+    # ONE centroid-scoring pass + ONE window feed both cell assignment
+    # (rn = 1) and query probing (rn <= nprobe) — scoring twice would
+    # double the dominant broadcast-matmul cost
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    assign = (
-        sim.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    probe = (
-        sim.filter(F.col("vec_id") < _N_QUERIES)
+    ranked = (
+        v.crossJoin(c)
+        .select(
+            "vec_id",
+            "cid",
+            F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s"),
+        )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _N_PROBE)
-        .select(F.col("vec_id").alias("q_id"), "cid")
     )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probe = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE)
+    ).select(F.col("vec_id").alias("q_id"), "cid")
     cand = (
         F.broadcast(probe)
         .join(assign, "cid")

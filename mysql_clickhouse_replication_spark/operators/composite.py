@@ -1,0 +1,196 @@
+"""Composite analytics queries + skew/approx techniques (SURVEY.md
+section 2 closure).
+
+The TPC-H-shaped composites prove the operator surface composes into the
+full reports a warehouse user actually runs (the fixtures are TPC-H-ish
+by construction, minus partsupp/comment columns). The skew/approx keys
+demonstrate the two standard 100 TB defenses — salted two-stage
+aggregation and sketch-based quantiles — in oracle-checkable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+from ._util import D4, D8, dsum, sql_dsum
+
+_REV_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * (CAST(1 AS DECIMAL(4,2))"
+    " - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+
+
+def _rev() -> F.Column:
+    return F.sum(
+        F.col("l_extendedprice").cast(D8)
+        * (F.lit(1).cast(D4) - F.col("l_discount").cast(D4))
+    ).cast("double")
+
+
+@register(
+    "tpch_q3_shape",
+    oracle=f"""
+SELECT l_orderkey, {_REV_SQL} AS revenue, o_orderdate, c_mktsegment
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, c_mktsegment
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment filter -> 3-way join ->
+    revenue agg -> global top-10. Filters sit on both scans BEFORE the
+    joins (pushdown), the final top-k is a TakeOrderedAndProject, and the
+    revenue tie is broken by l_orderkey for a deterministic LIMIT."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "c_mktsegment")
+        .agg(_rev().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "c_mktsegment")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate.
+    Every predicate reaches the parquet row-group reader; the aggregate
+    is a single partial+final combine with no keyed shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(D8) * F.col("l_discount").cast(D4))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle=f"""
+SELECT c_custkey, c_name, {_REV_SQL} AS revenue, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter + returnflag filters,
+    star join with broadcast nation, revenue per customer, top-20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the manual defense when ONE key
+    carries most rows (l_returnflag has 3 values over 600k rows: maximal
+    skew). Stage 1 aggregates (key, salt16) so the hot key spreads over
+    16 reducers; stage 2 merges the 16 partials per key. Result is
+    bitwise equal to the direct groupBy (decimal-exact, order-free);
+    wall-clock equal here, but at 100 TB stage 1 is the difference
+    between one straggler reducer and even utilization. AQE's
+    skewedPartitionFactor handles JOIN skew; aggregation skew needs this
+    explicit shape."""
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       QUANTILE_CONT(o_totalprice, 0.5) AS exact_p50,
+       COUNT(*) AS n,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles — the 100 TB replacement for the exact
+    per-group sort that agg_percentiles pays. Same contract pattern as
+    agg_approx_distinct: the sketch estimate cannot hash-match across
+    engines, so the exact value rides along and a pinned boolean asserts
+    the approx_percentile (accuracy 10000) landed within 5%."""
+    o = table(spark, sf_dir, "orders")
+    approx = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+    exact = F.percentile("o_totalprice", F.lit(0.5))
+    return o.groupBy("o_orderstatus").agg(
+        exact.alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )
