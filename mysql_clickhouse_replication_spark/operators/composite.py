@@ -141,6 +141,112 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_shape",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the trimmed schema
+    (no commit/receipt dates -> 'shipped after ordering' plays the late
+    predicate): quarter filter -> EXISTS as a left-semi join whose right
+    side carries the correlated l_shipdate > o_orderdate condition ->
+    count by priority."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping mode / priority split, l_shipmode absent ->
+    grouped by linestatus): fact-fact join with the year filter pushed to
+    the lineitem scan, conditional counts by priority class."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle=f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(8,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+             / {_REV_SQL}, 6) AS economy_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect; 'ECONOMY' plays the PROMO type):
+    month filter -> lineitem joins the part dim -> conditional revenue
+    share as one global aggregate. Decimal-exact numerator/denominator,
+    single final division rounded on both sides."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_term = F.col("l_extendedprice").cast(D8) * (
+        F.lit(1).cast(D4) - F.col("l_discount").cast(D4)
+    )
+    econ = F.when(F.col("p_type") == "ECONOMY", rev_term).otherwise(
+        F.lit(0).cast("decimal(13,4)")
+    )
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0 * F.sum(econ).cast("double") / F.sum(rev_term).cast("double"), 6
+        ).alias("economy_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "agg_skew_salted",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n,

