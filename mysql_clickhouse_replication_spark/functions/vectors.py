@@ -330,3 +330,57 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fake_decode,
         schema="doc_id long, n_bytes long, first_byte long, fake_width long, fake_height long",
     )
+
+
+_FRAME_BYTES = 16
+_SAMPLE_EVERY = 4
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(floor(length(text) / {_FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       CAST(ceil(length(text) / {_FRAME_BYTES * _SAMPLE_EVERY}.0) AS BIGINT)
+           AS n_sampled,
+       md5(array_to_string(
+         [substr(text, 1 + {_FRAME_BYTES * _SAMPLE_EVERY} * i, {_FRAME_BYTES})
+          FOR i IN range(0, CAST(ceil(length(text) / {_FRAME_BYTES * _SAMPLE_EVERY}.0) AS BIGINT))],
+         '')) AS sampled_md5
+FROM documents
+""",
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary stream: the payload is cut
+    into fixed {_FRAME_BYTES}-byte 'frames' (video-codec stand-in: the
+    container has no av libs, so frames are byte slices — a real impl
+    swaps the slicer for pyav keyframe extraction), every
+    {_SAMPLE_EVERY}th frame is kept, and the sampled stream is
+    checksummed. The mapInPandas plumbing — Arrow binary transfer, batch
+    iteration, per-row variable-length frame lists reduced to scalars —
+    is the real deliverable; the oracle recomputes the same slicing in
+    SQL (fixture text is ASCII, so char slices == byte slices)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _sample(batches):
+        import hashlib
+
+        step = _FRAME_BYTES * _SAMPLE_EVERY
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            sampled = pdf["payload"].map(
+                lambda buf: b"".join(
+                    buf[off : off + _FRAME_BYTES] for off in range(0, len(buf), step)
+                )
+            )
+            yield pdf.assign(
+                n_frames=n_bytes // _FRAME_BYTES,
+                n_sampled=-(-n_bytes // step),
+                sampled_md5=sampled.map(lambda b: hashlib.md5(b).hexdigest()),
+            )[["doc_id", "n_frames", "n_sampled", "sampled_md5"]]
+
+    return d.mapInPandas(
+        _sample, schema="doc_id long, n_frames long, n_sampled long, sampled_md5 string"
+    )
