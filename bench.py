@@ -48,6 +48,9 @@ HEADLINE = [
     "sessionize_batch",
     "dedup_exact_text",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "tpch_q5_shape",
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_ann_lsh",

@@ -271,3 +271,243 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 32-bit shingle-feature simhash, 4 bands x 8 bits.
+# Feature hash is PORTABLE (first 8 hex chars of md5 -> bigint) so the
+# signature itself is oracle-checkable, unlike the xxhash64 minhashes.
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 8 bits each; hamming<=3 => >=1 identical band (pigeonhole)
+_HAMMING_T = 3
+
+_SIMHASH_SQL = (
+    "WITH sh0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),\n"
+    "tok AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')\n"
+    "                 FOR i IN range(1, len(toks)-1)])) AS t FROM sh0),\n"
+    "h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS h FROM tok),\n"
+    "sh AS (SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    + " AS simhash FROM h GROUP BY doc_id)"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+{_SIMHASH_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash: each doc's 3-gram shingles hash to
+    portable 32-bit features (md5-derived, identical in DuckDB); the
+    simhash sets bit b to the SIGN of the +/-1 vote sum over features.
+    Banding splits the fingerprint into 4 bytes — a pair within hamming
+    distance {_HAMMING_T} differs in <= {_HAMMING_T} bands, so by pigeonhole at least
+    one band is identical and the band-bucket join has EXACT recall (the
+    oracle is the brute-force pair scan and matches bit-for-bit). One
+    shuffle to build signatures (32 map-side-combined sums), candidates
+    only through the verify — never an all-pairs join. Single-token
+    features are useless on this ~31-word vocabulary (hamming-0
+    collisions between unrelated docs, measured); shingle features give
+    a clean gap: true near-dups at hamming<=3, background at >=6."""
+    sh = _shingled(spark, sf_dir)
+    feat = sh.select("doc_id", F.explode("shingles").alias("t"))
+    h = feat.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(_SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram Jaccard dedup: banded-minhash candidates, sig-agreement
+# prune, exact verify.
+_NGRAM_N = 5
+_NGRAM_T = 0.8
+_NG_BANDS = 12
+_NG_ROWS = 4  # band collision prob = J^4: steep enough to mute J~0.25 noise
+_NG_EST_T = 0.6  # minhash-agreement prune; background tops out at J~0.28
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH ng AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, {_NGRAM_N})
+                        FOR i IN range(1, greatest(length(text)-{_NGRAM_N - 1},1)+1)]) AS g
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= {_NGRAM_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-{_NGRAM_N}-gram Jaccard near-dup (threshold {_NGRAM_T}),
+    three JVM-only stages sized from the MEASURED corpus geometry (true
+    pairs J in [0.93, 0.99], background p99.9 = 0.28 — a wide gap):
+
+    1. Banded MinHash: 48 minhashes, {_NG_BANDS} bands x {_NG_ROWS} rows.
+       Band collision prob J^{_NG_ROWS} — steep enough that the J~0.25
+       background (which drowns 2-row bands: measured 10M+ candidates)
+       stays ~1-5%, while a true J>=0.93 pair escapes all bands with
+       prob (1-0.93^{_NG_ROWS})^{_NG_BANDS} ~= 6e-8.
+    2. Signature-agreement prune: join the full 48-hash signatures back
+       (48 flat columns — whole-stage-codegen comparisons, no HOF, no
+       Python) and require >= {_NG_EST_T} of hashes to agree. E[agree] =
+       J, so background candidates sit ~12/48 and true pairs ~45/48 —
+       the Chernoff tails make both error directions astronomically
+       small. Survivors: ~the true pairs only.
+    3. Exact-Jaccard verify of the few survivors (array_intersect; at
+       this volume the interpreted HOF is irrelevant).
+
+    Why not SSJoin/PPJoin prefix filtering (the exact-recall textbook
+    alternative)? Implemented and measured first: this fixture's
+    template text yields a ~2k-gram vocabulary shared by every doc, so
+    even with the positional upper-bound filter
+    (1 + min(sz_a-rn_a, sz_b-rn_b) >= ceil(t/(1+t)*(sz_a+sz_b))) the
+    candidate set was 1.5M of 12.5M pairs at sf0.1 — prefix filtering
+    prunes on RARE grams and degrades to near-all-pairs when no gram is
+    rare. Signature agreement tracks true similarity instead of gram
+    rarity, which is the property that survives both template-heavy
+    corpora and 100 TB."""
+    n_hashes = _NG_BANDS * _NG_ROWS
+    d = table(spark, sf_dir, "documents")
+    ng = d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform("
+            f" sequence(1, greatest(length(text)-{_NGRAM_N - 1}, 1)),"
+            f" i -> substring(text, i, {_NGRAM_N})))"
+        ).alias("g"),
+    ).cache()
+    ex = ng.select("doc_id", F.explode("g").alias("gram"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    ).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"m{_NG_ROWS * i + j}").alias(f"h{j}")
+                            for j in range(_NG_ROWS)
+                        ]
+                    )
+                    for i in range(_NG_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        [
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            for i in range(n_hashes)
+        ],
+        F.lit(0),
+    )
+    strong = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(agree >= int(_NG_EST_T * n_hashes))
+        .select("doc_a", "doc_b")
+    )
+    ga = ng.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = ng.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size("g_a") + F.size("g_b") - F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        strong.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= _NGRAM_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
