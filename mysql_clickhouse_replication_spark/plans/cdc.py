@@ -218,3 +218,41 @@ def cdc_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("shipdate"),
         F.col("l_returnflag").cast("string").alias("returnflag"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+SELECT pk, op, value, prop_k,
+       seq                                            AS valid_from_seq,
+       ts                                             AS valid_from_ts,
+       LEAD(seq) OVER (PARTITION BY pk ORDER BY seq)  AS valid_to_seq,
+       LEAD(ts)  OVER (PARTITION BY pk ORDER BY seq)  AS valid_to_ts,
+       (LEAD(seq) OVER (PARTITION BY pk ORDER BY seq) IS NULL
+        AND op != 'delete')                           AS is_current
+FROM ({_DECODE_SQL})
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: instead of compacting the
+    changelog to latest-version-wins (cdc_apply_upsert), keep EVERY
+    version as a history row with its validity interval
+    [valid_from, valid_to) — valid_to is the NEXT version's seq/ts via
+    lead(), open (NULL) for the live row, and a delete event closes the
+    key without a successor. This is the warehouse-side audit/history
+    table the reference's ReplacingMergeTree destroys by design; one
+    window shuffle on pk, same scale shape as the compaction itself."""
+    w = Window.partitionBy("pk").orderBy("seq")
+    return _changelog(spark, sf_dir).select(
+        "pk",
+        "op",
+        "value",
+        "prop_k",
+        F.col("seq").alias("valid_from_seq"),
+        F.col("ts").alias("valid_from_ts"),
+        F.lead("seq").over(w).alias("valid_to_seq"),
+        F.lead("ts").over(w).alias("valid_to_ts"),
+        (F.lead("seq").over(w).isNull() & (F.col("op") != "delete")).alias(
+            "is_current"
+        ),
+    )
