@@ -511,3 +511,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _NGRAM_T)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+closure AS (
+  SELECT a, b FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM und
+)
+SELECT a AS doc_id, MIN(b) AS canonical_id, COUNT(DISTINCT b) AS cluster_size
+FROM closure GROUP BY a
+""",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the
+    dedup_minhash pair graph, assigning every near-dup doc its
+    component's minimum doc_id as the canonical representative (the doc
+    a pipeline keeps) plus the component size. This is the step after
+    pair generation in a real training-data dedup: pairs alone
+    double-count transitive duplicates (a~b, b~c must collapse to ONE
+    keeper, not two).
+
+    Spark shape: iterative min-label propagation to fixpoint — each
+    round one join+groupBy (label[v] <- min over v and neighbors), the
+    standard scalable CC recipe; rounds = component diameter, which for
+    near-dup graphs is tiny (clone clusters are cliques-ish; here <= 3).
+    The driver-side loop only checks a 1-row convergence count per
+    round — the data never leaves the executors. Oracle: DuckDB
+    recursive-CTE transitive closure over the same (brute-force exact)
+    pair graph."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    adj = und.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u")).cache()
+    labels = adj.select("v").distinct().withColumn("lbl", F.col("v")).cache()
+    for _ in range(16):  # diameter cap; fixpoint reached far earlier
+        neigh = (
+            adj.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    "lbl", F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(new_labels, "v")
+            .filter(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("canonical_id"),
+        "cluster_size",
+    )
