@@ -213,3 +213,61 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.concat_ws(":", F.col("lang"), F.col("source"))).alias("slice_md5"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+WITH urls AS (
+  SELECT o_orderkey,
+         'https://shop-' || CAST(o_custkey % 50 AS VARCHAR)
+         || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)
+         || '?status=' || o_orderstatus || '&prio=' || split_part(o_orderpriority, '-', 1) AS url
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey,
+       url,
+       regexp_extract(url, '^([a-z]+)://', 1)               AS protocol,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1)          AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)    AS path,
+       regexp_extract(url, '[?&]status=([^&]*)', 1)         AS q_status,
+       regexp_extract(url, '[?&]prio=([^&]*)', 1)           AS q_prio,
+       regexp_extract(url, '([a-z0-9-]+\\.[a-z]+)$|^[a-z]+://([^/:]+)', 2) AS domain_full,
+       split_part(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.', 3) AS tld
+FROM urls
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (ClickHouse protocol/domain/path/
+    extractURLParameter parity): URLs synthesized deterministically from
+    the orders fixture, then decomposed engine-side. Extraction uses one
+    shared regex vocabulary in BOTH engines (Spark parse_url and DuckDB
+    have no common URL parser, and regex flavors agree on this subset),
+    so the decomposition is hash-checkable. All JVM-side builtins."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example.com/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+        F.lit("&prio="),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        "url",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("protocol"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]status=([^&]*)", 1).alias("q_status"),
+        F.regexp_extract("url", r"[?&]prio=([^&]*)", 1).alias("q_prio"),
+        F.regexp_extract("url", r"([a-z0-9-]+\.[a-z]+)$|^[a-z]+://([^/:]+)", 2).alias(
+            "domain_full"
+        ),
+        F.split_part(
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1), F.lit("."), F.lit(3)
+        ).alias("tld"),
+    )

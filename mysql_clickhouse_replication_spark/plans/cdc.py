@@ -256,3 +256,55 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle=f"""
+WITH state AS (
+  SELECT tbl, pk, op, value FROM ({_DECODE_SQL})
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+)
+SELECT tbl,
+       COUNT(*)                                        AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM state WHERE op != 'delete'
+GROUP BY tbl
+""",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate (ClickHouse materialized view /
+    AggregatingMergeTree parity): per-table COUNT and SUM(value) of the
+    CURRENT state, computed as a DELTA STREAM — each changelog event
+    contributes a signed increment (insert: +new, update: +new -previous
+    via lag() over pk, delete: -previous) and one group-agg folds the
+    increments. The final-state table is NEVER materialized: this is one
+    pk-window (to recover pre-images) plus one keyed agg, the shape that
+    maintains a 100 TB aggregate from a binlog without recomputing it.
+    The oracle computes the same numbers the heavyweight way (compact to
+    latest-per-pk, then aggregate) — equality IS the proof that delta
+    maintenance reproduces full recomputation. Decimal-exact increments
+    make the sum order-free."""
+    w = Window.partitionBy("pk").orderBy("seq")
+    ev = (
+        _changelog(spark, sf_dir)
+        .withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_op", F.lag("op").over(w))
+    )
+    dv = F.col("value").cast("decimal(12,2)")
+    pv = F.col("prev_value").cast("decimal(12,2)")
+    # live(x) = did the row exist AFTER event x? (op != delete)
+    prev_live = F.col("prev_op").isNotNull() & (F.col("prev_op") != "delete")
+    now_live = F.col("op") != "delete"
+    delta_n = now_live.cast("int") - prev_live.cast("int")
+    delta_v = (
+        F.when(now_live, dv).otherwise(F.lit(0).cast("decimal(12,2)"))
+        - F.when(prev_live, pv).otherwise(F.lit(0).cast("decimal(12,2)"))
+    )
+    return (
+        ev.groupBy("tbl")
+        .agg(
+            F.sum(delta_n).alias("n_rows"),
+            F.sum(delta_v).cast("double").alias("sum_value"),
+        )
+    )
