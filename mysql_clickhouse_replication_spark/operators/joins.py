@@ -362,3 +362,54 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT d.flag_label,
+       COUNT(*)                                          AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+     d(flag, flag_label)
+ON l_returnflag = d.flag
+GROUP BY d.flag_label
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join — the manual defense when a SHUFFLE join
+    key is pathologically hot (l_returnflag: 3 values over the whole
+    fact). The fact side gets salt = pk % 16; the dim side is exploded
+    16x so every (key, salt) bucket finds its dim row; the join key
+    becomes (flag, salt) and the hot key's rows spread over 16 reducers
+    instead of one straggler. Result is bitwise-equal to the plain join
+    (oracle). Note the COMPLEMENT of agg_skew_salted: that key salts an
+    aggregation, this one a join; at 100 TB the two compose (salted join
+    -> partial agg on (key, salt) -> final merge). AQE's skew-join
+    splitting automates this for sort-merge joins; the explicit shape is
+    still required for broadcast-ineligible skewed hash joins and for
+    deterministic bucket layouts."""
+    li = table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        "flag string, flag_label string",
+    )
+    n_salt = 16
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    fact_salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(n_salt)))
+    return (
+        fact_salted.join(
+            dim_salted,
+            (F.col("l_returnflag") == F.col("flag")) & (fact_salted.salt == dim_salted.salt),
+        )
+        .groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

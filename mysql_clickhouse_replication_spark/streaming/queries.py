@@ -350,3 +350,31 @@ def cdc_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the CDC dimension-lookup pattern:
+    each micro-batch of the replayed event stream joins a STATIC
+    broadcast dimension (customer) before aggregating per segment. In
+    production this is how a binlog stream is enriched against reference
+    data without a shuffle: the static side is planned as a broadcast
+    hash join inside every micro-batch; stream state stays keyed by the
+    aggregate only. Complete mode emits full stream-end state."""
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sdf = _events_stream(spark, sf_dir)
+    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
