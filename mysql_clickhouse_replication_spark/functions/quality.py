@@ -293,3 +293,76 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _DUP_COS)
         .select("id_a", "id_b", "cos")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-12-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+?1?-?555-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')        AS text_scrubbed,
+       length(regexp_extract(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) > 0 AS had_email,
+       length(regexp_extract(text, '(\\+?1?-?555-[0-9]{4})', 1)) > 0 AS had_phone
+FROM synth
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the compliance scrub every training-data
+    pipeline runs before tokenization: emails, phone numbers, and
+    SSN-shaped identifiers replaced by typed placeholder tokens, plus
+    per-doc detection flags for audit metrics. PII is synthesized
+    deterministically into the fixture text first (the corpus carries
+    none), then scrubbed; the shared regex vocabulary is chosen from the
+    flavor subset Spark (Java regex) and DuckDB (RE2) parse identically.
+    Pure JVM expression pass: at 100 TB this pipelines inside the scan
+    stage with zero shuffles."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-12-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?1?-?555-[0-9]{4}"
+    ssn_re = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+        ssn_re,
+        "<SSN>",
+    )
+    return synth.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        (F.length(F.regexp_extract("text", f"({email_re})", 1)) > 0).alias(
+            "had_email"
+        ),
+        (F.length(F.regexp_extract("text", f"({phone_re})", 1)) > 0).alias(
+            "had_phone"
+        ),
+    )

@@ -308,3 +308,41 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(delta_v).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_priority_v2
+FROM orders
+""",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE propagation — the schema-evolution half of a CDC
+    replicator: the sink holds files written BEFORE and AFTER a column
+    was added, and the reader must reconcile them. Emulated exactly:
+    even-keyed orders land as schema v1 (no o_priority_v2), odd-keyed
+    as v2 (column added); ``mergeSchema`` unions the file schemas and
+    null-fills v1 rows — ClickHouse's Nullable-column ALTER ADD COLUMN
+    semantics. At 100 TB this is metadata-only (schema union at plan
+    time; no data rewrite), which is the entire point vs a table
+    rewrite."""
+    import os
+
+    src = table(spark, sf_dir, "orders")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sink = os.path.join(repo, ".scratch", "cdc_schema_evo", os.path.basename(sf_dir))
+    v1 = src.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_priority_v2"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(sink, "epoch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(sink, "epoch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(sink, "epoch=1"), os.path.join(sink, "epoch=2"))
+        .select("o_orderkey", "o_totalprice", "o_priority_v2")
+    )
