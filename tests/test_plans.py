@@ -97,3 +97,57 @@ def test_no_python_row_udfs_in_relational_plans(plans):
     for key in ("agg_groupby_multi", "join_multiway", "win_frame_rows",
                 "cdc_apply_upsert", "sim_cosine_topk", "text_tfidf_terms"):
         assert "BatchEvalPython" not in plans(key), key
+
+
+def test_q5_star_broadcasts_all_dims(plans):
+    p = plans("tpch_q5_shape")
+    # supplier/nation/region ride broadcast joins; the two facts meet in
+    # a shuffle join (either sort-merge or shuffled-hash, planner's pick)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q18_semi_join_prunes_before_wide_join(plans):
+    p = plans("tpch_q18_shape")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushes_single_sided_bounds(plans):
+    p = plans("tpch_q19_shape")
+    # Catalyst must derive the per-side implications of the OR and push
+    # them into both scans
+    assert "PushedFilters: [" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ngram_jaccard_sig_prune_stays_jvm_side(plans):
+    p = plans("dedup_ngram_jaccard")
+    # stages 1-2 (banding + 48-hash agreement) are codegen joins — the
+    # only acceptable Python would be none at all
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash_band_join_no_cartesian(plans):
+    p = plans("dedup_simhash")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_skew_salted_join_is_shuffle_on_composite_key(plans):
+    p = plans("join_skew_salted")
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_agg_single_window_single_agg(plans):
+    p = plans("cdc_incremental_agg", "simple")
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_pii_scrub_is_zero_shuffle(plans):
+    p = plans("text_pii_scrub", "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
