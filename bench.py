@@ -45,18 +45,24 @@ HEADLINE = [
     "topk_per_group",
     "cdc_apply_upsert",
     "cdc_batch_window",
+    "cdc_incremental_agg",
+    "cdc_scd2_history",
     "sessionize_batch",
     "dedup_exact_text",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "tpch_q5_shape",
+    "tpch_q18_shape",
+    "tpch_q19_shape",
+    "join_skew_salted",
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_tfidf_terms",
     "text_fingerprint",
     "text_quality",
+    "text_pii_scrub",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

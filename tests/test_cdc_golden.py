@@ -64,3 +64,72 @@ def test_compaction_is_idempotent(spark):
     once = _compact(df, True)
     twice = _compact(once, True)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_checkpoint_resumes_mid_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-resume: consume ONE micro-batch of the binlog replay
+    (trigger once + small batchsize), stop, then resume from the same
+    checkpoint with availableNow. The resumed query must pick up at the
+    committed offset: the sink ends with exactly one copy of every
+    changelog row — no loss, no redelivery — which is the reference's
+    (log_file, log_pos) resume contract."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_replication_spark.sources.binlog import (
+        BinlogReplaySource,
+    )
+
+    try:
+        spark.dataSource.register(BinlogReplaySource)
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    batch = max(1, total // 3)
+
+    def q(trigger_kwargs):
+        src = (
+            spark.readStream.format("binlog_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchsize", str(batch))
+            .load()
+        )
+        qh = (
+            src.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+        qh.awaitTermination()
+
+    q({"once": True})
+    partial = spark.read.parquet(sink).count()
+    assert 0 < partial < total  # genuinely interrupted mid-backlog
+
+    # Each restart resumes at the committed offset and drains the chunk
+    # the simple reader prefetched — repeated kill/resume cycles must
+    # walk the backlog monotonically with no loss and no redelivery.
+    resumes = 0
+    while spark.read.parquet(sink).count() < total and resumes < 6:
+        q({"availableNow": True})
+        resumes += 1
+    assert resumes >= 2  # took multiple resume cycles, each offset-exact
+    out = spark.read.parquet(sink)
+    assert out.count() == total  # no loss, no redelivery
+    assert out.select("seq").distinct().count() == total
+    # decoded payload matches the batch decode bit-for-bit
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expect = ev.select(
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0
