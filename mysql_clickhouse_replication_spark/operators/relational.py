@@ -182,3 +182,40 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     return o.groupBy(bucket, "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sample_hash_based",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+GROUP BY o_orderstatus
+""",
+)
+def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample (ClickHouse `SAMPLE 0.1` parity): the
+    sampling predicate is a PORTABLE key hash (md5-derived 32-bit bucket,
+    identical in every engine), not an RNG — so the sample is
+    reproducible across engines, runs, and cluster sizes, can be
+    re-derived for any key (join two hash-samples and they align on the
+    same keys, exactly like ClickHouse's SAMPLE on a shared sampling
+    key), and pushes into the scan as an ordinary predicate. df.sample()
+    gives none of those properties (per-partition RNG; resize the
+    cluster and the sample changes)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        o.filter(bucket == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

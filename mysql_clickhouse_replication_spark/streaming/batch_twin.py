@@ -69,3 +69,67 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "last_event", "n_events")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_then_click,
+       (SELECT COUNT(*) FROM s3) AS n_then_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ClickHouse ``windowFunnel`` parity):
+    users progressing view -> click -> purchase where each step happens
+    strictly AFTER the previous step's first occurrence and within a
+    7-day window of it. Each stage is one filtered aggregate (min-ts per
+    user) joined to the previous stage — stage state stays one row per
+    surviving user, and the event table is scanned with a pushed
+    event_type filter per stage rather than collected per user. At
+    100 TB: three keyed shuffles on user_id, each over a monotonically
+    shrinking user set."""
+    ev = table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
