@@ -346,3 +346,44 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(sink, "epoch=1"), os.path.join(sink, "epoch=2"))
         .select("o_orderkey", "o_totalprice", "o_priority_v2")
     )
+
+
+@register(
+    "cdc_snapshot_increment",
+    oracle=f"""
+SELECT pk, seq, op, value, prop_k FROM ({_DECODE_SQL})
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+""",
+)
+def cdc_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete lifecycle as ONE invariant: initial
+    snapshot (compacted state at a mid-stream cut seq <= S0, here the
+    median seq) plus incremental apply of the changelog tail (seq > S0)
+    must equal compacting the full changelog in one pass. The increment
+    applies over the snapshot by treating snapshot rows AS changelog
+    rows (their stored seq preserved) and re-compacting the union —
+    ReplacingMergeTree's merge of an old part with new parts. At 100 TB
+    this is the shape of steady-state operation: the snapshot side is
+    the big sorted base, the tail is small, and the union compaction
+    shuffles each pk once. Oracle = single-pass compaction; equality
+    proves cut-point independence (restart/backfill safety)."""
+    log = _changelog(spark, sf_dir).select("pk", "seq", "op", "value", "prop_k")
+    # The cut stays IN-PLAN (broadcast scalar, no driver collect) — in
+    # production it comes from the snapshot checkpoint, not the data.
+    cut = F.broadcast(log.agg(F.median("seq").alias("cut")))
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    snapshot = (
+        log.crossJoin(cut)
+        .filter(F.col("seq") <= F.col("cut"))
+        .drop("cut")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tail = log.crossJoin(cut).filter(F.col("seq") > F.col("cut")).drop("cut")
+    return (
+        snapshot.unionByName(tail)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
