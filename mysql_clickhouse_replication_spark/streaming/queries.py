@@ -40,6 +40,23 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 
 def _scratch(*parts: str) -> str:
+    """Scratch path for sink/checkpoint dirs. uuid-suffixed runs
+    accumulate across bench/verify invocations, so stale siblings
+    (>2 h old) are pruned best-effort on each call — bounded disk
+    without racing a concurrently-running query."""
+    import shutil
+    import time
+
+    base = os.path.join(_REPO, ".scratch", parts[0]) if parts else None
+    if base and os.path.isdir(base):
+        cutoff = time.time() - 7200
+        for entry in os.listdir(base):
+            p = os.path.join(base, entry)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     return os.path.join(_REPO, ".scratch", *parts)
 
 
