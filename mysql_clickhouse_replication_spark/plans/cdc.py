@@ -120,17 +120,28 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
 """
 
 
+def compact(log: DataFrame, drop_deletes: bool = False) -> DataFrame:
+    """ReplacingMergeTree FINAL: latest version (max seq) per pk wins;
+    optionally collapse pks whose last op is a delete. The single
+    algebraic core every CDC key builds on — its invariants
+    (idempotence, cut independence, order independence) are
+    property-tested in tests/test_properties.py."""
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    keep = F.col("rn") == 1
+    if drop_deletes:
+        keep = keep & (F.col("op") != "delete")
+    return (
+        log.withColumn("rn", F.row_number().over(w)).filter(keep).drop("rn")
+    )
+
+
 @register("cdc_apply_upsert", oracle=_UPSERT_SQL)
 def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReplacingMergeTree FINAL semantics: the latest version (max seq) per
     primary key wins. One shuffle on pk; at 100 TB this is the core merge
     the reference delegates to ClickHouse background merges."""
-    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
-    return (
-        _changelog(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("pk", "seq", "op", "value", "prop_k")
+    return compact(
+        _changelog(spark, sf_dir).select("pk", "seq", "op", "value", "prop_k")
     )
 
 
@@ -142,12 +153,9 @@ def cdc_apply_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete application on top of upsert compaction: if the LAST event
     for a pk is a delete, the key vanishes from current state (ClickHouse
     sign-collapse / ALTER DELETE semantics)."""
-    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
-    return (
-        _changelog(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
-        .select("pk", "seq", "op", "value", "prop_k")
+    return compact(
+        _changelog(spark, sf_dir).select("pk", "seq", "op", "value", "prop_k"),
+        drop_deletes=True,
     )
 
 
@@ -371,19 +379,8 @@ def cdc_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cut stays IN-PLAN (broadcast scalar, no driver collect) — in
     # production it comes from the snapshot checkpoint, not the data.
     cut = F.broadcast(log.agg(F.median("seq").alias("cut")))
-    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
-    snapshot = (
-        log.crossJoin(cut)
-        .filter(F.col("seq") <= F.col("cut"))
-        .drop("cut")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    snapshot = compact(
+        log.crossJoin(cut).filter(F.col("seq") <= F.col("cut")).drop("cut")
     )
     tail = log.crossJoin(cut).filter(F.col("seq") > F.col("cut")).drop("cut")
-    return (
-        snapshot.unionByName(tail)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return compact(snapshot.unionByName(tail))

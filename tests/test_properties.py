@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the CDC compaction algebra.
+
+The engine's CDC correctness rests on ``plans.cdc.compact`` satisfying
+four invariants for ARBITRARY changelogs, not just the fixture:
+
+1. idempotence           — compact(compact(x)) == compact(x)
+2. cut independence      — for any seq cut c:
+                           compact(compact(x[<=c]) ∪ x[>c]) == compact(x)
+                           (restart/backfill safety: snapshot + increment
+                           equals one-pass compaction at EVERY cut, the
+                           generalization of cdc_snapshot_increment's
+                           single median cut)
+3. order independence    — input row order / partitioning never matters
+4. delete semantics      — a pk survives delete-apply iff its max-seq op
+                           is not a delete
+
+Random changelogs are generated driver-side (tiny: <=24 rows, <=5 pks)
+and run through the REAL DataFrame implementation; examples are capped
+because each property round-trips Spark jobs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mysql_clickhouse_replication_spark.plans.cdc import compact
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),              # pk
+        st.sampled_from(["insert", "update", "delete"]),    # op
+        st.integers(min_value=-100, max_value=100),         # value
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _log_df(spark, events, shuffle_seed=None):
+    rows = [
+        (pk, seq, op, float(val))
+        for seq, (pk, op, val) in enumerate(events, start=1)
+    ]
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(rows)
+    return spark.createDataFrame(
+        rows, "pk int, seq int, op string, value double"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(events=_events)
+@settings(**_SETTINGS)
+def test_compaction_idempotent(spark, events):
+    log = _log_df(spark, events)
+    once = compact(log)
+    assert _canon(compact(once)) == _canon(once)
+
+
+@given(events=_events, data=st.data())
+@settings(**_SETTINGS)
+def test_compaction_cut_independent(spark, events, data):
+    cut = data.draw(st.integers(min_value=0, max_value=len(events)))
+    log = _log_df(spark, events)
+    snapshot = compact(log.filter(F.col("seq") <= cut))
+    tail = log.filter(F.col("seq") > cut)
+    resumed = compact(snapshot.unionByName(tail))
+    assert _canon(resumed) == _canon(compact(log))
+
+
+@given(events=_events, seed=st.integers(min_value=0, max_value=2**16))
+@settings(**_SETTINGS)
+def test_compaction_order_independent(spark, events, seed):
+    a = compact(_log_df(spark, events))
+    b = compact(_log_df(spark, events, shuffle_seed=seed).repartition(5))
+    assert _canon(a) == _canon(b)
+
+
+@given(events=_events)
+@settings(**_SETTINGS)
+def test_delete_apply_matches_last_op(spark, events):
+    log = _log_df(spark, events)
+    surviving = {
+        r["pk"] for r in compact(log, drop_deletes=True).collect()
+    }
+    last_op = {}
+    for seq, (pk, op, _val) in enumerate(events, start=1):
+        last_op[pk] = op
+    expected = {pk for pk, op in last_op.items() if op != "delete"}
+    assert surviving == expected
