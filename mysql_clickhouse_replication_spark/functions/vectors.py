@@ -384,3 +384,42 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _sample, schema="doc_id long, n_frames long, n_sampled long, sampled_md5 string"
     )
+
+
+@register(
+    "vector_group_rank",
+    oracle="""
+SELECT label, vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS norm,
+       ROW_NUMBER() OVER (
+         PARTITION BY label
+         ORDER BY ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) DESC,
+                  vec_id) AS rnk
+FROM embeddings
+QUALIFY rnk <= 3
+""",
+)
+def vector_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow path (``applyInPandas``): per-label top-3
+    vectors by L2 norm, each group processed as ONE pandas DataFrame —
+    the batch twin of applyInPandasWithState and the API a pipeline uses
+    when per-group logic genuinely needs numpy (whitening, per-cohort
+    fitting) rather than expressions. Norms computed vectorized in
+    float64, rounded to 6dp BEFORE ranking with a vec_id tiebreak so
+    DuckDB's sequential summation and numpy's pairwise summation cannot
+    rank differently. Scale: groups are label-partitioned (10 labels
+    here; cohort keys in production), each group one Arrow batch."""
+
+    def _top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        pdf = pdf.assign(norm=np.round(np.sqrt((mat * mat).sum(axis=1)), 6))
+        pdf = pdf.sort_values(
+            ["norm", "vec_id"], ascending=[False, True]
+        ).head(3)
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["label", "vec_id", "norm", "rnk"]]
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(
+        _top3, "label int, vec_id long, norm double, rnk int"
+    )

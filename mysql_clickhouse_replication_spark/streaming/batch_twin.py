@@ -133,3 +133,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_click")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchase")))
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08') AS w0,
+         MAX(ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15') AS w1,
+         MAX(ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22') AS w2,
+         MAX(ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29') AS w3
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (w0)        AS cohort,
+       COUNT(*) FILTER (w0 AND w1) AS retained_w1,
+       COUNT(*) FILTER (w0 AND w2) AS retained_w2,
+       COUNT(*) FILTER (w0 AND w3) AS retained_w3
+FROM per_user
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse ``retention()`` parity): of the
+    users active in week 0, how many came back in weeks 1/2/3. One
+    groupBy(user) computing per-week activity flags as MAX of boolean
+    predicates (the retention() combinator's state is exactly this bit
+    vector), then one global conditional count — two aggregates total,
+    no joins, no self-scan per week. At 100 TB: the flag vector is a
+    few bits per user, the only shuffle is the user_id agg."""
+    ev = table(spark, sf_dir, "events")
+
+    def week(i: int):
+        lo = F.lit(f"2024-01-{1 + 7 * i:02d}").cast("timestamp")
+        hi = F.lit(f"2024-01-{8 + 7 * i:02d}").cast("timestamp")
+        return F.max((F.col("ts") >= lo) & (F.col("ts") < hi)).alias(f"w{i}")
+
+    per_user = ev.groupBy("user_id").agg(*[week(i) for i in range(4)])
+    cnt = lambda c, a: F.count_if(c).alias(a)  # noqa: E731
+    return per_user.agg(
+        cnt(F.col("w0"), "cohort"),
+        cnt(F.col("w0") & F.col("w1"), "retained_w1"),
+        cnt(F.col("w0") & F.col("w2"), "retained_w2"),
+        cnt(F.col("w0") & F.col("w3"), "retained_w3"),
+    )
