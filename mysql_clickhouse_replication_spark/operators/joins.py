@@ -413,3 +413,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the 100 TB technique that
+    removes the join shuffle ENTIRELY: both tables are written
+    ``bucketBy(8, orderkey)`` (+ sorted within buckets), so matching
+    keys land in matching files and the sort-merge join reads bucket i
+    against bucket i with NO Exchange on either side (asserted in
+    tests/test_plans.py). This is what a nightly-loaded warehouse does
+    once at write time to make every subsequent orders⋈lineitem free of
+    its dominant cost; the write itself prices in the one shuffle the
+    reads then never pay. Bucket pruning and the decimal-exact agg ride
+    on top."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    wh = os.path.join(repo, ".scratch", "bucketed", os.path.basename(sf_dir))
+    suffix = os.path.basename(sf_dir).replace(".", "_")
+    names = {t: f"bkt_{t}_{suffix}" for t in ("orders", "lineitem")}
+    for t, (key, cols) in {
+        "orders": ("o_orderkey", ["o_orderkey", "o_orderstatus"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity"]),
+    }.items():
+        if not spark.catalog.tableExists(names[t]):
+            (
+                table(spark, sf_dir, t)
+                .select(*cols)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(wh, t))
+                .mode("overwrite")
+                .saveAsTable(names[t])
+            )
+    # At fixture scale the planner would BROADCAST tiny orders (hiding
+    # the point); the merge hint pins the sort-merge strategy a real
+    # fact-fact join gets on its own, and bucketing then removes both
+    # Exchanges AND both Sorts (bucket files are pre-sorted on the key).
+    o = spark.table(names["orders"]).hint("merge")
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -151,3 +151,17 @@ def test_pii_scrub_is_zero_shuffle(plans):
     p = plans("text_pii_scrub", "simple")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bucketed_join_has_no_join_exchange(plans):
+    p = plans("join_bucketed_colocated")
+    assert "SortMergeJoin" in p
+    # the ONLY shuffle exchange is the final aggregation's — both join
+    # legs read co-located buckets directly (SelectedBucketsCount in
+    # scans). Formatted explain prints each node twice (tree + detail),
+    # so count unique "(n) Exchange" detail headers.
+    import re
+
+    shuffle_exchanges = re.findall(r"^\(\d+\) Exchange\s*$", p, re.MULTILINE)
+    assert len(shuffle_exchanges) <= 1, p
+    assert "SelectedBucketsCount" in p
