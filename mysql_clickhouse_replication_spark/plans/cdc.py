@@ -384,3 +384,50 @@ def cdc_snapshot_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tail = log.crossJoin(cut).filter(F.col("seq") > F.col("cut")).drop("cut")
     return compact(snapshot.unionByName(tail))
+
+
+@register(
+    "cdc_merge_into",
+    oracle=f"""
+SELECT pk, seq, op, value, prop_k FROM ({_DECODE_SQL})
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+""",
+)
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (Delta/Iceberg-style upsert without a table
+    format): the maintained TARGET state absorbs a source batch via one
+    full-outer join on pk — matched rows take the source version,
+    unmatched target rows persist, unmatched source rows insert; no
+    window over the combined data. Algebraically the same result as
+    window compaction (the oracle), but the JOIN formulation is what
+    runs when the target is a materialized table you cannot re-sort:
+    at 100 TB the target side stays partition-pruned/bucketed and only
+    the (small) batch shuffles. Complements cdc_snapshot_increment,
+    which re-windows the union instead."""
+    log = _changelog(spark, sf_dir).select("pk", "seq", "op", "value", "prop_k")
+    cut = F.broadcast(log.agg(F.median("seq").alias("cut")))
+    target = compact(
+        log.crossJoin(cut).filter(F.col("seq") <= F.col("cut")).drop("cut")
+    )
+    batch = compact(
+        log.crossJoin(cut).filter(F.col("seq") > F.col("cut")).drop("cut")
+    )
+    t = target.select(
+        F.col("pk"),
+        *[F.col(c).alias(f"t_{c}") for c in ("seq", "op", "value", "prop_k")],
+    )
+    s = batch.select(
+        F.col("pk"),
+        *[F.col(c).alias(f"s_{c}") for c in ("seq", "op", "value", "prop_k")],
+    )
+    merged = t.join(s, "pk", "full_outer")
+    pick = lambda c: F.when(  # noqa: E731 - source version wins when present
+        F.col("s_seq").isNotNull(), F.col(f"s_{c}")
+    ).otherwise(F.col(f"t_{c}"))
+    return merged.select(
+        "pk",
+        pick("seq").alias("seq"),
+        pick("op").alias("op"),
+        pick("value").alias("value"),
+        pick("prop_k").alias("prop_k"),
+    )
