@@ -271,3 +271,36 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1), F.lit("."), F.lit(3)
         ).alias("tld"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255                    AS low_byte,
+       o_orderkey | 4096                   AS with_flag,
+       xor(o_orderkey, 21845)              AS toggled,
+       o_orderkey << 2                     AS shifted_up,
+       o_orderkey >> 3                     AS shifted_down,
+       bit_count(o_orderkey)               AS popcount,
+       o_orderkey % 16                     AS bucket16
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (ClickHouse bitAnd/bitOr/bitXor/bitShift*/
+    bitCount parity): pure integer expressions, bit-identical across
+    engines by construction — the workhorse ops behind salting, band
+    packing (dedup_simhash), and bucket routing throughout the engine."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+        (k % 16).alias("bucket16"),
+    )
