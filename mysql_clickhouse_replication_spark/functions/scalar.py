@@ -304,3 +304,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         (k % 16).alias("bucket16"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+       json_extract_string(props, '$.missing') IS NULL    AS missing_is_null
+FROM events WHERE event_id % 13 = 0
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark's VARIANT type (``parse_json``
+    -> ``variant_get``): the binary-encoded Variant replaces per-access
+    string re-parsing (get_json_object re-tokenizes the JSON text on
+    EVERY path extraction; a Variant parses once and serves typed path
+    reads), which is the 100 TB way to land the reference's JSON
+    ``props`` columns. try_variant_get covers the missing-path /
+    wrong-type cases with NULL instead of error. Oracle reads the same
+    paths with DuckDB's JSON extractors."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )

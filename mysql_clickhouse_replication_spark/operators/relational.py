@@ -219,3 +219,69 @@ def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+SELECT user_id % 10 AS cohort,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY 1
+""",
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot: per-cohort event counts spread into one
+    column per event type. The value list is EXPLICIT (no discovery
+    scan, stable schema — at 100 TB an unlisted pivot would first
+    distinct-scan the column), so the plan is a single grouped
+    conditional aggregation, exactly the oracle's FILTER form."""
+    ev = table(spark, sf_dir, "events")
+    types = ["signup", "view", "click", "purchase", "error"]
+    return (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+) WHERE l_orderkey % 101 = 0
+""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (``df.unpivot`` / SQL UNPIVOT, ClickHouse's
+    ARRAY JOIN-of-tuples idiom): three measure columns melt into
+    (metric, value) rows. Planner-side this is a single Expand node —
+    one scan emitting 3 rows per input, NOT three scans unioned (the
+    oracle spells the UNION form only because it is the portable
+    equivalent)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
