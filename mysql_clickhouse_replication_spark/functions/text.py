@@ -612,3 +612,52 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("canonical_id"),
         "cluster_size",
     )
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(-LN(CAST(tf AS DOUBLE) / total)), 6) AS avg_neg_logp,
+       ROUND(AVG(-LN(CAST(tf AS DOUBLE) / total)), 6) < 4.0 AS keep
+FROM tok JOIN freq USING (term) CROSS JOIN n
+GROUP BY doc_id
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality
+    filter of a training-data pipeline: fit token frequencies on the
+    corpus itself, score each doc by its mean negative log-probability,
+    and gate on a threshold (gibberish / rare-token-heavy docs score
+    high and are dropped). The model side (term -> tf, corpus total) is
+    vocabulary-bounded and broadcast; the scoring side is one explode +
+    one grouped avg — at 100 TB the corpus is scanned twice (fit,
+    score), never joined to itself. Scores rounded before the threshold
+    so both engines gate identically."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("total"))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logp",
+        (F.col("avg_neg_logp") < 4.0).alias("keep"),
+    )
