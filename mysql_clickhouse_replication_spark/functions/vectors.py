@@ -423,3 +423,44 @@ def vector_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         _top3, "label int, vec_id long, norm double, rnk int"
     )
+
+
+_RANGE_TAU = 0.2
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.vec, c.vec), 6) AS cos_sim
+FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+WHERE list_cosine_similarity(q.vec, c.vec) >= {_RANGE_TAU}
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) search — the similarity twin of top-k: ALL
+    corpus vectors within cosine >= {_RANGE_TAU} of each query, however
+    many there are (top-k returns exactly k regardless of quality; a
+    retrieval pipeline filters by score floor instead when recall
+    matters more than fan-out). Same scale shape as sim_cosine_topk:
+    tiny query set broadcast against one corpus pass, vectorized numpy
+    cosine in Arrow batches, NO window at all — the threshold replaces
+    ranking, so this is strictly cheaper than top-k at 100 TB. The
+    isotropic-random fixture makes high thresholds vacuous (cos ~ 0 +-
+    0.12 for unrelated 64-dim vectors), so tau={_RANGE_TAU} sits ~1.6
+    sigma out: selective (~5% pass) but provably non-empty at every
+    gate scale factor."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    c = v.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", _cos("qvec", "cvec")
+    )
+    return scored.filter(F.col("cos_sim") >= _RANGE_TAU).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
