@@ -446,7 +446,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders": ("o_orderkey", ["o_orderkey", "o_orderstatus"]),
         "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity"]),
     }.items():
-        if not spark.catalog.tableExists(names[t]):
+        # A metastore entry can outlive the gitignored .scratch data, and
+        # a regenerated fixture under the same sf basename would silently
+        # serve stale buckets: reuse only when the backing files exist AND
+        # a fingerprint of the source parquet (size + mtime) still matches.
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(src)
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+        marker = os.path.join(wh, t, "_SOURCE_FINGERPRINT")
+        fresh = False
+        if spark.catalog.tableExists(names[t]) and os.path.isfile(marker):
+            with open(marker) as fh:
+                fresh = fh.read().strip() == fingerprint
+        if not fresh:
+            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
             (
                 table(spark, sf_dir, t)
                 .select(*cols)
@@ -456,6 +469,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .mode("overwrite")
                 .saveAsTable(names[t])
             )
+            with open(marker, "w") as fh:
+                fh.write(fingerprint)
     # At fixture scale the planner would BROADCAST tiny orders (hiding
     # the point); the merge hint pins the sort-merge strategy a real
     # fact-fact join gets on its own, and bucketing then removes both

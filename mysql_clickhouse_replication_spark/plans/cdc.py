@@ -28,8 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import os
+
 from ..registry import register
-from ..session import table
+from ..session import scratch_path, table
 
 # Shared decode: events fixture -> normalized changelog.
 # Oracle twin of _changelog() — keep the two in lockstep.
@@ -76,14 +78,17 @@ def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parquet here; JDBC/ClickHouse in production), read back. The snapshot
     is the base the incremental changelog applies onto — the reference's
     '--initial-sync' phase. Roundtrip through the sink is part of the
-    check: what's verified is the LANDED data."""
-    import os
+    check: what's verified is the LANDED data (uuid-suffixed sink, so
+    concurrent verify/bench runs can't interleave overwrite/read-back).
 
+    Production swap: the parquet read stands in for the JDBC source; the
+    parallel-snapshot path (partitionColumn/lowerBound/upperBound/
+    numPartitions so 1000 executors each pull a key range instead of one
+    serial cursor) is sources/clickhouse.py::jdbc_partitioned_options."""
     src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    sink = os.path.join(repo, ".scratch", "cdc_snapshot", os.path.basename(sf_dir))
+    sink = scratch_path("cdc_snapshot", os.path.basename(sf_dir))
     src.write.mode("overwrite").parquet(sink)
     return spark.read.parquet(sink)
 
@@ -335,12 +340,10 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-fills v1 rows — ClickHouse's Nullable-column ALTER ADD COLUMN
     semantics. At 100 TB this is metadata-only (schema union at plan
     time; no data rewrite), which is the entire point vs a table
-    rewrite."""
-    import os
-
+    rewrite. Sink is uuid-suffixed (scratch_path) so concurrent runs
+    never read a half-overwritten epoch."""
     src = table(spark, sf_dir, "orders")
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    sink = os.path.join(repo, ".scratch", "cdc_schema_evo", os.path.basename(sf_dir))
+    sink = scratch_path("cdc_schema_evo", os.path.basename(sf_dir))
     v1 = src.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey",

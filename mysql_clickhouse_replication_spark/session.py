@@ -55,6 +55,34 @@ def get_spark(app_name: str = "mysql_clickhouse_replication_spark") -> SparkSess
     return spark
 
 
+def scratch_path(*parts: str, unique: bool = True) -> str:
+    """Scratch path for sink/checkpoint dirs under <repo>/.scratch.
+
+    ``unique=True`` (default) appends a per-run uuid leaf so concurrent
+    verify/bench processes on the same sf_dir can never interleave an
+    overwrite with a read-back of the same files.  Unique runs accumulate,
+    so stale siblings (>2 h old) under the same family dir are pruned
+    best-effort on each call — bounded disk without racing a live query.
+    """
+    import shutil
+    import time
+    import uuid
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, ".scratch", parts[0]) if parts else None
+    if base and os.path.isdir(base):
+        cutoff = time.time() - 7200
+        for entry in os.listdir(base):
+            p = os.path.join(base, entry)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    leaf = (uuid.uuid4().hex,) if unique else ()
+    return os.path.join(repo, ".scratch", *parts, *leaf)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (parquet scan; Catalyst prunes columns and
     pushes predicates into the row-group reader — see scan_* operators).

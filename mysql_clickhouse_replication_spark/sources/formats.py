@@ -25,9 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..session import table
-
-_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ..session import scratch_path, table
 
 _ORDERS_ORACLE = (
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate "
@@ -41,9 +39,9 @@ def _roundtrip(
     src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    sink = os.path.join(
-        _REPO, ".scratch", f"fmt_{fmt}", os.path.basename(sf_dir)
-    )
+    # uuid-suffixed sink: concurrent verify/bench runs on the same sf_dir
+    # must never interleave this overwrite with each other's read-back
+    sink = scratch_path(f"fmt_{fmt}", os.path.basename(sf_dir))
     src.write.mode("overwrite").format(fmt).options(**read_opts).save(sink)
     return (
         spark.read.format(fmt)

@@ -40,24 +40,12 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 
 def _scratch(*parts: str) -> str:
-    """Scratch path for sink/checkpoint dirs. uuid-suffixed runs
-    accumulate across bench/verify invocations, so stale siblings
-    (>2 h old) are pruned best-effort on each call — bounded disk
-    without racing a concurrently-running query."""
-    import shutil
-    import time
+    """Scratch path for sink/checkpoint dirs; callers pass their own
+    uuid leaf, so keep the shared helper's auto-uuid off (see
+    session.scratch_path for the pruning + isolation contract)."""
+    from ..session import scratch_path
 
-    base = os.path.join(_REPO, ".scratch", parts[0]) if parts else None
-    if base and os.path.isdir(base):
-        cutoff = time.time() - 7200
-        for entry in os.listdir(base):
-            p = os.path.join(base, entry)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    return os.path.join(_REPO, ".scratch", *parts)
+    return scratch_path(*parts, unique=False)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +64,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    uniquely-named memory sink; return the final table (batch DataFrame)."""
+    uniquely-named memory sink; return the final table (batch DataFrame).
+
+    Harness-only: the memory sink materializes on the DRIVER, which is
+    fine for the small aggregates these contract keys emit but is not a
+    production sink. The production pattern is foreachBatch writing
+    parquet/JDBC per micro-batch with a durable checkpoint — exactly what
+    cdc_sink and cdc_checkpoint below demonstrate."""
     name = "s" + uuid.uuid4().hex
     q = (
         sdf.writeStream.format("memory")
@@ -171,15 +165,23 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once output from at-least-once input:
-    dropDuplicatesWithinWatermark keyed on (user_id, event_type). Output
-    carries only the dedup key, so WHICH physical duplicate survived
-    (arrival-order dependent) cannot leak into the result."""
-    sdf = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    """Exactly-once output from at-least-once input: streaming
+    dropDuplicates keyed on (user_id, event_type). Output carries only
+    the dedup key, so WHICH physical duplicate survived (arrival-order
+    dependent) cannot leak into the result.
+
+    Plain dropDuplicates (state never evicted) is the bounded-replay
+    contract: it matches DISTINCT regardless of how the source splits
+    into micro-batches. The production unbounded variant is
+    dropDuplicatesWithinWatermark(ts, horizon), which bounds state but
+    re-emits a duplicate arriving after its key was evicted — correct
+    only when the at-least-once window is shorter than the watermark
+    horizon, and fixture-dependent here (single-batch replay), so it is
+    deliberately NOT what this contract key runs."""
+    sdf = _events_stream(spark, sf_dir)
     dd = (
-        sdf.select("ts", "user_id", "event_type")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
+        sdf.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
     )
     return _run_to_memory(dd, "append")
 

@@ -86,6 +86,13 @@ def test_minhash_has_no_cartesian(plans):
     assert "CartesianProduct" not in p
 
 
+def test_dedup_embedding_cell_join_no_cartesian(plans):
+    # two-level IVF (hot-cell split) candidate join must stay an equi
+    # join on (cid, scid) — never a Cartesian pair enumeration
+    p = plans("dedup_embedding")
+    assert "CartesianProduct" not in p
+
+
 def test_cosine_topk_broadcasts_queries(plans):
     p = plans("sim_cosine_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
