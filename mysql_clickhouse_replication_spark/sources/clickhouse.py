@@ -17,7 +17,7 @@ exercised in production deployments only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 #: MySQL type -> ClickHouse DDL type (SURVEY.md section 1.2), used when
 #: auto-creating the sink table.
@@ -37,6 +37,75 @@ MYSQL_TO_CLICKHOUSE = {
     "blob": "String",
     "json": "String",
 }
+
+
+def jdbc_partitioned_options(
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    user: str = "default",
+    password: str = "",
+    fetchsize: int = 100_000,
+) -> dict[str, str]:
+    """Reader options for a PARALLEL initial snapshot (cdc_snapshot's
+    production path).
+
+    A binlog is a serial stream, so the streaming reader is rightly
+    single-cursor — but the initial full load must not be: these options
+    make Spark issue ``num_partitions`` concurrent range queries
+    (``partition_column BETWEEN stride_i AND stride_i+1``), so a
+    1000-executor cluster pulls the source table in parallel instead of
+    through one driver-side cursor. ``partition_column`` must be an
+    indexed, roughly-uniform numeric key (the primary key in MySQL);
+    skewed keys stripe unevenly — pick bounds from
+    ``SELECT min(pk), max(pk)`` at snapshot start.
+
+    Returned as a plain dict so callers can apply it to either the MySQL
+    source read or a ClickHouse-side backfill read::
+
+        spark.read.format("jdbc").options(
+            **jdbc_partitioned_options(url, "db.orders", "o_orderkey",
+                                       lo, hi, 1000)).load()
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if upper_bound < lower_bound:
+        raise ValueError(
+            f"upper_bound {upper_bound} < lower_bound {lower_bound}"
+        )
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetchsize),
+    }
+
+
+def read_snapshot_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    **kwargs: str,
+) -> DataFrame:
+    """Parallel full-table snapshot read (see jdbc_partitioned_options).
+    Needs a live server; offline contract twin is plans/cdc.py::cdc_snapshot."""
+    opts = jdbc_partitioned_options(
+        url, table, partition_column, lower_bound, upper_bound, num_partitions,
+        **kwargs,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_clickhouse_jdbc(
