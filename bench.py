@@ -3,7 +3,12 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
-     "queries": {"<key>": <sec>, ...}, "sf": 0.1}
+     "queries": {"<key>": <sec>, ...}, "extra_queries": {...}, "sf": 0.1}
+
+``queries`` is the FROZEN 32-key headline set benchmarked since round 2 —
+never add or remove keys there, so round-over-round totals stay
+comparable. New keys go into ``extra_queries`` (timed identically but
+kept OUT of the headline total).
 
 Method: one warm-up action to absorb JVM/codegen startup, then each query
 is executed twice and the best wall time is kept (steady-state number,
@@ -65,6 +70,24 @@ HEADLINE = [
     "text_pii_scrub",
 ]
 
+# Timed the same way but excluded from the headline total: keys that
+# joined the bench after the 32-key set froze (round 2). Promote nothing;
+# comparability of `value` across rounds is the point.
+EXTRA = [
+    "win_analytic",
+    "win_frame_range",
+    "win_percent",
+    "sort_multi_key",
+    "topk_global",
+    "events_funnel",
+    "events_retention",
+    "dedup_cluster",
+    "sim_knn_classify",
+    "sim_range_search",
+    "text_langid",
+    "text_lm_score",
+]
+
 N_RUNS = 2  # keep the best (steady-state) time per query
 
 
@@ -82,14 +105,19 @@ def main() -> int:
 
     _materialize(qs["agg_groupby_multi"](spark, SF_DIR))  # warm-up
 
-    times: dict[str, float] = {}
-    for key in keys:
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            _materialize(qs[key](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[key] = round(best, 3)
+    def run(key_list: list[str]) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for key in key_list:
+            best = float("inf")
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                _materialize(qs[key](spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            times[key] = round(best, 3)
+        return times
+
+    times = run(keys)
+    extra = run([k for k in EXTRA if k in qs])
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -103,6 +131,7 @@ def main() -> int:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )

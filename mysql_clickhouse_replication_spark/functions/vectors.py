@@ -73,6 +73,16 @@ def _cos_vec_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     bench scale and THE shape for bulk scoring at 100 TB. dot/(|a|*|b|)
     formula matches _cos_expr and the DuckDB oracle; callers round to 6
     decimals before ranking, far above the ~1e-15 summation-order noise."""
+    valid = a.notna().to_numpy() & b.notna().to_numpy()
+    if not valid.all():
+        # null-safe path (e.g. dedup_embedding's cold cells left-join a
+        # null sub-centroid): score the valid rows, NaN elsewhere — the
+        # caller's window treats the lone cold row as its own partition,
+        # so the NaN never participates in an ordering decision
+        out = np.full(len(a), np.nan)
+        if valid.any():
+            out[valid] = _cos_vec_fn(a[valid], b[valid]).to_numpy()
+        return pd.Series(out)
     A = np.stack(a.to_numpy())
     B = np.stack(b.to_numpy())
     dots = np.einsum("ij,ij->i", A, B)
