@@ -86,6 +86,10 @@ EXTRA = [
     "sim_range_search",
     "text_langid",
     "text_lm_score",
+    "agg_heavy_hitters",
+    "win_ntile",
+    "events_top_paths",
+    "sim_ivf_refine",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -474,3 +474,77 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= _RANGE_TAU).select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+@register(
+    "sim_ivf_refine",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_K_CENTROIDS}),
+assign AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT v.vec_id, v.vec, cent.cid,
+           ROUND(list_cosine_similarity(v.vec, cent.cvec), 6) AS s
+    FROM v CROSS JOIN cent)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
+),
+flat AS (
+  SELECT cid, u.dim, u.x::DECIMAL(28, 12) AS x
+  FROM assign,
+       LATERAL (SELECT generate_subscripts(vec, 1) AS dim, unnest(vec) AS x) u
+)
+SELECT cid, dim, COUNT(*) AS n_members,
+       ROUND((SUM(x) / COUNT(*))::DOUBLE, 6) AS mean_x
+FROM flat GROUP BY cid, dim
+""",
+)
+def sim_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step for the IVF index: assign every
+    vector to its nearest current centroid (the sim_ann_lsh assignment
+    pass), then emit per-(cell, dimension) member counts and coordinate
+    means — the refined centroid set. Output is the flat (cid, dim) grid
+    rather than re-packed arrays so the contract hash covers every
+    coordinate.
+
+    Determinism across engines: coordinates are cast to DECIMAL before
+    summing, so the mean is an EXACT rational in both Spark and DuckDB
+    regardless of summation order (float sums would differ in the last
+    ulp between Spark's parallel and DuckDB's sequential reduce); the
+    single terminal round-to-6 happens after the exact divide.
+
+    Scale shape: the refinement is one broadcast-score pass + one
+    partial-aggregated shuffle keyed (cid, dim) — K*D cells of state, no
+    iteration-internal collect; a full k-means training loop is this
+    plan re-run with the previous output broadcast back in, which is how
+    IVF indexes are actually built on a cluster (driver coordinates
+    iterations, data never leaves executors)."""
+    v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    c = F.broadcast(
+        v.filter(F.col("vec_id") < _K_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(c)
+        .select(
+            "vec_id",
+            "vec",
+            "cid",
+            F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+    flat = assigned.select(
+        "cid", F.posexplode("vec").alias("dim0", "x")
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),  # 1-based like generate_subscripts
+        F.col("x").cast("decimal(28,12)").alias("x"),
+    )
+    return flat.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round((F.sum("x") / F.count(F.lit(1))).cast("double"), 6).alias("mean_x"),
+    )

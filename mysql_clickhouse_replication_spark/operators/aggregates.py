@@ -383,3 +383,58 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus"
     ).distinct()
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+WITH corpus AS (
+  SELECT event_type FROM events
+  UNION ALL
+  SELECT event_type FROM events, (SELECT unnest(range(3)) AS i) r
+  WHERE event_type = 'signup' AND user_id % 2 = 0
+),
+tot AS (SELECT COUNT(*) AS total FROM corpus)
+SELECT event_type, COUNT(*) AS n_occurrences,
+       ROUND(COUNT(*) / ANY_VALUE(tot.total), 6) AS share
+FROM corpus, tot
+GROUP BY event_type
+HAVING COUNT(*) >= 0.30 * ANY_VALUE(tot.total)
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items / heavy hitters (ClickHouse ``topK`` without
+    the sketch error): keys whose frequency exceeds a support fraction of
+    ALL rows. The fixture's categorical columns are deliberately uniform,
+    so a re-delivery storm is injected first (every even-user signup
+    re-appended 3x — the at-least-once burst a CDC consumer actually
+    sees), making 'signup' the one key above the 30% support line at
+    every scale factor.
+
+    Two aggregates total: one map-side-combinable groupBy(key) whose
+    output is |distinct keys| rows, and one scalar total broadcast into
+    the HAVING — no second scan of the input, no sort. At 100 TB with a
+    high-cardinality key, the same plan holds because the support filter
+    is applied AFTER the partial-agg shuffle, whose volume is already
+    keys-not-rows; if even that overflows, the standard refinement is a
+    count-min pre-filter before the exact pass — the exact pass here is
+    the verifier of that refinement."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    storm = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 2 == 0))
+        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(3)])))
+        .drop("i")
+    )
+    corpus = ev.unionByName(storm).select("event_type")
+    total = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        corpus.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(total)
+        .filter(F.col("n_occurrences") >= 0.30 * F.col("total"))
+        .select(
+            "event_type",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("total"), 6).alias("share"),
+        )
+    )

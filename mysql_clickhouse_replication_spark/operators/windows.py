@@ -176,3 +176,26 @@ def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles within market segment — the windowed
+    bucketing used for cohort splits and percentile banding. The order
+    carries a c_custkey tiebreak so equal balances bucket identically in
+    both engines (both implement standard NTILE: remainder rows go to
+    the leading buckets). One shuffle on the partition key; in-partition
+    sort only."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )

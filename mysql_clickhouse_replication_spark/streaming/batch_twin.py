@@ -176,3 +176,53 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("w0") & F.col("w2"), "retained_w2"),
         cnt(F.col("w0") & F.col("w3"), "retained_w3"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path FROM seq
+  WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+)
+SELECT path, COUNT(*) AS n_paths FROM paths GROUP BY path
+QUALIFY ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) <= 10
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavioral paths (ClickHouse ``sequenceCount`` /
+    path-analysis parity): per-user event trigrams via two LEADs over
+    one (user_id, ts) window, concatenated to a path string, then a
+    count + global top-k with a path tiebreak.
+
+    Scale shape: the window is one shuffle on user_id (same partitioning
+    sessionize_batch uses — a real pipeline shares it); path cardinality
+    is bounded by |event_type|^3 (125 here), so the global top-k windows
+    over a tiny aggregated set, not the event stream."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    wk = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 10)
+        .select("path", "n_paths")
+    )

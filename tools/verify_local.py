@@ -15,6 +15,7 @@ the query level (decimal casts / rounding / tiebreaks), not to paper over.
 Usage:
     python tools/verify_local.py [key ...]           # default: all keys
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_local.py
+    python tools/verify_local.py --json=OUT.json     # also write an artifact
 """
 
 from __future__ import annotations
@@ -64,8 +65,18 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main(argv: list[str]) -> int:
+    import json
+
     import __spark_entry__ as e
     from mysql_clickhouse_replication_spark.session import get_spark
+
+    json_out = None
+    argv = list(argv)
+    for a in list(argv):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            argv.remove(a)
+    results: dict[str, dict] = {}
 
     spark = get_spark("verify_local")
     con = duckdb.connect()
@@ -85,11 +96,13 @@ def main(argv: list[str]) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL  {key}: spark error\n{traceback.format_exc()}")
+            results[key] = {"status": "fail", "err": "spark error"}
             n_fail += 1
             continue
         if key not in oracles:
             print(f"rows  {key}: {len(srows)} rows (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            results[key] = {"status": "rows_only", "rows": len(srows)}
             n_rows_only += 1
             continue
         try:
@@ -98,6 +111,7 @@ def main(argv: list[str]) -> int:
             orows = res.fetchall()
         except Exception:
             print(f"FAIL  {key}: duckdb error\n{traceback.format_exc()}")
+            results[key] = {"status": "fail", "err": "duckdb error"}
             n_fail += 1
             continue
         problems = []
@@ -123,12 +137,31 @@ def main(argv: list[str]) -> int:
             print(f"FAIL  {key}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(p)
+            results[key] = {"status": "fail", "err": problems[0]}
             n_fail += 1
         else:
             print(f"PASS  {key}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            results[key] = {
+                "status": "pass",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
           f"(sf_dir={SF_DIR})")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": n_fail,
+                    "keys": results,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
