@@ -90,6 +90,7 @@ EXTRA = [
     "win_ntile",
     "events_top_paths",
     "sim_ivf_refine",
+    "events_anomaly_zscore",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

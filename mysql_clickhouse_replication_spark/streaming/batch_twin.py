@@ -226,3 +226,69 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("path", "n_paths")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS m,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND((n - s1 / m) / sqrt((s2 - s1 * s1 / m) / (m - 1)), 6) AS zscore
+FROM framed
+WHERE m >= 2 AND (s2 - s1 * s1 / m) > 0
+  AND abs((n - s1 / m) / sqrt((s2 - s1 * s1 / m) / (m - 1))) > 2
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: per event type, each day's
+    event count is z-scored against the preceding 7 days and days beyond
+    |z| > 2 are flagged — the volume-spike monitor a CDC operator runs
+    over ingestion counts.
+
+    Determinism: mean and variance come from exact BIGINT power sums
+    (count / sum / sum-of-squares) over the frame, not from the engines'
+    streaming stddev kernels, so both engines feed IDENTICAL integers
+    into the same two IEEE ops and the rounded z-score cannot drift —
+    the same convention agg_stats established for global moments.
+
+    Scale shape: the daily pre-aggregate is the only data-sized shuffle
+    (map-side combined); the frame window then runs over |types| x |days|
+    rows. State is 3 numbers per frame — this is the plan you point at a
+    year of per-table ingest counters without thinking."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")) / (F.col("m") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        framed.filter((F.col("m") >= 2) & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m") > 0))
+        .filter(F.abs(z) > 2)
+        .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
+    )

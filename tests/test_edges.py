@@ -41,6 +41,42 @@ def _oracle_rows(sf_dir: str, key: str, order_by: str):
     return con.execute(e.oracle_sql()[key] + f" ORDER BY {order_by}").fetchall()
 
 
+def test_dedup_embedding_structural_recall(spark, sf_dir):
+    """Every injected clone pair (vec_id, vec_id+100000) must appear in
+    the output regardless of IVF cell shapes or hot-cell splits —
+    identical vectors get identical rounded scores at both assignment
+    levels, so sharing a (cell, subcell) is structural, not a fixture
+    accident. Guards the recall claim the bucketed plan rests on."""
+    rows = e.queries()["dedup_embedding"](spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    import duckdb
+
+    clone_ids = duckdb.connect().execute(
+        "SELECT vec_id FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet') WHERE vec_id % 20 = 0"
+    ).fetchall()
+    missing = [
+        (vid, vid + 100000)
+        for (vid,) in clone_ids
+        if (vid, vid + 100000) not in pairs
+    ]
+    assert not missing, f"clone pairs missing from dedup output: {missing[:5]}"
+
+
+def test_scratch_path_unique_and_isolated():
+    """Concurrent-run isolation contract: default scratch paths carry a
+    per-call uuid leaf under the family dir; unique=False returns the
+    bare family path (callers then append their own uuid)."""
+    from mysql_clickhouse_replication_spark.session import scratch_path
+
+    p1 = scratch_path("t_family", "sub")
+    p2 = scratch_path("t_family", "sub")
+    assert p1 != p2
+    assert "/.scratch/t_family/sub/" in p1
+    fixed = scratch_path("t_family", "sub", unique=False)
+    assert fixed.endswith("/.scratch/t_family/sub")
+
+
 def test_text_fingerprint_short_docs(spark, short_docs_dir):
     """1- and 2-token docs: bounded shingle sequence in Spark, bounded
     range + final modulus in DuckDB (list_reduce has no init value, so a
