@@ -172,3 +172,33 @@ def test_bucketed_join_has_no_join_exchange(plans):
     shuffle_exchanges = re.findall(r"^\(\d+\) Exchange\s*$", p, re.MULTILINE)
     assert len(shuffle_exchanges) <= 1, p
     assert "SelectedBucketsCount" in p
+
+
+def test_heavy_hitters_single_data_shuffle(plans):
+    # one partial+final agg on the key; the total joins in as a broadcast
+    # scalar, never a second scan-sized shuffle
+    p = plans("agg_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_top_paths_stays_jvm_and_bounded(plans):
+    p = plans("events_top_paths")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_anomaly_zscore_single_window(plans):
+    # daily pre-agg shuffle + one frame window; power sums share the frame
+    p = plans("events_anomaly_zscore", "simple")
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_ivf_refine_partial_aggregates(plans):
+    # the (cid, dim) mean must partial-aggregate map-side (HashAggregate
+    # below and above one exchange), not ship raw coordinates
+    p = plans("sim_ivf_refine", "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
