@@ -91,6 +91,8 @@ EXTRA = [
     "events_top_paths",
     "sim_ivf_refine",
     "events_anomaly_zscore",
+    "dedup_containment",
+    "join_asof_tolerance",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -661,3 +661,97 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_neg_logp",
         (F.col("avg_neg_logp") < 4.0).alias("keep"),
     )
+
+
+_CONTAIN_T = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+frag AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, 5)]) AS sh
+  FROM (SELECT doc_id, (string_split(text, ' '))[1:6] AS toks
+        FROM documents WHERE doc_id % 10 = 0)
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM frag),
+post AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+sizes AS (SELECT doc_id, len(sh) AS n_shingles FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         COUNT(*) AS shared
+  FROM post a JOIN post b USING (s)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id,
+       ROUND(CAST(shared AS DOUBLE) / n_shingles, 6) AS containment
+FROM pairs JOIN sizes ON sizes.doc_id = contained_id
+WHERE shared >= {_CONTAIN_T} * n_shingles
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — sub-document / boilerplate
+    detection: flag doc A as contained in doc B when >= {_CONTAIN_T} of
+    A's shingles appear in B (|A.sh ∩ B.sh| / |A.sh|). Jaccard misses
+    this case by construction: a quote or boilerplate fragment inside a
+    much larger page has tiny symmetric similarity but containment ~1.
+    Injected corpus: every 10th document's 6-token prefix re-enters as a
+    fragment doc — the quoted-excerpt scenario.
+
+    Plan shape is the INVERTED-INDEX join (new vs the banded-LSH keys):
+    explode shingles to a posting list, self-join on the shingle, count
+    shared shingles per ordered pair, divide by the contained side's set
+    size. At 100 TB the posting join's cost is sum over shingles of
+    df(s)^2 — kept linear-ish by the long tail of natural text (df ~ 1-5
+    for content shingles); the standard stop-shingle cap (drop s with
+    df > D before the join) is one added filter on the posting list and
+    does not change this contract's semantics on fixtures whose df is
+    already tail-shaped."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+        ).alias("sh"),
+    )
+    frag = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "array_distinct(transform(sequence(1, 4),"
+            " i -> concat_ws(' ', slice(slice(split(text, ' '), 1, 6), i, 3))))"
+        ).alias("sh"),
+    )
+    corpus = base.unionByName(frag)
+    post = corpus.select("doc_id", F.explode("sh").alias("s"))
+    sizes = corpus.select("doc_id", F.size("sh").alias("n_shingles"))
+    a = post.select(F.col("doc_id").alias("contained_id"), "s")
+    b = post.select(F.col("doc_id").alias("container_id"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "contained_id"), "contained_id"
+        )
+        .filter(F.col("shared") >= _CONTAIN_T * F.col("n_shingles"))
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(F.col("shared").cast("double") / F.col("n_shingles"), 6).alias(
+                "containment"
+            ),
+        )
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import QUERIES, register
 from ..session import table
 from ._util import davg, dsum, sql_davg, sql_dsum
 
@@ -486,4 +486,36 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_qty"),
         )
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts AS r_ts, MAX_BY(value, event_id) AS r_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.user_id, l.ts, l.value AS purchase_value,
+       CASE WHEN r.r_ts >= l.ts - INTERVAL 1 DAY THEN r.r_value END
+           AS last_view_value,
+       CASE WHEN r.r_ts >= l.ts - INTERVAL 1 DAY THEN r.r_ts END
+           AS last_view_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    (tolerance=...)`` / tick-data semantics): the latest prior right row
+    counts only if it is at most 1 day old, otherwise the match is null.
+    Same single-shuffle union+window plan as join_asof — the tolerance is
+    a post-window null-out, NOT a second join or range predicate, so the
+    scale shape is unchanged."""
+    matched = QUERIES["join_asof"](spark, sf_dir)
+    fresh = F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    return matched.select(
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(fresh, F.col("last_view_value")).alias("last_view_value"),
+        F.when(fresh, F.col("last_view_ts")).alias("last_view_ts"),
     )
