@@ -93,6 +93,8 @@ EXTRA = [
     "events_anomaly_zscore",
     "dedup_containment",
     "join_asof_tolerance",
+    "fn_ip",
+    "fn_encoding",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

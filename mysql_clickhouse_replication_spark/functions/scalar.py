@@ -335,3 +335,109 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     )
+
+
+@register(
+    "fn_ip",
+    oracle="""
+WITH ips AS (
+  SELECT user_id,
+         CAST((user_id // 16777216) % 224 + 10 AS BIGINT) AS o1,
+         CAST((user_id // 65536) % 256 AS BIGINT) AS o2,
+         CAST((user_id // 256) % 256 AS BIGINT) AS o3,
+         CAST(user_id % 256 AS BIGINT) AS o4
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT user_id,
+       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.0/24' AS subnet24,
+       (o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 < 32)
+           OR (o1 = 192 AND o2 = 168) AS is_private
+FROM ips
+""",
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 function family (ClickHouse IPv4NumToString /
+    IPv4StringToNum / isIPAddressInRange parity): deterministic per-user
+    IPv4 octets derived from user_id, then string form, numeric form,
+    /24 subnet truncation, and RFC-1918 private-range classification —
+    all integer/string expressions, JVM-side, zero shuffle beyond the
+    distinct."""
+    ev = table(spark, sf_dir, "events").select("user_id").distinct()
+    o1 = ((F.col("user_id") / 16777216).cast("bigint") % 224 + 10).cast("bigint")
+    o2 = ((F.col("user_id") / 65536).cast("bigint") % 256).cast("bigint")
+    o3 = ((F.col("user_id") / 256).cast("bigint") % 256).cast("bigint")
+    o4 = (F.col("user_id") % 256).cast("bigint")
+    ips = ev.select(
+        "user_id",
+        o1.alias("o1"),
+        o2.alias("o2"),
+        o3.alias("o3"),
+        o4.alias("o4"),
+    )
+    ip_str = F.concat_ws(
+        ".",
+        F.col("o1").cast("string"),
+        F.col("o2").cast("string"),
+        F.col("o3").cast("string"),
+        F.col("o4").cast("string"),
+    )
+    return ips.select(
+        "user_id",
+        ip_str.alias("ip"),
+        (
+            F.col("o1") * 16777216
+            + F.col("o2") * 65536
+            + F.col("o3") * 256
+            + F.col("o4")
+        ).alias("ip_num"),
+        F.concat(
+            F.col("o1").cast("string"),
+            F.lit("."),
+            F.col("o2").cast("string"),
+            F.lit("."),
+            F.col("o3").cast("string"),
+            F.lit(".0/24"),
+        ).alias("subnet24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") < 32))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+    )
+
+
+@register(
+    "fn_encoding",
+    oracle="""
+SELECT c_custkey,
+       to_base64(c_name::BLOB) AS name_b64,
+       hex(c_name::BLOB) AS name_hex,
+       from_base64(to_base64(c_name::BLOB))::VARCHAR AS roundtrip,
+       from_base64(to_base64(c_name::BLOB))::VARCHAR = c_name AS roundtrip_ok,
+       length(to_base64(c_name::BLOB)) AS b64_len
+FROM customer WHERE c_custkey % 5 = 0
+""",
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding family (ClickHouse base64Encode / base64Decode /
+    hex parity): base64 and hex of a string payload plus a decode
+    roundtrip check. RFC 4648 base64 and uppercase hex are bit-identical
+    across engines, so the outputs hash-match directly. All JVM builtin
+    expressions; the one subtlety is casting through BinaryType so the
+    encoders see bytes, not engine-internal string representations."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    b = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.base64(b).alias("name_b64"),
+        F.hex(b).alias("name_hex"),
+        F.unbase64(F.base64(b)).cast("string").alias("roundtrip"),
+        (F.unbase64(F.base64(b)).cast("string") == F.col("c_name")).alias(
+            "roundtrip_ok"
+        ),
+        F.length(F.base64(b)).alias("b64_len"),
+    )
