@@ -95,6 +95,8 @@ EXTRA = [
     "join_asof_tolerance",
     "fn_ip",
     "fn_encoding",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query
