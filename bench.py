@@ -97,6 +97,7 @@ EXTRA = [
     "fn_encoding",
     "tpch_q7_shape",
     "tpch_q8_shape",
+    "join_range_bucketed",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -519,3 +519,74 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_view_value")).alias("last_view_value"),
         F.when(fresh, F.col("last_view_ts")).alias("last_view_ts"),
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle=f"""
+SELECT w_name, COUNT(*) AS n_orders
+FROM orders
+JOIN (VALUES {', '.join(f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _WINDOWS)})
+     w(w_name, w_start, w_end)
+ON o_orderdate <= w_end AND o_orderdate + INTERVAL 30 DAY >= w_start
+GROUP BY w_name
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join — the scale twin of join_interval_overlap:
+    identical semantics (same oracle), different physical shape. Both
+    interval sides explode into the calendar months they cover, meet in
+    a HASH equi-join on the month bucket, exact-filter the overlap
+    predicate, and dedup (o_orderkey, w_name) pairs that matched in
+    several shared buckets.
+
+    Why this exists: the broadcast nested-loop of join_interval_overlap
+    is O(|facts| * |dims|) and only safe while the dim side is tiny. At
+    100 TB with BOTH sides large (e.g. sessions x incidents), the
+    bucketed form is the standard rewrite: cost becomes sum over buckets
+    of |a_b| * |b_b| — data-local, shuffle-partitionable, AQE-skew-
+    splittable — and completeness is structural (any overlapping pair
+    shares at least one covered bucket). Bucket width tunes the
+    duplication factor vs per-bucket fan-in; months here because the
+    fixture windows span half-years while orders span 30 days."""
+    o = table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        _WINDOWS, "w_name string, w_start string, w_end string"
+    ).select(
+        "w_name",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    # the overlap predicate is o_orderdate <= w_end INCLUSIVE, so the
+    # window's covered-bucket list must include w_end's own month —
+    # truncating to end - 1 day drops pairs whose only shared month is
+    # the endpoint month (caught by the oracle at sf0.01: 1272 vs 1274)
+    dim_b = dim.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "w_start"),
+                F.date_trunc("month", "w_end"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ),
+    )
+    o_end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    o_b = o.select("o_orderkey", "o_orderdate").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "o_orderdate"),
+                F.date_trunc("month", o_end),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ),
+    )
+    o_end2 = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    pairs = (
+        o_b.join(F.broadcast(dim_b), "bucket")
+        .filter((F.col("o_orderdate") <= F.col("w_end")) & (o_end2 >= F.col("w_start")))
+        .select("o_orderkey", "w_name")
+        .distinct()
+    )
+    return pairs.groupBy("w_name").agg(F.count(F.lit(1)).alias("n_orders"))

@@ -202,3 +202,12 @@ def test_ivf_refine_partial_aggregates(plans):
     p = plans("sim_ivf_refine", "simple")
     assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(plans):
+    # the whole point vs join_interval_overlap: the bucket equi-key turns
+    # the range join into a hash join — no nested-loop pair enumeration
+    p = plans("join_range_bucketed")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
