@@ -59,6 +59,7 @@ def load_all() -> None:
         relational,
         setops,
         sorts,
+        tpch_full,
         windows,
     )
     from .functions import quality, scalar, text, vectors  # noqa: F401
