@@ -1,0 +1,230 @@
+"""Training-data pipeline operators: document chunking, sequence
+packing, and embedding quantization (SURVEY.md section 2.K extensions).
+
+These are the three preprocessing steps between "a deduplicated corpus"
+and "tensors on a trainer": RAG/pretraining chunking with overlap,
+GPT-style concat-and-chunk sequence packing, and int8 vector
+quantization for ANN index builds.  All three are pure JVM expression
+pipelines (higher-order array functions) — no Python on the data path.
+
+Scale notes (100 TB):
+
+* docs_chunk_overlap is embarrassingly parallel: one generator
+  expression per document, output fan-out bounded by
+  ceil(n_tokens/stride) per doc.  No shuffle at all — a chunker over
+  100 TB is a map-only stage that writes straight back to parquet.
+* docs_pack_sequences does its cumulative sums PER HASH BUCKET, not
+  globally: a global running sum is a single-partition window (the
+  classic scale killer), while per-bucket packing is what training
+  pipelines actually do (pack within a shard; shard count = task
+  parallelism).  The only shuffle is the per-bucket window sort.
+* embedding_quantize is map-only: per-vector max-abs, scale, round.
+  The int8 payload is 4x smaller than float32 — the point of the op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk start spacing (overlap = _CHUNK - _STRIDE = 8)
+_PACK_BUDGET = 512  # tokens per packed sequence
+_PACK_BUCKETS = 8  # parallel packing shards
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks), {_STRIDE})) AS chunk_start
+  FROM t
+)
+SELECT doc_id, chunk_start,
+       len(toks[chunk_start : least(chunk_start + {_CHUNK} - 1, len(toks))])
+         AS n_tokens,
+       array_to_string(
+         toks[chunk_start : least(chunk_start + {_CHUNK} - 1, len(toks))],
+         ' ') AS chunk_text
+FROM s
+""",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (RAG / pretraining prep):
+    split each document into 32-token chunks whose starts are
+    24 tokens apart, so consecutive chunks share an 8-token
+    overlap and no boundary sentence is ever lost.  Pure generator
+    expression (sequence -> explode -> slice): map-only, no shuffle,
+    fan-out ~n_tokens/stride rows per doc.  The trailing chunk is kept
+    even when short — droppping it would lose the document tail.
+    Spark slice() is 1-based like DuckDB list slicing, so both engines
+    emit identical windows."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.slice(F.col("toks"), F.col("chunk_start"), _CHUNK).alias(
+                "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("chunk").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+  FROM d
+)
+SELECT bucket, (cum - 1) // {_PACK_BUDGET} AS pack_id,
+       COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c
+GROUP BY bucket, (cum - 1) // {_PACK_BUDGET}
+""",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate
+    documents in deterministic order and cut every 512
+    tokens; a document belongs to the pack where its last token lands
+    ((cum-1) DIV budget).  The cumulative sum runs PER HASH BUCKET
+    (doc_id % 8), never globally — a global running sum
+    is a single-partition window, the canonical scale killer, while
+    per-shard packing is exactly what training pipelines do (pack
+    within a shard, shards = parallelism).  Integer token counts keep
+    the window sum exact in both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id", F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / greatest(
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           1e-12) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+  FROM s
+)
+SELECT vec_id, CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_e6,
+       array_to_string(qv, ',') AS qvec,
+       CAST(FLOOR(list_max(list_transform(generate_series(1, len(embedding)),
+         i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] / scale))) * 1e9)
+         AS BIGINT) AS max_abs_err_e9
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the ANN
+    index-build prep): per-vector scale = 127/max|x|, q = round(x·scale)
+    ∈ [-127,127], plus the max absolute reconstruction error
+    max|x − q/scale| (bounded by 0.5/scale).  Map-only, pure
+    higher-order expressions, 4× payload shrink.  Determinism: both
+    engines promote the float32 elements to identical doubles, the
+    scale divide and error terms are single IEEE ops, round() is
+    half-away-from-zero in both engines, and the error REDUCTION is a
+    max (order-independent) rather than a sum, so no fold-order hazard.
+    The float outputs surface as INTEGER-SCALED bigints via
+    FLOOR(x*1e6 / x*1e9) because BOTH rounding surfaces differ across
+    engines: ROUND(double, n) diverges at representation boundaries
+    (DuckDB multiply-round-divide vs Spark decimal expansion) AND
+    DuckDB's CAST(double AS BIGINT) rounds where Spark's truncates —
+    both observed live on this key; FLOOR of an identical non-negative
+    double is the one bit-deterministic path.  The int8 array
+    serializes to a string for the driver's scalar-only hasher."""
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        (
+            F.lit(127.0)
+            / F.greatest(
+                F.array_max(
+                    F.transform(
+                        "embedding", lambda x: F.abs(x.cast("double"))
+                    )
+                ),
+                F.lit(1e-12),
+            )
+        ).alias("scale"),
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, qq: F.abs(
+                x.cast("double") - qq.cast("double") / F.col("scale")
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6).alias("scale_e6"),
+        F.concat_ws(",", F.transform("qv", lambda v: v.cast("string"))).alias(
+            "qvec"
+        ),
+        F.floor(err * 1e9).alias("max_abs_err_e9"),
+    )

@@ -438,3 +438,85 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_occurrences") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "agg_countmin_prefilter",
+    oracle="""
+WITH base AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), corpus AS (
+  SELECT tok FROM base WHERE tok <> ''
+  UNION ALL
+  SELECT tok FROM base, (SELECT unnest(range(5)) AS i) r
+  WHERE tok LIKE 's%'
+), tot AS (SELECT COUNT(*) AS total FROM corpus)
+SELECT tok, COUNT(*) AS n_occ,
+       ROUND(COUNT(*) / ANY_VALUE(tot.total), 6) AS share
+FROM corpus, tot
+GROUP BY tok
+HAVING COUNT(*) >= 0.05 * ANY_VALUE(tot.total)
+""",
+)
+def agg_countmin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH pre-filter: pass 1 builds a
+    d=4 x w=32 counter sketch (each token increments one counter per
+    hash row; map-side combine collapses a task's increments to <=128
+    rows before the shuffle, so the sketch pass shuffles O(d*w) bytes
+    per task regardless of corpus size). Candidates are the distinct
+    keys whose MIN over the d counter estimates clears the support
+    threshold phi*N -- since every estimate >= the true count, the
+    candidate set is a SUPERSET of the true heavy hitters.  Pass 2
+    exact-counts ONLY candidate keys (semi-join pre-filter), so the
+    keyed shuffle carries just the candidates, and the final exact
+    HAVING makes the output independent of the sketch's hash choice --
+    which is why Spark-internal xxhash64 is fine here and the oracle is
+    the plain exact query.  The corpus manufactures skew (s-tokens
+    replicated 6x, same device as agg_heavy_hitters) because the
+    synthetic fixture's token frequencies are near-uniform."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    boost = (
+        base.filter(F.col("tok").startswith("s"))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(5))))
+        .drop("i")
+    )
+    corpus = base.unionAll(boost)
+    tot = corpus.agg(F.count(F.lit(1)).alias("total"))
+
+    d_seeds = F.array(*[F.lit(j) for j in range(4)])
+    sketch = (
+        corpus.select("tok", F.explode(d_seeds).alias("seed"))
+        .groupBy(
+            "seed", F.pmod(F.hash("seed", "tok"), F.lit(32)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = (
+        corpus.select("tok")
+        .distinct()
+        .select("tok", F.explode(d_seeds).alias("seed"))
+        .withColumn("bucket", F.pmod(F.hash("seed", "tok"), F.lit(32)))
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+    candidates = (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est") >= 0.05 * F.col("total"))
+        .select("tok")
+    )
+    return (
+        corpus.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occ") >= 0.05 * F.col("total"))
+        .select(
+            "tok",
+            "n_occ",
+            F.round(F.col("n_occ") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -590,3 +590,39 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("w_name").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "join_anti_null_aware",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM (SELECT l_returnflag, NULLIF(l_suppkey, 7) AS msupp FROM lineitem) t
+WHERE msupp NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY l_returnflag
+""",
+)
+def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with three-valued-logic NULL semantics -- the null-aware
+    anti join.  NOT IN differs from a plain anti join in BOTH null
+    directions: an outer NULL never satisfies NOT IN (NULL <> x is
+    NULL, so suppkey-7 rows vanish here), and ANY inner NULL empties
+    the whole result.  Expressed through spark.sql so Catalyst itself
+    plans the null-awareness (a broadcast null-aware anti join /
+    NAAJ when the inner side is broadcastable) instead of us
+    hand-rewriting the semantics into filters.  At 100 TB the inner
+    (blacklist) side is dimension-sized, so NAAJ broadcasts it; a
+    shuffled NOT IN over two fact tables should be rewritten by the
+    user into the explicit null-checked anti join."""
+    table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("nullif(l_suppkey, 7)").alias("msupp")
+    ).createOrReplaceTempView("naaj_lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("naaj_supplier")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_rows
+        FROM naaj_lineitem
+        WHERE msupp NOT IN (SELECT s_suppkey FROM naaj_supplier
+                            WHERE s_acctbal < 0)
+        GROUP BY l_returnflag
+        """
+    )

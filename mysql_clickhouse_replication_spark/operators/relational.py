@@ -285,3 +285,71 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'l_quantity' AS col_name, COUNT(*) - COUNT(l_quantity) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*) - COUNT(l_discount),
+       COUNT(DISTINCT l_discount),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', COUNT(*) - COUNT(l_partkey),
+       COUNT(DISTINCT l_partkey),
+       CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', COUNT(*) - COUNT(l_suppkey),
+       COUNT(DISTINCT l_suppkey),
+       CAST(MIN(l_suppkey) AS DOUBLE), CAST(MAX(l_suppkey) AS DOUBLE)
+FROM lineitem
+""",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the data-quality screen that runs
+    before any pipeline ingests a new drop): per-column null count,
+    exact distinct count, min and max, emitted as one row per column
+    via stack().  ONE scan computes all 20 statistics -- the naive
+    per-column loop would scan the fact table 5 times.  The cost model
+    to know: multiple COUNT(DISTINCT x) in one aggregate makes Catalyst
+    plan an Expand (rows x #distinct-aggs before the shuffle); at
+    100 TB swap exact distinct for approx_count_distinct and the Expand
+    disappears -- kept exact here because the profile IS the oracle
+    contract.  Min/max surface as DOUBLE so one stack() schema fits all
+    numeric columns (the driver hasher needs scalar columns)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_partkey",
+        "l_suppkey",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+    )
