@@ -98,6 +98,27 @@ EXTRA = [
     "tpch_q7_shape",
     "tpch_q8_shape",
     "join_range_bucketed",
+    "tpch_q2_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+    "agg_countmin_prefilter",
+    "join_anti_null_aware",
+    "profile_table",
+    "docs_chunk_overlap",
+    "docs_pack_sequences",
+    "embedding_quantize",
+    "sample_stratified",
+    "events_markov_transitions",
+    "events_rollup_hierarchy",
+    "fn_struct",
+    "docs_quality_filter_pipeline",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

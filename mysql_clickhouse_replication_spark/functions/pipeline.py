@@ -228,3 +228,57 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor(err * 1e9).alias("max_abs_err_e9"),
     )
+
+
+@register(
+    "docs_quality_filter_pipeline",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+           // len(string_split(text, ' ')) AS distinct_ppm,
+         (len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'data', 'value'))) * 1000000)
+           // len(string_split(text, ' ')) AS stop_ppm
+  FROM documents
+)
+SELECT doc_id, lang, n_tok, distinct_ppm, stop_ppm
+FROM scored
+WHERE n_tok BETWEEN 20 AND 100
+  AND distinct_ppm >= 200000
+  AND stop_ppm <= 300000
+""",
+)
+def docs_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filtering as ONE composed pass: token count
+    bounds (too-short fragments, too-long concatenation junk), lexical
+    diversity (distinct-token ratio — the repetition filter), and
+    function-word saturation (stopword ratio), evaluated together so
+    the corpus is scanned ONCE — the way production cleaning stacks
+    fuse their rule set, vs one scan per rule.  All ratios are integer
+    ppm via floor division (no float rounding surface).  Map-only: the
+    filter chain is a single Project+Filter over the scan, no shuffle;
+    at 100 TB this runs at parquet read speed and writes survivors
+    straight back out."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.expr(
+            "(size(array_distinct(split(text, ' '))) * 1000000)"
+            " DIV size(split(text, ' '))"
+        ).alias("distinct_ppm"),
+        F.expr(
+            "(size(filter(split(text, ' '),"
+            " t -> t IN ('the', 'data', 'value'))) * 1000000)"
+            " DIV size(split(text, ' '))"
+        ).alias("stop_ppm"),
+    )
+    return scored.filter(
+        F.col("n_tok").between(20, 100)
+        & (F.col("distinct_ppm") >= 200000)
+        & (F.col("stop_ppm") <= 300000)
+    )

@@ -441,3 +441,58 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(F.base64(b)).alias("b64_len"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(status := o_orderstatus, price := o_totalprice).status
+         AS s_status,
+       struct_pack(status := o_orderstatus, price := o_totalprice).price
+         AS s_price,
+       struct_pack(outer_k := struct_pack(k := o_orderkey)).outer_k.k
+         AS nested_k,
+       (struct_pack(a := o_orderstatus, b := o_orderpriority)
+          = struct_pack(a := 'F', b := '1-URGENT')) AS is_urgent_f,
+       [struct_pack(k := o_orderkey, p := o_orderpriority)][1].p
+         AS arr_struct_p
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT scalar family (ClickHouse Tuple / named-tuple parity):
+    construction, field access, nesting, whole-struct equality (the
+    tuple comparison ClickHouse users lean on for multi-column IN),
+    and array-of-struct indexing.  All codegen'd field extractions —
+    Catalyst collapses CreateNamedStruct + GetStructField chains at
+    optimization time, so none of this materializes an actual struct
+    at runtime.  Output columns stay scalar for the driver hasher."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    nested = F.struct(
+        F.struct(F.col("o_orderkey").alias("k")).alias("outer_k")
+    )
+    ab = F.struct(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    )
+    lit_ab = F.struct(
+        F.lit("F").alias("a"), F.lit("1-URGENT").alias("b")
+    )
+    arr = F.array(
+        F.struct(
+            F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("price").alias("s_price"),
+        nested.getField("outer_k").getField("k").alias("nested_k"),
+        (ab == lit_ab).alias("is_urgent_f"),
+        F.element_at(arr, 1).getField("p").alias("arr_struct_p"),
+    )

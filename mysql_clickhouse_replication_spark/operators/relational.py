@@ -353,3 +353,53 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) "
         "AS (col_name, n_nulls, n_distinct, min_v, max_v)"
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           AS bucket,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+              WHEN o_orderpriority = '2-HIGH'   THEN 2
+              ELSE 10 END AS keep_mod
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM s
+WHERE bucket % keep_mod = 0
+GROUP BY o_orderpriority
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (class rebalancing for training
+    sets): each stratum gets its own sampling rate — URGENT 100%, HIGH
+    50%, the rest 10% — driven by the SAME portable md5 key-bucket as
+    sample_hash_based, so strata stay reproducible across engines and
+    cluster sizes, two stratified samples on the same key align
+    row-for-row, and the whole thing is an ordinary pushable predicate
+    (a per-stratum df.sample() loop would RNG-drift AND scan once per
+    stratum).  The per-stratum rate is just a CASE on the modulus —
+    one scan, no shuffle beyond the final tiny aggregate."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    keep_mod = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(10)
+    )
+    return (
+        o.filter(bucket % keep_mod == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

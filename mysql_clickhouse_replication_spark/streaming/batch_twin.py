@@ -292,3 +292,96 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+), pairs AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       (n * 1000000) // SUM(n) OVER (PARTITION BY from_state) AS prob_ppm
+FROM pairs
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the behavioral model behind next-event prediction and bot
+    detection): LEAD pairs each event with its successor inside the
+    user's timeline, pair counts shuffle once on (from, to), and the
+    row-normalized probability comes from a window sum over from_state
+    — |types|^2 rows, so the normalization window is tiny no matter the
+    input size.  Probabilities are emitted as INTEGER ppm via floor
+    division (n*1e6 DIV total): pure bigint arithmetic, no
+    cross-engine float rounding surface at all.  The per-user LEAD
+    shuffle reuses sessionize_batch's (user_id) partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr("(n * 1000000) DIV sum(n) OVER (PARTITION BY from_state)")
+        .alias("prob_ppm"),
+    )
+
+
+@register(
+    "events_rollup_hierarchy",
+    oracle="""
+SELECT date_trunc('month', ts)::TIMESTAMP AS bucket_month,
+       date_trunc('day', ts)::TIMESTAMP   AS bucket_day,
+       date_trunc('hour', ts)::TIMESTAMP  AS bucket_hour,
+       GROUPING(date_trunc('month', ts)::TIMESTAMP,
+                date_trunc('day', ts)::TIMESTAMP,
+                date_trunc('hour', ts)::TIMESTAMP) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('month', ts)::TIMESTAMP,
+                 date_trunc('day', ts)::TIMESTAMP,
+                 date_trunc('hour', ts)::TIMESTAMP)
+""",
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour, day, month, and
+    grand-total aggregates of the event stream in ONE pass via
+    ROLLUP(month, day, hour) — the continuous-aggregate cascade
+    (hour->day->month) that time-series stores maintain, computed as a
+    single grouping-sets expansion instead of three chained jobs.
+    grouping_id disambiguates a real NULL bucket from a rollup
+    supertotal row.  date_trunc returns DATE in DuckDB but TIMESTAMP
+    in Spark, so the oracle casts ::TIMESTAMP (known trap).  At scale
+    the rollup expansion multiplies shuffle rows 4x — acceptable
+    because the partial aggregate collapses each task to its distinct
+    hour set first; beyond ~6 levels, cascade from the finest
+    materialized level instead."""
+    ev = table(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts").alias("bucket_month")
+    day = F.date_trunc("day", "ts").alias("bucket_day")
+    hour = F.date_trunc("hour", "ts").alias("bucket_hour")
+    return ev.rollup(month, day, hour).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )

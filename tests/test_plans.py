@@ -211,3 +211,60 @@ def test_range_bucketed_join_is_hash_not_nested_loop(plans):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+# ---- round-3 second wave ------------------------------------------------
+
+
+def test_naaj_is_null_aware_broadcast_anti(plans):
+    # Catalyst must plan NOT IN as a broadcast null-aware anti join:
+    # the trailing `true` on the BroadcastHashJoin line is the
+    # isNullAwareAntiJoin flag.
+    p = plans("join_anti_null_aware", "simple")
+    assert "LeftAnti, BuildRight, true" in p
+    assert "CartesianProduct" not in p
+
+
+def test_chunk_and_quantize_are_map_only(plans):
+    # chunking and quantization must never shuffle: one generator /
+    # transform expression per row, write-back-ready.
+    assert "Exchange" not in plans("docs_chunk_overlap", "simple")
+    assert "Exchange" not in plans("embedding_quantize", "simple")
+
+
+def test_pack_sequences_single_bucket_shuffle(plans):
+    # per-bucket packing = exactly one hash exchange feeding the window;
+    # a global cumsum would show a single-partition Exchange instead.
+    p = plans("docs_pack_sequences", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_profile_table_single_scan_with_expand(plans):
+    # all 20 stats off ONE parquet scan; the Expand is the documented
+    # cost of multiple exact COUNT(DISTINCT)s in one aggregate.
+    p = plans("profile_table", "simple")
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+
+
+def test_countmin_exact_pass_is_semi_join_pruned(plans):
+    # the exact pass must reach the corpus through a LeftSemi candidate
+    # filter, the sketch/total sides broadcast, and nothing Cartesian.
+    p = plans("agg_countmin_prefilter", "simple")
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_semi_anti_pair_no_cartesian(plans):
+    p = plans("tpch_q21_shape", "simple")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q2_dims_broadcast_no_cartesian(plans):
+    p = plans("tpch_q2_shape", "simple")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
