@@ -119,6 +119,10 @@ EXTRA = [
     "events_rollup_hierarchy",
     "fn_struct",
     "docs_quality_filter_pipeline",
+    "stream_stream_join",
+    "events_gap_fill",
+    "win_ignore_nulls",
+    "agg_weighted_avg",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -520,3 +520,38 @@ def agg_countmin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_occ") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE)
+         AS wavg_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (ClickHouse avgWeighted): quantity-weighted
+    mean price per return flag.  Both the weighted sum and the weight
+    sum are EXACT decimals cast to double only at the final divide, so
+    the one IEEE division runs on identical operands in both engines —
+    the naive double SUM(price*qty)/SUM(qty) would drift by partition
+    order.  Same single-shuffle partial+final shape as any plain
+    aggregate (two sums ride one groupBy)."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum = F.sum(dec("l_extendedprice", D8) * dec("l_quantity", D4)).cast(
+        "double"
+    )
+    qsum = F.sum(dec("l_quantity", D4)).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (wsum / qsum).alias("wavg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

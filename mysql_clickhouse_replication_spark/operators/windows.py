@@ -199,3 +199,59 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+  FROM customer
+), g AS (
+  SELECT c_custkey, c_mktsegment, pos_bal,
+         COUNT(pos_bal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM t
+)
+SELECT c_custkey, c_mktsegment, pos_bal,
+       MAX(pos_bal) OVER (PARTITION BY c_mktsegment, grp) AS last_pos_bal,
+       CASE WHEN grp = 0 THEN 1 ELSE 0 END AS before_first
+FROM g
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_VALUE ... IGNORE NULLS semantics (the forward-fill /
+    most-recent-observation window) over a null-bearing measure —
+    negative balances null out and each row carries the latest
+    non-null balance seen so far in its segment.  Implemented with the
+    PORTABLE count-of-non-nulls trick (grp is constant within a null
+    run, so MAX within (segment, grp) IS the last non-null) rather
+    than the engine-specific IGNORE NULLS modifier, because the
+    modifier's syntax and availability differ across engines while the
+    trick is plain SQL-92 everywhere — same single-shuffle plan: both
+    windows share the (c_mktsegment) partitioning, so Catalyst runs
+    them off one exchange.  before_first flags rows preceding any
+    observation (LOCF has nothing to fill; they stay NULL)."""
+    c = table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("pos_bal"),
+    )
+    w_run = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = t.withColumn("grp", F.count("pos_bal").over(w_run))
+    w_grp = Window.partitionBy("c_mktsegment", "grp")
+    return g.select(
+        "c_custkey",
+        "c_mktsegment",
+        "pos_bal",
+        F.max("pos_bal").over(w_grp).alias("last_pos_bal"),
+        F.when(F.col("grp") == 0, 1).otherwise(0).alias("before_first"),
+    )

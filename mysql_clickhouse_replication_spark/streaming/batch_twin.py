@@ -385,3 +385,107 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH spine AS (
+  SELECT t.event_type, s.m AS minute_ts
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      TIMESTAMP '2024-01-03 00:00:00',
+      TIMESTAMP '2024-01-04 23:59:00',
+      INTERVAL 1 MINUTE)) AS m) s
+), agg AS (
+  SELECT event_type, date_trunc('minute', ts)::TIMESTAMP AS minute_ts,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'
+  GROUP BY 1, 2
+), filled AS (
+  SELECT spine.event_type, spine.minute_ts,
+         COALESCE(agg.n, 0) AS n_events,
+         CASE WHEN agg.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+         CAST(v AS DOUBLE) AS v_raw,
+         COUNT(v) OVER (PARTITION BY spine.event_type
+                        ORDER BY spine.minute_ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM spine LEFT JOIN agg USING (event_type, minute_ts)
+)
+SELECT event_type, minute_ts, n_events, is_gap,
+       MAX(v_raw) OVER (PARTITION BY event_type, grp) AS v_locf
+FROM filled
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF interpolation (ClickHouse
+    ORDER BY ... WITH FILL / timescale gapfill+locf parity): a dense
+    minute spine per event type LEFT-joins the sparse per-minute
+    aggregates, empty minutes surface as n_events=0 gap rows, and the
+    value forward-fills from the last observed minute.  The LOCF uses
+    the PORTABLE count-of-non-nulls trick — grp = COUNT(v) OVER
+    (ORDER rows-so-far) is constant within a gap run, so MAX(v) within
+    (type, grp) is the last observation — instead of
+    last_value(IGNORE NULLS), keeping both engines on the same exact
+    value with zero float arithmetic (the filled value is the exact
+    decimal sum).  Scale: the spine is |types| x minutes (tiny,
+    broadcast); the only big-data pass is the per-minute pre-aggregate;
+    the LOCF window partitions by type — bound the fill range per query
+    (as here) so no single-type window partition grows unbounded."""
+    ev = table(spark, sf_dir, "events")
+    lo, hi = "2024-01-03", "2024-01-05"
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit(lo).cast("timestamp"),
+                        F.lit("2024-01-04 23:59:00").cast("timestamp"),
+                        F.expr("INTERVAL 1 MINUTE"),
+                    )
+                ).alias("minute_ts")
+            )
+        )
+    )
+    agg = (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(agg, ["event_type", "minute_ts"], "left")
+        .select(
+            "event_type",
+            "minute_ts",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.col("v").cast("double").alias("v_raw"),
+        )
+        .withColumn("grp", F.count("v_raw").over(w_run))
+    )
+    w_grp = Window.partitionBy("event_type", "grp")
+    return filled.select(
+        "event_type",
+        "minute_ts",
+        "n_events",
+        "is_gap",
+        F.max("v_raw").over(w_grp).alias("v_locf"),
+    )

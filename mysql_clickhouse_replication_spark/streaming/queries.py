@@ -397,3 +397,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — attribution's core primitive (which
+    click followed which view within 10 minutes), joining two live
+    streams rather than stream-vs-static.  Both sides carry watermarks
+    and the join condition carries the time bound; that pair is what
+    lets Spark EVICT buffered state (a view older than watermark+10min
+    can never match a future click), so state is bounded at any scale —
+    without the time bound a stream-stream join buffers forever.  The
+    bounded availableNow replay emits every pair exactly once in append
+    mode, which is why the batch self-join SQL is an exact oracle.  At
+    100 TB/day the state store shuffles both streams on user_id once;
+    skewed users fall under the same salting story as join_skew_salted."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+    return _run_to_memory(joined, "append")
