@@ -123,6 +123,7 @@ EXTRA = [
     "events_gap_fill",
     "win_ignore_nulls",
     "agg_weighted_avg",
+    "events_histogram",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -154,7 +154,7 @@ WITH s AS (
   SELECT vec_id, embedding,
          127.0 / greatest(
            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-           1e-12) AS scale
+           1e-3) AS scale
   FROM embeddings
 ), q AS (
   SELECT vec_id, embedding, scale,
@@ -174,7 +174,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the ANN
     index-build prep): per-vector scale = 127/max|x|, q = round(x·scale)
     ∈ [-127,127], plus the max absolute reconstruction error
-    max|x − q/scale| (bounded by 0.5/scale).  Map-only, pure
+    max|x − q/scale| (bounded by 0.5/scale).  The max-abs guard floor is
+    1e-3 (not an epsilon): an all-zero/degenerate vector then gets
+    scale=127000, which still floor-scales into bigint range in both
+    engines — an epsilon floor would overflow Spark's long (saturates
+    at Long.MAX) while DuckDB errors, a cross-engine divergence.  Map-only, pure
     higher-order expressions, 4× payload shrink.  Determinism: both
     engines promote the float32 elements to identical doubles, the
     scale divide and error terms are single IEEE ops, round() is
@@ -200,7 +204,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "embedding", lambda x: F.abs(x.cast("double"))
                     )
                 ),
-                F.lit(1e-12),
+                F.lit(1e-3),
             )
         ).alias("scale"),
     )

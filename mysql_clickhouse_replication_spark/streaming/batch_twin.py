@@ -489,3 +489,48 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.max("v_raw").over(w_grp).alias("v_locf"),
     )
+
+
+@register(
+    "events_histogram",
+    oracle="""
+SELECT event_type,
+       LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin_id,
+       LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) * 25.0 AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19)
+""",
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (ClickHouse
+    histogram / width_bucket parity): 20 bins of width 25 with a
+    clamped overflow bin.  Bin assignment is FLOOR(v/width) — one IEEE
+    divide + floor on identical doubles, so bin edges are
+    cross-engine-exact with no rounding surface (width_bucket itself
+    differs subtly across engines in edge inclusion, so the explicit
+    floor IS the portable spelling).  A histogram is just a groupBy in
+    disguise: partial aggregation collapses each task to at most
+    |types| x 20 rows, the shuffle is constant-size, and the full pass
+    parallelizes perfectly — the 100 TB profile primitive."""
+    ev = table(spark, sf_dir, "events")
+    bin_id = F.least(
+        F.floor(F.col("value") / 25.0).cast("bigint"), F.lit(19)
+    )
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bin_id",
+            (F.col("bin_id") * 25.0).alias("bin_lo"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -85,3 +85,70 @@ def test_text_fingerprint_short_docs(spark, short_docs_dir):
     srows = [tuple(r) for r in sdf.collect()]
     orows = _oracle_rows(short_docs_dir, "text_fingerprint", "doc_id")
     assert srows == orows
+
+
+# ---- round-3 second wave edges -----------------------------------------
+
+
+def test_naaj_inner_null_empties_result(spark):
+    """NOT IN three-valued logic: ONE NULL in the inner set makes every
+    NOT IN comparison non-TRUE, so the result must be EMPTY -- the
+    direction the fixture key (whose inner side is null-free) cannot
+    exercise.  A plain anti-join rewrite would wrongly keep rows."""
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("naaj_outer")
+    spark.sql(
+        "SELECT * FROM VALUES (1), (CAST(NULL AS BIGINT)) AS t(v)"
+    ).createOrReplaceTempView("naaj_inner_null")
+    got = spark.sql(
+        "SELECT k FROM naaj_outer WHERE k NOT IN (SELECT v FROM naaj_inner_null)"
+    ).collect()
+    assert got == []
+    # sanity: same construction in DuckDB agrees
+    assert (
+        duckdb.sql(
+            "SELECT COUNT(*) FROM range(5) r(k) "
+            "WHERE k NOT IN (SELECT * FROM (VALUES (1), (NULL)) t(v))"
+        ).fetchone()[0]
+        == 0
+    )
+
+
+def test_quantize_zero_vector_guarded(spark):
+    """An all-zero embedding must not divide by zero: the greatest(mx,
+    1e-3) guard yields qv = all zeros, max_abs_err = 0, and a
+    bigint-representable scale in BOTH engines (an epsilon guard
+    overflows Spark's long into saturation while DuckDB errors)."""
+    import os, tempfile
+
+    QUERIES = e.queries()
+
+    d = tempfile.mkdtemp(prefix="qz_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], type=pa.int64()),
+                "embedding": pa.array(
+                    [[0.0] * 4], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([0], type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    row = QUERIES["embedding_quantize"](spark, d).collect()[0]
+    assert row.qvec == "0,0,0,0"
+    assert row.max_abs_err_e9 == 0
+    assert row.scale_e6 == int(127.0 / 1e-3 * 1e6)
+
+
+def test_chunking_doc_shorter_than_stride(spark, short_docs_dir):
+    """A document shorter than one stride must yield exactly ONE chunk
+    covering the whole document (sequence(1, n, 24) = [1])."""
+    rows = {
+        r.doc_id: r
+        for r in e.queries()["docs_chunk_overlap"](spark, short_docs_dir)
+        .collect()
+    }
+    assert rows[1].n_tokens == 1 and rows[1].chunk_text == "one"
+    assert rows[4].n_tokens == 4 and rows[4].chunk_text == "a b c d"
+    assert all(r.chunk_start == 1 for r in rows.values())
