@@ -124,6 +124,8 @@ EXTRA = [
     "win_ignore_nulls",
     "agg_weighted_avg",
     "events_histogram",
+    "cdc_pit_join",
+    "fn_null_family",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

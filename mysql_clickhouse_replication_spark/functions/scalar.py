@@ -496,3 +496,47 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ab == lit_ab).alias("is_urgent_f"),
         F.element_at(arr, 1).getField("p").alias("arr_struct_p"),
     )
+
+
+@register(
+    "fn_null_family",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')   AS seg_or_other,
+       NULLIF(c_nationkey, 0)                                AS nation_or_null,
+       CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+            THEN 'was_building' ELSE 'kept' END              AS nvl2_twin,
+       COALESCE(CASE WHEN c_acctbal < 0 THEN NULL
+                     ELSE c_acctbal END, 0.0)                AS pos_or_zero,
+       (c_acctbal IS NOT DISTINCT FROM c_acctbal)            AS self_ndistinct,
+       (NULLIF(c_nationkey, 0) IS DISTINCT FROM c_nationkey) AS zeroed_distinct
+FROM customer
+WHERE c_custkey % 10 = 0
+""",
+)
+def fn_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family (ClickHouse ifNull/nullIf/assumeNotNull
+    parity): COALESCE, NULLIF, the NVL2 branch pattern, null-safe
+    defaulting, and null-safe equality (IS [NOT] DISTINCT FROM — the
+    <=> operator Spark exposes in SQL).  All expression-only, codegen'd,
+    zero shuffle; the family matters because three-valued logic is
+    where naive rewrites silently change results (see
+    join_anti_null_aware for the join-side version)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    seg_nullif = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_nullif, F.lit("OTHER")).alias("seg_or_other"),
+        F.expr("nullif(c_nationkey, 0)").alias("nation_or_null"),
+        F.when(seg_nullif.isNull(), "was_building")
+        .otherwise("kept")
+        .alias("nvl2_twin"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+            F.lit(0.0),
+        ).alias("pos_or_zero"),
+        F.expr("c_acctbal <=> c_acctbal").alias("self_ndistinct"),
+        F.expr("NOT (nullif(c_nationkey, 0) <=> c_nationkey)").alias(
+            "zeroed_distinct"
+        ),
+    )

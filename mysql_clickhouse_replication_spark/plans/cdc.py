@@ -434,3 +434,75 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("value").alias("value"),
         pick("prop_k").alias("prop_k"),
     )
+
+
+@register(
+    "cdc_pit_join",
+    oracle="""
+WITH u AS (
+  SELECT user_id AS pk, event_id AS seq, 1 AS is_dim,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS dim_k,
+         CAST(NULL AS DOUBLE) AS fact_value
+  FROM events
+  UNION ALL
+  SELECT user_id, event_id, 0, NULL, value
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT pk, seq, is_dim, fact_value, dim_k,
+         COUNT(dim_k) OVER (PARTITION BY pk ORDER BY seq, is_dim
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM u
+)
+SELECT pk, seq AS fact_seq, fact_value,
+       MAX(dim_k) OVER (PARTITION BY pk, grp) AS prev_k,
+       CASE WHEN grp = 0 THEN 1 ELSE 0 END AS no_history
+FROM g
+QUALIFY is_dim = 0
+""",
+)
+def cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2 as-of) dimension join: each purchase fact
+    picks up the dimension attribute the key had STRICTLY BEFORE the
+    fact's own change applied (ties break facts-first, so an event
+    never sees itself).  The scalable plan is NOT the interval join —
+    per-key version counts grow with history, so pk-equi-join +
+    interval filter is quadratic per hot key — but the union+window
+    as-of shape: interleave dim versions and facts on one (pk) shuffle,
+    forward-carry the latest version via the portable
+    count-of-non-nulls trick, done.  Linear in rows, one exchange,
+    same shape at any history depth.  no_history flags facts that
+    precede every version (nothing to carry)."""
+    ev = table(spark, sf_dir, "events")
+    dims = ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.lit(1).alias("is_dim"),
+        F.get_json_object("props", "$.k").cast("int").alias("dim_k"),
+        F.lit(None).cast("double").alias("fact_value"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("int").alias("dim_k"),
+        F.col("value").alias("fact_value"),
+    )
+    u = dims.unionAll(facts)
+    w_run = (
+        Window.partitionBy("pk")
+        .orderBy("seq", "is_dim")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = u.withColumn("grp", F.count("dim_k").over(w_run))
+    w_grp = Window.partitionBy("pk", "grp")
+    return (
+        g.withColumn("prev_k", F.max("dim_k").over(w_grp))
+        .filter(F.col("is_dim") == 0)
+        .select(
+            "pk",
+            F.col("seq").alias("fact_seq"),
+            "fact_value",
+            "prev_k",
+            F.when(F.col("grp") == 0, 1).otherwise(0).alias("no_history"),
+        )
+    )
