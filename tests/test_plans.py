@@ -268,3 +268,24 @@ def test_q2_dims_broadcast_no_cartesian(plans):
     p = plans("tpch_q2_shape", "simple")
     assert p.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in p
+
+
+def test_pit_join_single_exchange_two_windows(plans):
+    # the as-of carry must run both windows off ONE (pk) exchange:
+    # hashpartitioning(pk) satisfies the (pk, grp) clustering of the
+    # second window, so no re-shuffle between them.
+    p = plans("cdc_pit_join", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_histogram_is_single_shuffle(plans):
+    p = plans("events_histogram", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ignore_nulls_windows_share_exchange(plans):
+    p = plans("win_ignore_nulls", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 2
