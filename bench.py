@@ -126,6 +126,7 @@ EXTRA = [
     "events_histogram",
     "cdc_pit_join",
     "fn_null_family",
+    "dedup_incremental",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

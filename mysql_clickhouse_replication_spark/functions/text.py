@@ -755,3 +755,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+       ROUND(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+             / (len(n.shingles) + len(c.shingles)
+                - len(list_intersect(n.shingles, c.shingles))), 6) AS jaccard
+FROM sh n JOIN sh c ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+WHERE CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+      / (len(n.shingles) + len(c.shingles)
+         - len(list_intersect(n.shingles, c.shingles))) >= {_JACCARD_T}
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: screen a NEW crawl batch (doc_id%5=0
+    here) against the EXISTING corpus without ever pairing the corpus
+    with itself — the shape a production pipeline actually runs every
+    ingest cycle.  Same banded MinHash machinery as dedup_minhash, but
+    the bucket join is ASYMMETRIC: new-batch bands probe the corpus
+    band index, so candidate volume scales with |new| x collision rate,
+    not |corpus|^2, and in production the corpus side's signatures are
+    a PERSISTED index (computed once per doc ever, merged per cycle) —
+    the incremental cost of a cycle is hashing the new batch plus the
+    probe.  Candidates still exact-verify, so engine hashing never
+    reaches the output and the brute-force asymmetric join is a true
+    oracle (quadratic: gate-scale only, like dedup_minhash's)."""
+    n_hashes = _N_BANDS * _BAND_ROWS
+    sh = _shingled(spark, sf_dir).cache()
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"m{_BAND_ROWS * i}").alias("h1"),
+                        F.col(f"m{_BAND_ROWS * i + 1}").alias("h2"),
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    new_bands = bands.filter(F.col("doc_id") % 5 == 0).alias("n")
+    corpus_bands = bands.filter(F.col("doc_id") % 5 != 0).alias("c")
+    cand = (
+        new_bands.join(
+            corpus_bands,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sn = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_n"))
+    sc = sh.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_c")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_c")).cast("double")
+    union = F.size("sh_n") + F.size("sh_c") - F.size(
+        F.array_intersect("sh_n", "sh_c")
+    )
+    return (
+        cand.join(sn, "new_doc")
+        .join(sc, "corpus_doc")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
+    )
