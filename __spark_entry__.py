@@ -94,13 +94,19 @@ _R04_NEXT = [
 
 
 def _ordered_keys() -> list[str]:
-    """All registered keys: r03 window first, then r04 set, proven last."""
-    listed = [k for k in _R03_WINDOW + _R04_NEXT + _PROVEN_R02 if k in QUERIES]
-    seen = set(listed)
-    # New keys registered after this rotation was written: prove-next group.
+    """All registered keys: r03 window first, then the r04 group, proven
+    last.  The r04 group is _R04_NEXT plus every key registered after
+    this rotation was written (the round-3 second wave), kept TOGETHER
+    so round 4's swap needs to exchange exactly two names below and the
+    driver's first-50 window lands on unproven keys: after the swap the
+    r04 group is 64 keys, so its overflow plus re-proofs fall to r05."""
+    seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
     extras = [k for k in QUERIES if k not in seen]
-    head = [k for k in listed if k not in set(_PROVEN_R02)]
-    return head + extras + [k for k in listed if k in set(_PROVEN_R02)]
+    g_r03 = [k for k in _R03_WINDOW if k in QUERIES]
+    g_r04 = [k for k in _R04_NEXT if k in QUERIES] + extras
+    proven = [k for k in _PROVEN_R02 if k in QUERIES]
+    # Round 4: swap g_r03 and g_r04 in the line below — nothing else.
+    return g_r03 + g_r04 + proven
 
 
 def entry(spark: SparkSession) -> DataFrame:
