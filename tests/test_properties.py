@@ -100,3 +100,102 @@ def test_delete_apply_matches_last_op(spark, events):
         last_op[pk] = op
     expected = {pk for pk, op in last_op.items() if op != "delete"}
     assert surviving == expected
+
+
+# ---- packing / chunking invariants (round-3 second wave) ----------------
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps".split()),
+        min_size=1,
+        max_size=80,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _docs_df(spark, tmpdir, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, uuid
+
+    d = os.path.join(tmpdir, uuid.uuid4().hex)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_in_order(spark, tmp_path_factory, texts):
+    """Concatenating each doc's chunks at stride offsets reconstructs the
+    document exactly: no token lost, none reordered, overlap == 8 for
+    every non-final chunk pair."""
+    import __spark_entry__ as e
+
+    d = _docs_df(spark, str(tmp_path_factory.mktemp("chunk")), texts)
+    rows = (
+        e.queries()["docs_chunk_overlap"](spark, d)
+        .orderBy("doc_id", "chunk_start")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        chunks = by_doc[doc_id]
+        # starts are exactly 1, 25, 49, ... covering the whole doc
+        assert [c.chunk_start for c in chunks] == list(
+            range(1, len(toks) + 1, 24)
+        )
+        rebuilt = []
+        for c in chunks:
+            ctoks = c.chunk_text.split(" ")
+            assert len(ctoks) == c.n_tokens <= 32
+            rebuilt.extend(ctoks[: 24 if c is not chunks[-1] else len(ctoks)])
+            if c is not chunks[-1]:
+                nxt = chunks[chunks.index(c) + 1]
+                # 8-token overlap: this chunk's tail == next chunk's head
+                assert ctoks[24:] == nxt.chunk_text.split(" ")[: len(ctoks) - 24]
+        assert rebuilt == toks
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_packing_conserves_tokens_and_orders_packs(
+    spark, tmp_path_factory, texts
+):
+    """Packing conserves every token exactly once, pack ids are dense
+    per bucket, and doc ranges never interleave across packs."""
+    import __spark_entry__ as e
+
+    d = _docs_df(spark, str(tmp_path_factory.mktemp("pack")), texts)
+    rows = (
+        e.queries()["docs_pack_sequences"](spark, d)
+        .orderBy("bucket", "pack_id")
+        .collect()
+    )
+    assert sum(r.n_tokens for r in rows) == sum(
+        len(t.split(" ")) for t in texts
+    )
+    assert sum(r.n_docs for r in rows) == len(texts)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, packs in by_bucket.items():
+        assert [p.pack_id for p in packs] == sorted(p.pack_id for p in packs)
+        for a, b in zip(packs, packs[1:]):
+            assert a.last_doc <= b.first_doc  # no doc-range interleave
