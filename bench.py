@@ -127,6 +127,12 @@ EXTRA = [
     "cdc_pit_join",
     "fn_null_family",
     "dedup_incremental",
+    "join_dynamic_partition_prune",
+    "agg_mode",
+    "agg_hll_mergeable",
+    "events_attribution",
+    "analytics_rfm",
+    "text_normalize",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

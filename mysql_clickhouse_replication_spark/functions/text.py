@@ -841,3 +841,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# Accent-fold map shared verbatim by the Spark query and the DuckDB
+# oracle: translate() is codepoint-wise in both engines, so the two
+# strings must stay the same length in CODEPOINTS.
+_ACCENT_FROM = "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖòóôõöÙÚÛÜùúûüÇçÑñ"
+_ACCENT_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNn"
+assert len(_ACCENT_FROM) == len(_ACCENT_TO)
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+WITH folded AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             lower(translate(text, '{_ACCENT_FROM}', '{_ACCENT_TO}')),
+             '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CASE WHEN norm_text = '' THEN 0
+            ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+FROM folded
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization — the step every dedup/quality pass runs
+    first: accent folding (explicit codepoint map, identical in both
+    engines), lowercase, non-alphanumeric -> space, whitespace collapse,
+    trim, plus the post-normalization token count.
+
+    Pure per-row expression pipeline: zero shuffle, whole-stage codegen,
+    trivially map-parallel at any scale.  The accent map is a shared
+    constant rather than a unicode-NFD pass because NFD/NFKC builtins
+    differ across engines (and Spark has none) — for a production corpus
+    the map extends to the full Latin-1/Latin-Extended block the same
+    way.
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.translate("text", _ACCENT_FROM, _ACCENT_TO)),
+                "[^a-z0-9 ]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text")).withColumn(
+        "n_tokens",
+        F.when(F.col("norm_text") == "", 0)
+        .otherwise(F.size(F.split("norm_text", " ")))
+        .cast("bigint"),
+    )

@@ -1,0 +1,335 @@
+"""Warehouse-analytics composites round 3, third wave (SURVEY.md
+section 2.L): dynamic partition pruning, deterministic mode, mergeable
+HLL rollups, marketing attribution, and RFM segmentation.
+
+Scale notes (100 TB):
+
+* join_dynamic_partition_prune is THE partition-layout payoff: a fact
+  table laid out by month is pruned at runtime from the dim side's
+  selective filter — Catalyst injects a ``dynamicpruning`` subquery into
+  the fact scan's PartitionFilters, so only the matching month
+  directories are ever listed or read.  On a 100 TB fact that is the
+  difference between scanning 12/80 partitions and scanning all of them.
+* agg_hll_mergeable demonstrates the re-aggregatable-sketch pattern:
+  partial HLL sketches built per (group, shard) then ``hll_union_agg``-ed
+  — exactly how a rollup table stores distinct-count state that can be
+  merged across days/partitions without re-scanning raw data.
+* events_attribution / analytics_rfm shuffle once on the entity key and
+  use struct-min/max (single agg pass) rather than self-joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import scratch_path, table
+from ._util import D12
+
+
+@register(
+    "join_dynamic_partition_prune",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT year(l_shipdate) * 100 + month(l_shipdate) AS mkey
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT CAST(mkey AS BIGINT) AS mkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+JOIN dim ON year(o_orderdate) * 100 + month(o_orderdate) = mkey
+GROUP BY mkey
+""",
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a month-partitioned fact layout.
+
+    orders is landed partitioned by ``o_mkey = year*100 + month`` (the
+    production layout for a time-series fact), then joined to a dim of
+    months derived from a SELECTIVE lineitem filter.  Catalyst turns the
+    dim side into a runtime ``dynamicpruning`` subquery on the fact
+    scan's partition filters (asserted in tests/test_plans.py), so only
+    the 12 matching month directories are read — no full-table scan even
+    though the pruning months are only known at run time.
+
+    The partitioned copy is written fresh into a uuid scratch dir per
+    call (single map-side pass, pre-clustered by ``repartition(o_mkey)``
+    so each month lands as one file, not one-per-task).
+    """
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_mkey", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    )
+    sink = scratch_path("dpp_orders", os.path.basename(sf_dir))
+    (
+        o.repartition("o_mkey")
+        .write.mode("overwrite")
+        .partitionBy("o_mkey")
+        .parquet(sink)
+    )
+    fact = spark.read.parquet(sink)
+    dim = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("mkey")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_mkey == dim.mkey)
+        .groupBy(fact.o_mkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D12)).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.col("o_mkey").cast("bigint").alias("mkey"), "n_orders", "sum_price"
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    Spark's builtin ``F.mode`` returns an ARBITRARY value on frequency
+    ties, so the hash-checkable form is count-then-argmax with a total
+    tiebreak order (count DESC, value ASC).  Two shuffles of SMALL data:
+    the groupBy reduces the fact to |groups x values| rows first, and
+    the window runs over that reduced set — never over raw rows.
+    """
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_cnt,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup: partial sketches per (group, shard)
+    are union-merged into the group total — the storage pattern for
+    distinct-count state in an incrementally-maintained rollup table
+    (sketch columns merge across days/partitions; exact COUNT DISTINCT
+    state cannot).
+
+    The hash-gate contract: the ESTIMATE is engine-specific (Apache
+    DataSketches HLL), so the emitted columns are the exact count plus a
+    boolean asserting the estimate landed within 5 % — a wildly-off
+    sketch flips the boolean and fails the hash, while the oracle stays
+    engine-portable.  lgConfigK=12 gives ~1.6 % standard error.
+    """
+    o = table(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn("shard", F.pmod(F.col("o_custkey"), F.lit(8)))
+        .groupBy("o_orderpriority", "shard")
+        .agg(
+            F.hll_sketch_agg("o_custkey", 12).alias("sketch"),
+            F.count_distinct("o_custkey").alias("shard_exact"),
+        )
+    )
+    merged = partial.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        # shards partition o_custkey by pmod, so shard-exacts sum to the
+        # group exact — the same merge identity, checkable without resketch
+        F.sum("shard_exact").alias("exact_cnt"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "exact_cnt",
+        (
+            F.abs(F.col("est") - F.col("exact_cnt"))
+            / F.col("exact_cnt")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+fp AS (
+  SELECT user_id, ts AS fp_ts, event_id AS fp_id, value AS fp_value
+  FROM p WHERE rn = 1
+),
+touches AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.fp_value
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (e.ts < fp.fp_ts OR (e.ts = fp.fp_ts AND e.event_id < fp.fp_id))
+),
+ranked AS (
+  SELECT user_id, fp_value,
+         FIRST_VALUE(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+         FIRST_VALUE(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS last_touch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM touches
+)
+SELECT first_touch, last_touch,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(fp_value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM ranked WHERE rn = 1
+GROUP BY first_touch, last_touch
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution.
+
+    Per user: the first purchase (ties broken by event_id), then the
+    first and last non-purchase events strictly before it, then the
+    purchase value attributed to the (first_touch, last_touch) channel
+    pair.  One shuffle on user_id for the purchase argmin, a broadcast
+    of the converted-user set back onto the event stream, and a single
+    struct-min/max agg pass — no self-join of the raw stream, no window
+    over unaggregated events.  Struct min/max is deterministic because
+    (ts, event_id) is a total order.
+    """
+    ev = table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("fp"))
+        .select(
+            "user_id",
+            F.col("fp.ts").alias("fp_ts"),
+            F.col("fp.event_id").alias("fp_id"),
+            F.col("fp.value").alias("fp_value"),
+        )
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id")
+        .filter(
+            (F.col("ts") < F.col("fp_ts"))
+            | ((F.col("ts") == F.col("fp_ts")) & (F.col("event_id") < F.col("fp_id")))
+        )
+    )
+    per_user = touches.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last_ev"),
+        F.first("fp_value").alias("fp_value"),
+    )
+    return (
+        per_user.groupBy(
+            F.col("first_ev.event_type").alias("first_touch"),
+            F.col("last_ev.event_type").alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("fp_value").cast(D12)).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_rfm",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         datediff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency   DESC, o_custkey) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary    DESC, o_custkey) AS m_score
+FROM base
+""",
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at a
+    fixed anchor), frequency (order count), monetary (exact-decimal
+    lifetime spend), each banded into quartiles with a total tiebreak
+    order (metric, custkey) so NTILE is hash-deterministic.
+
+    Scale note: the three unpartitioned NTILE windows run over the
+    ALREADY-AGGREGATED per-customer rows (|customers|, not |orders|),
+    but a single-reducer global sort is still the wrong shape at 10^9
+    customers — the production swap is approx_percentile(metric,
+    [.25,.5,.75]) cutpoints broadcast back as a CASE band, identical
+    output up to tie placement at the cut values.
+    """
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(D12)).cast("double").alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )

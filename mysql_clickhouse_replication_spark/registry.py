@@ -54,6 +54,7 @@ def load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         composite,
         joins,
         relational,

@@ -289,3 +289,39 @@ def test_ignore_nulls_windows_share_exchange(plans):
     p = plans("win_ignore_nulls", "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 2
+
+
+def test_dpp_fact_scan_has_dynamic_pruning(plans):
+    """join_dynamic_partition_prune: the month-partitioned fact scan must
+    carry a runtime dynamicpruning subquery in its PartitionFilters —
+    without it the key reads all ~80 month partitions instead of 12."""
+    p = plans("join_dynamic_partition_prune")
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
+
+
+def test_attribution_broadcasts_converted_users(plans):
+    """events_attribution: the converted-user argmin side is broadcast
+    back onto the raw stream (no shuffle of events for the join), and
+    the whole plan stays JVM-side with no Cartesian product."""
+    p = plans("events_attribution")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_hll_mergeable_is_object_hash_agg(plans):
+    """agg_hll_mergeable: sketch build+merge runs in ObjectHashAggregate
+    (the TypedImperativeAggregate path) — never a sort-based fallback
+    over raw rows, and never Python."""
+    p = plans("agg_hll_mergeable")
+    assert "ObjectHashAggregate" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_text_normalize_zero_shuffle(plans):
+    """text_normalize is a pure per-row expression pipeline: no Exchange
+    anywhere — map-parallel at any scale."""
+    p = plans("text_normalize")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
