@@ -133,6 +133,10 @@ EXTRA = [
     "events_attribution",
     "analytics_rfm",
     "text_normalize",
+    "sample_reservoir",
+    "join_asof_nearest",
+    "docs_mix_weighted",
+    "text_topn_ngrams",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

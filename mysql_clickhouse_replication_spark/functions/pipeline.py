@@ -286,3 +286,54 @@ def docs_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("distinct_ppm") >= 200000)
         & (F.col("stop_ppm") <= 300000)
     )
+
+
+@register(
+    "docs_mix_weighted",
+    oracle="""
+WITH weighted AS (
+  SELECT doc_id, source,
+         CASE CAST(substr(source, 4) AS INT) % 3
+              WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS weight,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, weight, rn,
+       (rn * 1000000) // weight AS mix_pos
+FROM weighted
+""",
+)
+def docs_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing for training-data assembly: each source
+    gets a sampling weight (derived deterministically from its id here;
+    a broadcast config table in production), documents are shuffled
+    WITHIN each source by portable md5 hash, and a document's global
+    mix position is ``rank_in_source * 1e6 / weight`` — consuming rows
+    in mix_pos order interleaves sources at their weight ratios (the
+    epoch-mixing schedule every pretraining run needs), reproducibly.
+
+    Scale shape: the only shuffle is the per-source window partition;
+    the global order is NEVER materialized here — mix_pos is emitted as
+    a sort key, and the eventual consumer's orderBy is a distributed
+    range sort, not a single-reducer window.  A skew-heavy source set
+    swaps row_number for its hash-bucket approximation (hash order is
+    uniform) with zero downstream change.  All-integer arithmetic:
+    nothing to drift cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 1)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 2)
+        .otherwise(4)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", weight.alias("weight"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "mix_pos", F.expr("(rn * CAST(1000000 AS BIGINT)) div weight")
+        )
+    )

@@ -900,3 +900,61 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split("norm_text", " ")))
         .cast("bigint"),
     )
+
+
+@register(
+    "text_topn_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT lang,
+         string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +') AS t
+  FROM documents
+),
+big AS (
+  SELECT lang,
+         unnest(list_transform(range(2, len(t) + 1),
+                               i -> t[i-1] || ' ' || t[i])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (SELECT lang, bigram, COUNT(*) AS cnt FROM big GROUP BY lang, bigram)
+SELECT lang, bigram, cnt FROM (
+  SELECT lang, bigram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, bigram) AS rn
+  FROM cnt
+) WHERE rn <= 20
+""",
+)
+def text_topn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 token bigrams per language
+    (count DESC, bigram ASC tiebreak) — the frequency table behind
+    contamination checks, boilerplate discovery, and n-gram LM priors.
+
+    Shape: tokenize -> in-row bigram array (higher-order transform, no
+    join) -> explode -> map-combined groupBy(lang, bigram) -> per-lang
+    top-k window over the ALREADY-AGGREGATED vocabulary rows.  The raw
+    corpus is touched exactly once; the window input is bounded by
+    vocabulary size, not corpus size.  Sub-2-token documents are
+    filtered identically in both engines (sequence(2, size) would go
+    descending — the short-doc trap from round 2's ADVICE).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
+    )
+    bigrams = F.expr(
+        "transform(sequence(2, size(t)), i ->"
+        " concat(element_at(t, i - 1), ' ', element_at(t, i)))"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        d.select("lang", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "bigram", "cnt")
+    )

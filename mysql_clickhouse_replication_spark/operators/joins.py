@@ -626,3 +626,112 @@ def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH clicks AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+merged AS (
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, 0 AS side, ts AS c_ts
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM errs
+),
+carried AS (
+  SELECT user_id, ts, event_id, side,
+    LAST_VALUE(c_ts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+    LAST_VALUE(c_ts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts DESC, side DESC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_ts
+  FROM merged
+)
+SELECT user_id, ts, event_id,
+  CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+       WHEN fwd_ts IS NULL THEN back_ts
+       WHEN back_ts IS NULL THEN fwd_ts
+       WHEN ts - back_ts <= fwd_ts - ts THEN back_ts ELSE fwd_ts
+  END AS nearest_click_ts,
+  CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+       WHEN fwd_ts IS NULL THEN 'back'
+       WHEN back_ts IS NULL THEN 'fwd'
+       WHEN ts - back_ts <= fwd_ts - ts THEN 'back' ELSE 'fwd'
+  END AS direction
+FROM carried WHERE side = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (pandas merge_asof direction='nearest'):
+    each error event matched to the CLOSEST click of the same user in
+    either time direction, ties going to the earlier (backward) side.
+
+    Same single-shuffle union+window shape as join_asof, run in BOTH
+    directions over one user_id exchange: a backward carry (clicks sort
+    before errors on ties, so a same-ts click is the backward candidate
+    at distance 0) and a forward carry over the reversed order (side
+    DESC excludes the same-ts click from the forward lane — it is
+    already counted backward).  The nearest pick is then a pure per-row
+    CASE — never a range self-join, which is quadratic per key.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(0).alias("side"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    )
+    back_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(errs).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        F.last("c_ts", ignorenulls=True).over(back_w).alias("back_ts"),
+        F.last("c_ts", ignorenulls=True).over(fwd_w).alias("fwd_ts"),
+    )
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    both_null = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    pick_back = (
+        F.col("fwd_ts").isNull()
+        | (F.col("back_ts").isNotNull() & (d_back <= d_fwd))
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(both_null, F.lit(None).cast("timestamp"))
+        .when(pick_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_click_ts"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(pick_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )

@@ -12,7 +12,7 @@ scale lever is making sure they reach the scan (no shuffle at all).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -402,4 +402,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
+    )
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_acctbal, rn
+FROM ranked WHERE rn <= 20
+""",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group deterministic sample (reservoir-sampling
+    parity, k=20 per market segment): rank keys by their portable md5
+    hash and keep the k smallest — a reproducible "random" subset that,
+    unlike an RNG reservoir, is identical across engines, runs, and
+    cluster sizes, and re-derivable for any key.
+
+    Scale shape: min-k by hash is a MERGEABLE statistic — executors keep
+    per-partition k-smallest heaps and the shuffle carries k rows per
+    (group, partition), never the group's full population; Spark plans
+    the rn<=k window filter as exactly that (WindowGroupLimit pushdown).
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
     )

@@ -325,3 +325,44 @@ def test_text_normalize_zero_shuffle(plans):
     p = plans("text_normalize")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_reservoir_sample_uses_window_group_limit(plans):
+    """sample_reservoir: the rn<=k filter must plan as WindowGroupLimit —
+    per-partition k-smallest heaps merged at the shuffle, never a full
+    per-group sort materialized."""
+    p = plans("sample_reservoir")
+    assert "WindowGroupLimit" in p
+
+
+def test_asof_nearest_windows_share_one_exchange(plans):
+    """join_asof_nearest: both directional carries partition on user_id —
+    the second window reuses the first's exchange (2 exchanges total:
+    clicks-distinct + the shared window shuffle), and no range self-join
+    sneaks in."""
+    import re
+
+    p = plans("join_asof_nearest")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_weighted_single_source_shuffle(plans):
+    """docs_mix_weighted: exactly one exchange (the per-source window);
+    the mix position is computed without any global sort."""
+    import re
+
+    p = plans("docs_mix_weighted")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_topn_ngrams_window_over_aggregated_vocab(plans):
+    """text_topn_ngrams: the top-k window consumes the aggregated
+    vocabulary (WindowGroupLimit after the groupBy exchange), and the
+    corpus-side transforms stay JVM-side."""
+    import re
+
+    p = plans("text_topn_ngrams")
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "BatchEvalPython" not in p
