@@ -137,6 +137,9 @@ EXTRA = [
     "join_asof_nearest",
     "docs_mix_weighted",
     "text_topn_ngrams",
+    "agg_bool_family",
+    "agg_array_topk",
+    "events_rolling_distinct",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -16,7 +16,7 @@ shuffle keyed by the GROUP BY columns, skew-safe under AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -553,5 +553,81 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (wsum / qsum).alias("wavg_price"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_bool_family",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000)            AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT')    AS any_urgent,
+       count_if(o_totalprice > 100000)          AS n_large,
+       bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS all_in_range
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/any/countIf — ClickHouse
+    minIf/countIf parity): bool_and / bool_or / count_if over grouped
+    predicates.  All map-combinable single-bit/counter state — the
+    cheapest aggregates there are at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        ).alias("all_in_range"),
+    )
+
+
+@register(
+    "agg_array_topk",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment,
+       list(c_custkey ORDER BY rn) AS top_custkeys,
+       list(c_acctbal ORDER BY rn) AS top_acctbals
+FROM ranked WHERE rn <= 5
+GROUP BY c_mktsegment
+""",
+)
+def agg_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k collected as ordered ARRAY columns (ClickHouse
+    groupArray(5)(...ORDER BY...) parity) — the denormalized leaderboard
+    shape dashboards read as one row per group.
+
+    Scale-correct construction: rank-filter FIRST (WindowGroupLimit —
+    per-partition k-heaps, k rows per group cross the shuffle), THEN
+    collect the <=k survivors; a collect_list-then-slice would buffer
+    whole groups in executor memory.  Arrays are built by sorting on the
+    precomputed rank, so element order is total and cross-engine."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "c_custkey", "c_acctbal"))
+            ).alias("ranked")
+        )
+        .select(
+            "c_mktsegment",
+            F.expr("transform(ranked, x -> x.c_custkey)").alias("top_custkeys"),
+            F.expr("transform(ranked, x -> x.c_acctbal)").alias("top_acctbals"),
         )
     )

@@ -333,3 +333,51 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).alias("f_score"),
         F.ntile(4).over(m_w).alias("m_score"),
     )
+
+
+@register(
+    "events_rolling_distinct",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+mx AS (SELECT MAX(d) AS max_d FROM ud),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS rd
+  FROM ud
+)
+SELECT rd AS report_day, COUNT(DISTINCT user_id) AS wau
+FROM contrib, mx
+WHERE rd <= max_d
+GROUP BY rd
+""",
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (WAU-per-day): each distinct
+    (user, activity-day) pair contributes to the 7 report days it falls
+    inside, then a plain count-distinct per report day.
+
+    This explode-by-window-membership shape is THE scalable form of
+    sliding-window COUNT DISTINCT: a windowed distinct is not mergeable
+    frame-to-frame (engines either forbid it or buffer whole frames),
+    while this is a 7x fan-out of the ALREADY-DEDUPED (user, day) set
+    followed by a map-combinable distinct agg.  The tail is clipped at
+    the corpus max day via a 1-row broadcast, keeping every reported
+    window fully observed."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    mx = ud.agg(F.max("d").alias("max_d"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+        ).alias("rd"),
+    )
+    return (
+        contrib.join(F.broadcast(mx), contrib.rd <= mx.max_d)
+        .groupBy(F.col("rd").alias("report_day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

@@ -366,3 +366,23 @@ def test_topn_ngrams_window_over_aggregated_vocab(plans):
     assert "WindowGroupLimit" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "BatchEvalPython" not in p
+
+
+def test_array_topk_collects_only_rank_survivors(plans):
+    """agg_array_topk: WindowGroupLimit BEFORE the collect — the array agg
+    sees <=k rows per group, never buffers whole groups."""
+    p = plans("agg_array_topk")
+    assert "WindowGroupLimit" in p
+    assert p.index("WindowGroupLimit") > p.index("ObjectHashAggregate") or (
+        "collect_list" in p
+    )
+
+
+def test_rolling_distinct_dedups_before_fanout(plans):
+    """events_rolling_distinct: the 7x explode runs over the DEDUPED
+    (user, day) set (HashAggregate before Generate), and the window-clip
+    max is a broadcast, not a shuffle join."""
+    p = plans("events_rolling_distinct")
+    assert "explode(sequence" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.index("HashAggregate") < p.index("explode(sequence")
