@@ -87,17 +87,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (parquet scan; Catalyst prunes columns and
     pushes predicates into the row-group reader — see scan_* operators).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default: read it as raw nanos (legacy conf, set at runtime so it also
-    works under the driver's own SparkSession) and truncate to microseconds
-    — exactly what DuckDB's Python fetch does, so oracle hashes agree.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (early
+    fixture generations) and TIMESTAMP(MICROS) (current).  Spark 4
+    rejects NANOS by default, so the nanos-as-long legacy conf is set
+    (runtime conf — also works under the driver's own SparkSession) and
+    the decode branches on the type actually read: a LONG column is raw
+    nanos and is truncated to microseconds — exactly what DuckDB's
+    Python fetch does, so oracle hashes agree — while a native
+    timestamp passes through untouched.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Micros fixtures arrive as TIMESTAMP_NTZ (no UTC adjustment in
+            # the parquet logical type).  Cast to TIMESTAMP (LTZ): with the
+            # session pinned to UTC the instants are identical, and every
+            # event operator sees the same type the nanos decode produced
+            # (unix_micros and friends require LTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

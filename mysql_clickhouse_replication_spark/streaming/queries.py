@@ -50,16 +50,24 @@ def _scratch(*parts: str) -> str:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of session.table(spark, sf_dir, 'events'): file
-    source over the fixture dir (glob-filtered to events.parquet), nanos
-    ts decoded exactly as the batch reader does."""
+    source over the fixture dir (glob-filtered to events.parquet).  The
+    ts decode branches on the fixture's actual type exactly as the batch
+    reader does (nanos-as-long fixtures get truncated to micros; native
+    timestamp fixtures pass through)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
