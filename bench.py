@@ -140,6 +140,11 @@ EXTRA = [
     "agg_bool_family",
     "agg_array_topk",
     "events_rolling_distinct",
+    "cdc_row_checksum",
+    "cdc_dlq_split",
+    "agg_map_sum",
+    "events_sequence_match",
+    "docs_contamination_check",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -337,3 +337,69 @@ def docs_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_pos", F.expr("(rn * CAST(1000000 AS BIGINT)) div weight")
         )
     )
+
+
+@register(
+    "docs_contamination_check",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, source,
+         unnest([('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+                  1, 8))::BIGINT
+                 FOR i IN range(1, greatest(len(toks) - 6, 2))]) AS g
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents)),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source != 'src0'),
+bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams
+          WHERE source = 'src0')
+SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared_grams,
+       MIN(b.bench_id) AS first_bench_doc
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+""",
+)
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass for training corpora: flag every
+    training document sharing at least one 8-token shingle with the
+    held-out evaluation set (here: source 'src0' plays the benchmark).
+    This is the standard n-gram-overlap contamination test (the
+    verbatim-leak detector that symmetric near-dup scoring misses when
+    the leak is a small quoted span inside a long document).
+
+    Shape: explode both sides into 32-bit gram hashes, DISTINCT each
+    side first (bounds the join fan-out by unique grams, not raw
+    positions), then an inverted-index equi join — benchmark side
+    broadcast (eval sets are tiny next to the corpus; at a larger eval
+    scale the same plan runs as a shuffle hash join on g).  Short-doc
+    guard: documents under 8 tokens contribute their single truncated
+    shingle in both engines (greatest() floor, same construction as
+    text_fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                    " i -> cast(conv(substr(md5(concat_ws(' ',"
+                    " slice(toks, i, 8))), 1, 8), 16, 10) AS bigint))"
+                )
+            ).alias("g"),
+        )
+    )
+    train = grams.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.min("bench_id").alias("first_bench_doc"),
+        )
+    )

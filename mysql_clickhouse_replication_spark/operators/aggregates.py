@@ -631,3 +631,47 @@ def agg_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(ranked, x -> x.c_acctbal)").alias("top_acctbals"),
         )
     )
+
+
+@register(
+    "agg_map_sum",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       list(event_type ORDER BY event_type) AS keys,
+       list(CAST(v AS DOUBLE) ORDER BY event_type) AS vals
+FROM per GROUP BY user_id
+""",
+)
+def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumMap parity: per user, a keyed value map summed BY
+    KEY (event_type -> total value), surfaced as two parallel key-sorted
+    arrays — the hash-checkable rendering of a map column (map key order
+    is engine-arbitrary; sorted parallel arrays are total).
+
+    Two-stage shape: keyed partial sums first (map-combined, the state
+    a sumMap rollup table stores), then one collect per user over the
+    ALREADY-REDUCED |users x types| set — never collect raw rows.  Sums
+    are exact decimals cast to double at the end."""
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(dec("value")).alias("v"))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("event_type", F.col("v").cast("double").alias("v"))
+                )
+            ).alias("kv")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(kv, x -> x.event_type)").alias("keys"),
+            F.expr("transform(kv, x -> x.v)").alias("vals"),
+        )
+    )

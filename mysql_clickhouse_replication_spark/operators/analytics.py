@@ -381,3 +381,66 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rd").alias("report_day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS pos
+  FROM events WHERE event_type IN ('view', 'purchase', 'error')),
+carry AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN pos END)
+             OVER (PARTITION BY user_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN pos END)
+             OVER (PARTITION BY user_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS last_error
+  FROM seq)
+SELECT user_id,
+       BOOL_OR(event_type = 'purchase' AND last_view IS NOT NULL
+               AND (last_error IS NULL OR last_view > last_error)) AS matched
+FROM carry GROUP BY user_id
+""",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceMatch('(?1)(?3)' with a (?2) breaker) parity:
+    per user, does a view -> purchase pair occur IN ORDER with no error
+    event between them?  The scalable form is carry windows, not
+    pattern-matching self-joins: assign each relevant event an integer
+    position in the user's timeline (total order: ts, event_id), carry
+    the last-seen view/error positions forward with a running
+    conditional MAX, and a purchase row matches iff its carried view is
+    more recent than its carried error.  One user_id exchange shared by
+    all three window functions + the final aggregate; integer positions
+    keep every comparison engine-portable."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase", "error"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = ev.withColumn("pos", F.row_number().over(w_pos)).select(
+        "user_id",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("pos"))
+        ).over(w_carry).alias("last_view"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("pos"))
+        ).over(w_carry).alias("last_error"),
+    )
+    row_match = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_view").isNotNull()
+        & (F.col("last_error").isNull() | (F.col("last_view") > F.col("last_error")))
+    )
+    return carry.groupBy("user_id").agg(F.bool_or(row_match).alias("matched"))

@@ -1,0 +1,184 @@
+"""Replication integrity operators (SURVEY.md section 2.P): the checks a
+CDC operator runs to PROVE source and sink agree, and the dead-letter
+routing that keeps one poisoned event from stalling the pipeline.
+
+Reference parity: MySQL->ClickHouse replicators of the reference's class
+are verified in production with checksum tools (pt-table-checksum-style:
+per-table row counts + order-insensitive row checksums compared across
+source and sink) and guard their apply loop by shunting undecodable
+events to a dead-letter table instead of crashing ([P:med], empty
+snapshot — SURVEY.md section 0).
+
+Scale notes (100 TB):
+
+* cdc_row_checksum reduces each side to ONE row per table (count +
+  commutative sums) before any comparison — the network cost of
+  verifying a 100 TB replica is four numbers per table, and the
+  per-side pass is a map-combined aggregate over the state scan.
+  Checksums are order-insensitive SUMs of a portable per-row hash, so
+  partitioning/merge order can never flip the verdict.
+* cdc_dlq_split is a single map-only pass: classification is pure
+  expression logic (json validity + try_cast null probes), so routing
+  happens in the same stage as decode with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+from ..operators._util import D12
+from .cdc import _DECODE_SQL, _changelog, compact
+
+
+def _row_hash32(pk, seq) -> F.Column:
+    """Portable 32-bit row identity hash: md5 prefix of 'pk|seq', the
+    same md5-derived construction every cross-engine hash here uses."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", pk, seq)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+_CHECKSUM_STATE_SQL = """
+  SELECT tbl, pk, seq, op, value FROM {src}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+"""
+
+_CHECKSUM_AGG_SQL = """
+  SELECT tbl, COUNT(*) AS {p}_rows,
+         SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+             AS {p}_keysum,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS {p}_value
+  FROM {state} WHERE op != 'delete' GROUP BY tbl
+"""
+
+
+@register(
+    "cdc_row_checksum",
+    oracle=f"""
+WITH log AS (SELECT tbl, pk, seq, op, value FROM ({_DECODE_SQL})),
+m AS (SELECT MAX(seq) AS mseq FROM log),
+sink_log AS (
+  SELECT l.* FROM log l CROSS JOIN m
+  WHERE NOT (l.tbl = 't3' AND l.seq * 10 > m.mseq * 9)),
+src_state AS ({_CHECKSUM_STATE_SQL.format(src='log')}),
+sink_state AS ({_CHECKSUM_STATE_SQL.format(src='sink_log')}),
+src AS ({_CHECKSUM_AGG_SQL.format(p='src', state='src_state')}),
+sink AS ({_CHECKSUM_AGG_SQL.format(p='sink', state='sink_state')})
+SELECT COALESCE(src.tbl, sink.tbl) AS tbl,
+       src_rows, sink_rows, src_keysum, sink_keysum, src_value, sink_value,
+       (src_rows IS NOT DISTINCT FROM sink_rows
+        AND src_keysum IS NOT DISTINCT FROM sink_keysum
+        AND src_value IS NOT DISTINCT FROM sink_value) AS consistent
+FROM src FULL JOIN sink ON src.tbl = sink.tbl
+""",
+)
+def cdc_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication consistency check (pt-table-checksum shape): compact
+    the changelog into current state on the SOURCE side and on a SINK
+    that lags — it never received the last ~10% of table t3's events —
+    then compare per-table row counts, an order-insensitive SUM of a
+    portable per-row hash, and the exact-decimal value total.  The
+    drifted table (and only it) comes back consistent=false.
+
+    The lag cut is integer-exact (seq*10 > max_seq*9) with max_seq
+    injected via a 1-row broadcast, so both engines drop the identical
+    event set.  Null-safe comparisons + full outer join keep the
+    verdict well-defined even if a table vanishes from one side."""
+    log = _changelog(spark, sf_dir).select("tbl", "pk", "seq", "op", "value")
+    mseq = log.agg(F.max("seq").alias("mseq"))
+    sink_log = (
+        log.crossJoin(F.broadcast(mseq))
+        .filter(
+            ~((F.col("tbl") == "t3") & (F.col("seq") * 10 > F.col("mseq") * 9))
+        )
+        .drop("mseq")
+    )
+
+    def side(df: DataFrame, p: str) -> DataFrame:
+        state = compact(df, drop_deletes=True)
+        return state.groupBy("tbl").agg(
+            F.count("*").alias(f"{p}_rows"),
+            F.sum(_row_hash32(F.col("pk"), F.col("seq"))).alias(f"{p}_keysum"),
+            F.sum(F.col("value").cast(D12)).cast("double").alias(f"{p}_value"),
+        )
+
+    src, sink = side(log, "src"), side(sink_log, "sink")
+    joined = src.join(sink, "tbl", "full")
+    consistent = (
+        F.col("src_rows").eqNullSafe(F.col("sink_rows"))
+        & F.col("src_keysum").eqNullSafe(F.col("sink_keysum"))
+        & F.col("src_value").eqNullSafe(F.col("sink_value"))
+    )
+    return joined.select(
+        "tbl", "src_rows", "sink_rows", "src_keysum", "sink_keysum",
+        "src_value", "sink_value", consistent.alias("consistent"),
+    )
+
+
+@register(
+    "cdc_dlq_split",
+    oracle="""
+WITH inj AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS pk,
+         CASE WHEN event_id % 53 = 0 THEN '{"k":'
+              WHEN event_id % 59 = 0 THEN '{"k": "oops"}'
+              ELSE props END AS props
+  FROM events),
+cls AS (
+  SELECT event_id,
+         CASE WHEN pk IS NULL THEN 'null_pk'
+              WHEN NOT json_valid(props) THEN 'bad_json'
+              WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   IS NULL THEN 'bad_type'
+              ELSE 'ok' END AS reason
+  FROM inj)
+SELECT reason, COUNT(*) AS n_rows, MIN(event_id) AS first_event
+FROM cls GROUP BY reason
+""",
+)
+def cdc_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: classify every changelog event as ok /
+    null_pk / bad_json / bad_type in priority order and count each
+    route.  The fixture stream is clean, so corruption is injected
+    deterministically first (truncated JSON on event_id%53, wrong-typed
+    payload on %59, null primary key on %97) — the identical CASE runs
+    in the oracle, so the split is non-vacuous and hash-checked.
+
+    Probes are pure expressions with null-not-error semantics: JSON
+    validity via get_json_object(props, '$') (NULL on malformed — the
+    Spark twin of DuckDB's json_valid) and payload typing via
+    try_cast.  In production the 'ok' branch feeds the sink while the
+    rest lands in a DLQ table with the same (reason, first seen)
+    metadata this emits."""
+    ev = table(spark, sf_dir, "events")
+    inj = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("pk"),
+        F.when(F.col("event_id") % 53 == 0, F.lit('{"k":'))
+        .when(F.col("event_id") % 59 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    reason = (
+        F.when(F.col("pk").isNull(), "null_pk")
+        .when(F.get_json_object("props", "$").isNull(), "bad_json")
+        .when(
+            F.expr("try_cast(get_json_object(props, '$.k') AS int)").isNull(),
+            "bad_type",
+        )
+        .otherwise("ok")
+    )
+    return (
+        inj.select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("first_event"),
+        )
+    )

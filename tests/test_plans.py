@@ -386,3 +386,38 @@ def test_rolling_distinct_dedups_before_fanout(plans):
     assert "explode(sequence" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert p.index("HashAggregate") < p.index("explode(sequence")
+
+
+def test_sequence_match_single_user_exchange(plans):
+    # all three window functions (position + both carries) and the final
+    # aggregate's partial run off ONE user_id exchange; positions are
+    # integers so no timestamp arithmetic survives into the comparison.
+    p = plans("events_sequence_match", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_dlq_split_is_map_only_before_agg(plans):
+    # classification must be pure expression logic: the only exchange is
+    # the final 4-group aggregate, and no Python reaches the data path.
+    p = plans("cdc_dlq_split", "simple")
+    assert p.count("Exchange") <= 2  # partial->final agg exchange only
+    assert "BatchEvalPython" not in p
+
+
+def test_contamination_join_broadcasts_benchmark(plans):
+    # eval-set grams are the small side: broadcast hash join on the gram
+    # hash, never a nested-loop/cartesian pairing of documents.
+    p = plans("docs_contamination_check")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_row_checksum_reduces_before_compare(plans):
+    # both sides collapse to one row per table (map-combined partial
+    # aggregates) before the comparison join — the compare itself moves
+    # four numbers per table, never row data.
+    p = plans("cdc_row_checksum", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
