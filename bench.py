@@ -145,6 +145,9 @@ EXTRA = [
     "agg_map_sum",
     "events_sequence_match",
     "docs_contamination_check",
+    "cdc_conflict_lww",
+    "events_cohort_ltv",
+    "dedup_survivor_pick",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -958,3 +958,64 @@ def text_topn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "bigram", "cnt")
     )
+
+
+@register(
+    "dedup_survivor_pick",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+closure AS (
+  SELECT a, b FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM und
+),
+clusters AS (
+  SELECT a AS doc_id, MIN(b) AS canonical_id FROM closure GROUP BY a
+)
+SELECT canonical_id, doc_id AS survivor_doc_id,
+       n_chars AS survivor_n_chars,
+       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM clusters JOIN documents USING (doc_id)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical_id
+                           ORDER BY n_chars DESC, doc_id) = 1
+""",
+)
+def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship rule on top of near-dup clustering: per connected
+    component, KEEP exactly one member — the longest document, doc_id
+    as the tiebreak — and report it with the cluster size.  This is the
+    step a production dedup actually ships (pairs and clusters are
+    intermediates; the deliverable is the keep-list), and the rule is
+    deliberately metadata-driven (n_chars) so the pick costs one
+    broadcast-size join, not a re-scan of text.
+
+    Shape: cluster labels from dedup_cluster's label propagation, one
+    equi join onto document metadata, then a WindowGroupLimit-style
+    rank-1 filter per cluster — the window runs over |cluster members|
+    rows, a vanishing fraction of the corpus."""
+    members = dedup_cluster(spark, sf_dir)
+    meta = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = members.join(meta, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+            "cluster_size",
+        )
+    )

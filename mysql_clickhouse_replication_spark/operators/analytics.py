@@ -444,3 +444,80 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("last_error").isNull() | (F.col("last_view") > F.col("last_error")))
     )
     return carry.groupBy("user_id").agg(F.bool_or(row_match).alias("matched"))
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+rev AS (
+  SELECT date_trunc('week', s.signup_ts)::TIMESTAMP AS cohort_week,
+         CAST(date_diff('day', CAST(s.signup_ts AS DATE),
+                        CAST(e.ts AS DATE)) // 7 AS INTEGER) AS age_weeks,
+         e.user_id,
+         CAST(e.value AS DECIMAL(12,2)) AS v
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts),
+weekly AS (
+  SELECT cohort_week, age_weeks,
+         COUNT(DISTINCT user_id) AS n_active,
+         SUM(v) AS revenue
+  FROM rev GROUP BY cohort_week, age_weeks)
+SELECT cohort_week, age_weeks, n_active,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS cum_revenue
+FROM weekly
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users are grouped by signup week and
+    purchase revenue is accumulated per cohort age (whole weeks since
+    signup), the standard LTV/retention-revenue matrix ClickHouse
+    deployments build over replicated event tables.
+
+    Shape: per-user signup argmin (map-combined), ONE shuffle join back
+    onto the purchase stream keyed by user_id, keyed aggregate down to
+    the |cohorts x ages| matrix, then the cumulative window runs over
+    that already-reduced set (never raw events).  Ages are integer day
+    arithmetic on DATE casts — no timestamp subtraction reaches the
+    output — and revenue is exact decimal until the final DOUBLE."""
+    ev = table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            F.date_trunc("week", "signup_ts").alias("cohort_week"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date"))
+                / 7
+            ).cast("int").alias("age_weeks"),
+            "user_id",
+            F.col("value").cast(D12).alias("v"),
+        )
+    )
+    weekly = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum("v").alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+    )

@@ -325,7 +325,15 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     region are broadcast dims, and the region filter prunes nations
     BEFORE the fact join touches them — at 100 TB the broadcast side is
     a few MB while the fact side never shuffles twice (the n_name
-    grouping rides the already-partitioned join output)."""
+    grouping rides the already-partitioned join output).
+
+    The fact join carries an explicit shuffle_hash hint: at bench scale
+    lineitem's pruned 4-column projection sneaks under the
+    auto-broadcast threshold and Catalyst happily broadcasts the FACT
+    (a 600 k-row hash relation rebuilt per run — measured 4-5 s of
+    driver-side build under a warm loaded JVM, and a plan that would
+    OOM outright at 100 TB). The hint pins the scale-correct shape at
+    every SF; dims stay broadcast."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -337,7 +345,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -181,4 +181,57 @@ def cdc_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min("event_id").alias("first_event"),
         )
+    )
+
+
+@register(
+    "cdc_conflict_lww",
+    oracle=f"""
+WITH log AS (
+  SELECT pk, seq, ts, value, seq % 3 AS source_id FROM ({_DECODE_SQL})),
+lww AS (
+  SELECT pk, value AS lww_value FROM log
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk
+                             ORDER BY ts DESC, source_id DESC, seq DESC) = 1),
+seqw AS (
+  SELECT pk, value AS seq_value FROM log
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1)
+SELECT pk, lww_value, seq_value, lww_value != seq_value AS differs
+FROM lww JOIN seqw USING (pk)
+""",
+)
+def cdc_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source conflict resolution: when the same primary key is
+    written from several replication sources (source_id synthesized as
+    seq%3), arrival order (seq) is no longer authoritative — the
+    last-writer-wins register orders versions by the TOTAL key
+    (event time, source_id, seq), exactly the (version, replica)
+    tiebreak ClickHouse ReplacingMergeTree applies with a version
+    column.  Emitted next to the arrival-order winner with a `differs`
+    flag, so the key is non-vacuous: out-of-order event times make the
+    two disagree on a stable subset of keys.
+
+    Both winners are row_number()=1 picks over the SAME pk partition —
+    Spark plans one Exchange and two sorts, never a self-join of the
+    raw changelog."""
+    log = _changelog(spark, sf_dir).select(
+        "pk", "seq", "ts", "value", (F.col("seq") % 3).alias("source_id")
+    )
+    w_lww = Window.partitionBy("pk").orderBy(
+        F.desc("ts"), F.desc("source_id"), F.desc("seq")
+    )
+    w_seq = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    lww = (
+        log.withColumn("rn", F.row_number().over(w_lww))
+        .filter(F.col("rn") == 1)
+        .select("pk", F.col("value").alias("lww_value"))
+    )
+    seqw = (
+        log.withColumn("rn", F.row_number().over(w_seq))
+        .filter(F.col("rn") == 1)
+        .select("pk", F.col("value").alias("seq_value"))
+    )
+    return lww.join(seqw, "pk").select(
+        "pk", "lww_value", "seq_value",
+        (F.col("lww_value") != F.col("seq_value")).alias("differs"),
     )

@@ -421,3 +421,21 @@ def test_row_checksum_reduces_before_compare(plans):
     p = plans("cdc_row_checksum", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_q5_fact_join_is_shuffle_not_broadcast(plans):
+    # the facts must meet in a shuffle hash join; at bench scale the
+    # pruned lineitem projection sneaks under the auto-broadcast
+    # threshold and Catalyst would otherwise broadcast a FACT — the
+    # shape that OOMs at 100 TB (hint pinned in tpch_q5_shape).
+    p = plans("tpch_q5_shape", "simple")
+    assert "ShuffledHashJoin" in p
+
+
+def test_conflict_lww_single_pk_exchange(plans):
+    # both winner picks (arrival-order and LWW total order) must run
+    # off ONE pk exchange — two sorts, never a second shuffle or a
+    # self-join of the raw changelog.
+    p = plans("cdc_conflict_lww", "simple")
+    assert p.count("Exchange hashpartitioning") <= 2  # pk windows + join
+    assert "CartesianProduct" not in p
