@@ -458,3 +458,53 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
     return _run_to_memory(joined, "append")
+
+
+@register("cdc_sink_idempotent", oracle=_CDC_DECODE_ORACLE)
+def cdc_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SINK semantics from an at-least-once stream: the
+    foreachBatch writer lands each micro-batch in a batch_id-keyed
+    parquet partition with DYNAMIC partition overwrite, so REPLAYING a
+    batch (here: the whole stream re-run from a fresh checkpoint — the
+    checkpoint-loss worst case) overwrites its own partitions instead
+    of appending duplicates.  The stream runs TWICE; the sink still
+    holds exactly one delivery, and the oracle is the plain decode —
+    idempotence is what the hash check proves.
+
+    This is the standard Structured Streaming exactly-once recipe for
+    non-transactional sinks (batch_id as the idempotence key); for
+    ClickHouse the same pattern keys INSERT blocks by (table, batch_id)
+    and relies on replicated-dedup of identical blocks."""
+    sink = _scratch("cdc_sink_idem", uuid.uuid4().hex)
+
+    def run_once() -> None:
+        sdf = _events_stream(spark, sf_dir)
+        decoded = sdf.select(
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("user_id").alias("pk"),
+            F.col("event_id").alias("seq"),
+            "value",
+        )
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            (
+                bdf.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sink)
+            )
+
+        q = (
+            decoded.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # full redelivery — must overwrite, not duplicate
+    return spark.read.parquet(sink).select("op", "pk", "seq", "value")
