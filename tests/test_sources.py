@@ -34,3 +34,21 @@ def test_parallel_snapshot_rejects_bad_bounds():
         jdbc_partitioned_options("u", "t", "pk", 10, 1, 8)
     with pytest.raises(ValueError):
         jdbc_partitioned_options("u", "t", "pk", 1, 10, 0)
+
+
+def test_events_ts_decodes_to_ltz_timestamp_for_all_fixtures(spark):
+    """Fixture generations have shipped events.ts as parquet
+    TIMESTAMP(NANOS) (read as raw longs under the legacy conf) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  The loader must
+    normalize BOTH to TIMESTAMP (LTZ) — event operators use
+    unix_micros()/watermarks, which reject NTZ — without shifting
+    instants (session TZ is pinned UTC)."""
+    from pyspark.sql.types import TimestampType
+
+    from mysql_clickhouse_replication_spark.session import table
+
+    for sf in ("sf0.001", "sf0.01"):
+        df = table(spark, f"/root/testdata/{sf}", "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), sf
+        # unix_micros must analyze (the exact op that broke on NTZ)
+        df.selectExpr("unix_micros(ts)").limit(1).collect()
