@@ -148,6 +148,7 @@ EXTRA = [
     "cdc_conflict_lww",
     "events_cohort_ltv",
     "dedup_survivor_pick",
+    "events_ab_ztest",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -521,3 +521,87 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@register(
+    "events_ab_ztest",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 95
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
+         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
+  FROM per_user)
+SELECT n_a, n_b, c_a, c_b, rate_a, rate_b, z_score,
+       COALESCE(ABS(z_score) > 1.96, FALSE) AS significant
+FROM (
+  SELECT n_a, n_b, c_a, c_b,
+         ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+         ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+         CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4)
+         END AS z_score
+  FROM v) t
+""",
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (ClickHouse stats-function family parity):
+    two-proportion pooled z-test on per-user conversion between variants
+    (assignment = user_id parity — the deterministic hash-split an
+    experimentation system uses).  Every input to the floating math is
+    an EXACT integer (user counts, converted counts), so both engines
+    feed identical operands into the same IEEE expression and the
+    4-decimal-rounded z-score is bit-stable cross-engine — the same
+    determinism recipe as events_anomaly_zscore.
+
+    Shape: one user_id-keyed aggregate (map-combined conversion flags),
+    then a single-row conditional rollup; the z expression runs on one
+    row.  At 100 TB the per-user agg is the only data-sized stage."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 95), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    v = per_user.select(
+        (F.col("user_id") % 2).alias("variant"), "conv"
+    ).agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    conv_total = F.col("c_a") + F.col("c_b")
+    users_total = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (conv_total > 0) & (conv_total < users_total),
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                p
+                * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ),
+    )
+    return v.select(
+        "n_a", "n_b", "c_a", "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
