@@ -96,10 +96,11 @@ _R04_NEXT = [
 def _ordered_keys() -> list[str]:
     """All registered keys: r03 window first, then the r04 group, proven
     last.  The r04 group is _R04_NEXT plus every key registered after
-    this rotation was written (the round-3 second wave), kept TOGETHER
-    so round 4's swap needs to exchange exactly two names below and the
-    driver's first-50 window lands on unproven keys: after the swap the
-    r04 group is 64 keys, so its overflow plus re-proofs fall to r05."""
+    this rotation was written (the round-3 second/third/fourth waves),
+    kept TOGETHER so round 4's swap needs to exchange exactly two names
+    below and the driver's first-50 window lands on unproven keys:
+    after the swap the r04 group is 87 keys (23 listed + 64
+    auto-appended), so its overflow plus re-proofs fall to r05/r06."""
     seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
     extras = [k for k in QUERIES if k not in seen]
     g_r03 = [k for k in _R03_WINDOW if k in QUERIES]

@@ -149,6 +149,7 @@ EXTRA = [
     "events_cohort_ltv",
     "dedup_survivor_pick",
     "events_ab_ztest",
+    "cdc_gap_check",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

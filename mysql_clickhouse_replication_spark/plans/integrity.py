@@ -235,3 +235,50 @@ def cdc_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "lww_value", "seq_value",
         (F.col("lww_value") != F.col("seq_value")).alias("differs"),
     )
+
+
+@register(
+    "cdc_gap_check",
+    oracle=f"""
+WITH log AS (
+  SELECT tbl, seq, seq % 101 != 0 AS received FROM ({_DECODE_SQL})),
+g AS (
+  SELECT tbl, seq, received,
+         LAG(received) OVER (PARTITION BY tbl ORDER BY seq) AS prev_received
+  FROM log)
+SELECT tbl,
+       COUNT(CASE WHEN received AND prev_received = FALSE THEN 1 END)
+           AS n_gaps,
+       MIN(CASE WHEN received AND prev_received = FALSE THEN seq END)
+           AS first_gap_before,
+       COUNT(CASE WHEN NOT received THEN 1 END) AS n_dropped_true
+FROM g GROUP BY tbl
+""",
+)
+def cdc_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication continuity check: detect MISSING events in the
+    received changelog — the binlog-gap monitor that catches a dropped
+    connection or a purged log segment before the sink silently
+    diverges.  A deterministic loss is injected (every seq%101==0 event
+    never arrives) and the detector walks the AUTHORITATIVE sequence
+    (in production: the source's binlog index / GTID set) with a
+    received flag: a gap run is surfaced at the first received event
+    after it (lag(received)=false), so leading drops are caught and
+    every maximal missing run counts exactly once.  The true injected
+    drop count rides along, so the monitor's findings reconcile.
+
+    Shape: ONE (tbl)-keyed window over the authoritative sequence plus
+    a map-combined aggregate — linear in the log, single shuffle.  (A
+    membership-probe formulation — join received intervals against the
+    authoritative set — is quadratic per table and was rejected.)"""
+    log = _changelog(spark, sf_dir).select(
+        "tbl", "seq", (F.col("seq") % 101 != 0).alias("received")
+    )
+    w = Window.partitionBy("tbl").orderBy("seq")
+    g = log.withColumn("prev_received", F.lag("received").over(w))
+    gap = F.col("received") & (F.col("prev_received") == False)  # noqa: E712
+    return g.groupBy("tbl").agg(
+        F.count(F.when(gap, 1)).alias("n_gaps"),
+        F.min(F.when(gap, F.col("seq"))).alias("first_gap_before"),
+        F.count(F.when(~F.col("received"), 1)).alias("n_dropped_true"),
+    )
