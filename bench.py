@@ -150,6 +150,7 @@ EXTRA = [
     "dedup_survivor_pick",
     "events_ab_ztest",
     "cdc_gap_check",
+    "text_entropy",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

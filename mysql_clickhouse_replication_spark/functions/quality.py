@@ -456,3 +456,59 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "had_phone"
         ),
     )
+
+
+@register(
+    "text_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+d AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+         SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
+  FROM tc GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, n_distinct,
+       ROUND(LN(CAST(n AS DOUBLE)) - sum_clnc / n, 6) AS token_entropy,
+       ROUND(CAST(n_distinct AS DOUBLE) / n, 6) AS ttr,
+       CAST(n_distinct AS DOUBLE) / n < 0.3 AS low_diversity
+FROM d
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy + type-token ratio per document — the
+    repetition/gibberish signal a quality pipeline runs next to length
+    and stopword heuristics (boilerplate and keyword-stuffed docs score
+    low-entropy; natural text sits near the corpus band).
+
+    Entropy via the factored form H = ln(n) - (1/n)*sum(c*ln c): the
+    counts feeding the float math are exact integers, each ln() term is
+    computed from the same integer in both engines, and the result is
+    rounded (6 dp) before comparison — the text_lm_score determinism
+    recipe.  Shape: explode -> (doc, term) map-combined count ->
+    per-doc aggregate; the float sum runs over the reduced term-count
+    set, never raw tokens."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sum_clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("sum_clnc") / F.col("n"), 6
+        ).alias("token_entropy"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias("ttr"),
+        (F.col("n_distinct").cast("double") / F.col("n") < 0.3).alias(
+            "low_diversity"
+        ),
+    )
