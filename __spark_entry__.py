@@ -93,21 +93,37 @@ _R04_NEXT = [
 ]
 
 
+# Round-3 red rows (driver hash-fail from gate-vs-local canonicalization
+# drift), hardened this round (integer-cents / ROUND(...,6) surfaces) --
+# prepended to the r04 window so the driver re-records them first.
+_RED_R03 = ["cdc_type_cast", "text_stats"]
+
+
 def _ordered_keys() -> list[str]:
-    """All registered keys: r03 window first, then the r04 group, proven
-    last.  The r04 group is _R04_NEXT plus every key registered after
-    this rotation was written (the round-3 second/third/fourth waves),
-    kept TOGETHER so round 4's swap needs to exchange exactly two names
-    below and the driver's first-50 window lands on unproven keys:
-    after the swap the r04 group is 87 keys (23 listed + 64
-    auto-appended), so its overflow plus re-proofs fall to r05/r06."""
+    """All registered keys: the two hardened r03 red keys first, then the
+    r04 group (the _R04_NEXT list plus every key registered after the
+    round-3 rotation was written -- the r03 second/third/fourth waves --
+    plus any NEW key, which auto-appends at the back of the group), then
+    the r03 window (driver-green in r03), proven-r02 last.
+
+    The driver's gate records the first 50 keys, so CORRECTNESS_r04
+    lands on: 2 hardened red keys + 23 _R04_NEXT + the first 25
+    auto-appended extras.  Round 5: rotate the r04-group OVERFLOW (the
+    extras beyond position 50, plus keys added in round 4) to the front
+    -- replace the return below with  g_r04[50:] + g_r04[:50] + g_r03 +
+    proven  (keeping _RED_R03 inside the proven region if r04 records
+    them green)."""
     seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
     extras = [k for k in QUERIES if k not in seen]
-    g_r03 = [k for k in _R03_WINDOW if k in QUERIES]
-    g_r04 = [k for k in _R04_NEXT if k in QUERIES] + extras
+    g_r03 = [k for k in _R03_WINDOW if k in QUERIES and k not in _RED_R03]
+    g_r04 = (
+        [k for k in _RED_R03 if k in QUERIES]
+        + [k for k in _R04_NEXT if k in QUERIES]
+        + extras
+    )
     proven = [k for k in _PROVEN_R02 if k in QUERIES]
-    # Round 4: swap g_r03 and g_r04 in the line below — nothing else.
-    return g_r03 + g_r04 + proven
+    # Round 4 swap executed: r04 group (red keys prepended) now leads.
+    return g_r04 + g_r03 + proven
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -368,11 +368,15 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode both sides into 32-bit gram hashes, DISTINCT each
     side first (bounds the join fan-out by unique grams, not raw
-    positions), then an inverted-index equi join — benchmark side
-    broadcast (eval sets are tiny next to the corpus; at a larger eval
-    scale the same plan runs as a shuffle hash join on g).  Short-doc
-    guard: documents under 8 tokens contribute their single truncated
-    shingle in both engines (greatest() floor, same construction as
+    positions), then an inverted-index equi join with a shuffle_hash
+    hint on the benchmark side (ADVICE r3: in THIS fixture the
+    'benchmark' is a fixed fraction of the corpus, so its distinct-gram
+    set grows linearly with scale — a hard broadcast would be a driver
+    OOM at 100 TB; shuffle-hash keeps the hash-join physical shape
+    without the broadcast memory bound.  A production run whose eval
+    set IS constant-size can re-add F.broadcast).  Short-doc guard:
+    documents under 8 tokens contribute their single truncated shingle
+    in both engines (greatest() floor, same construction as
     text_fingerprint)."""
     d = table(spark, sf_dir, "documents")
     grams = (
@@ -396,7 +400,7 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        train.join(F.broadcast(bench), "g")
+        train.join(bench.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_shared_grams"),

@@ -84,12 +84,16 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves DECIMAL(8,2) until the output cast.  All four dims broadcast;
     the join-back is agg-vs-agg on the already-shuffled p_partkey.
 
-    The per-part best-cost side is explicitly broadcast: it is bounded
-    by the FILTERED part count (two aggregations below |parts|), but
-    Catalyst cannot see that through the agg and falls back to a
-    sort-merge join that re-shuffles the whole eligible catalog on a
-    (key, cost) composite — measured 4x slower at bench scale and
-    strictly worse at 100 TB, where the eligible side is the big one."""
+    The join-back carries a shuffle_hash hint (ADVICE r3): the best
+    side is bounded by the FILTERED part count — linear in scale
+    factor, not a constant — so a hard broadcast would eventually hit
+    Spark's 8 GB broadcast limit at the 100 TB design point.  Catalyst
+    alone cannot see the agg's cardinality and falls back to a
+    sort-merge join that re-sorts the whole eligible catalog on a
+    (key, cost) composite — measured 4x slower at bench scale; the
+    shuffle-hash hint keeps the hash-join physical shape (build side =
+    best, no sort) while both sides arrive already partitioned on
+    p_partkey from their upstream aggregations, so no extra exchange."""
     li = table(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(dec("l_extendedprice", D8)).alias("unit_cost")
@@ -112,7 +116,7 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eligible.join(
-            F.broadcast(best),
+            best.hint("shuffle_hash"),
             (eligible.p_partkey == best.bp)
             & (eligible.unit_cost == best.best_cost),
         )

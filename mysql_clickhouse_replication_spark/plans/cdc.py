@@ -210,8 +210,8 @@ def cdc_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(l_orderkey AS BIGINT)            AS orderkey,
        CAST(l_linenumber AS SMALLINT)        AS linenumber,
-       CAST(l_quantity AS DECIMAL(12,2))     AS quantity,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+       CAST(ROUND(l_quantity * 100) AS BIGINT)      AS quantity_cents,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
        CAST(l_shipdate AS DATE)              AS shipdate,
        CAST(l_returnflag AS VARCHAR)         AS returnflag
 FROM lineitem
@@ -219,15 +219,23 @@ FROM lineitem
 )
 def cdc_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MySQL->ClickHouse static type map (SURVEY.md section 1.2) as
-    Spark casts: integer narrowing, DOUBLE->DECIMAL money, TIMESTAMP->DATE,
-    string passthrough — the reference's column-mapper, schema-checked by
-    the gate."""
+    Spark casts: integer narrowing, money as exact integer cents,
+    TIMESTAMP->DATE, string passthrough — the reference's column-mapper,
+    schema-checked by the gate.
+
+    Money surfaces as BIGINT cents rather than DECIMAL(12,2): a DECIMAL
+    cast from DOUBLE rounds differently across engines (Spark goes via
+    BigDecimal.valueOf shortest-repr then HALF_UP; DuckDB rounds the
+    binary double) so values one ULP around x.xx5 can land on different
+    cents.  ROUND(x*100) to an integral double then a BIGINT cast is
+    exact and canonicalization-proof on both engines — the repo's proven
+    pattern (embedding_quantize, events_markov_transitions)."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").cast("bigint").alias("orderkey"),
         F.col("l_linenumber").cast("smallint").alias("linenumber"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("quantity"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("quantity_cents"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_cents"),
         F.col("l_shipdate").cast("date").alias("shipdate"),
         F.col("l_returnflag").cast("string").alias("returnflag"),
     )

@@ -153,7 +153,16 @@ def cdc_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin of DuckDB's json_valid) and payload typing via
     try_cast.  In production the 'ok' branch feeds the sink while the
     rest lands in a DLQ table with the same (reason, first seen)
-    metadata this emits."""
+    metadata this emits.
+
+    Strictness caveat (ADVICE r3): Spark's Jackson parser is lenient —
+    it accepts some non-strict JSON (single quotes, unquoted keys, NaN)
+    that DuckDB's json_valid rejects, so the two bad_json
+    classifications could diverge IF fixture props ever carried
+    non-strict JSON.  Current fixture generations emit strict JSON only
+    (hash-verified at sf0.001/0.01/0.1); if that changes, switch the
+    probe to from_json with a schema (null-on-corrupt, strictness
+    matching across engines) or normalize props before classifying."""
     ev = table(spark, sf_dir, "events")
     inj = ev.select(
         "event_id",

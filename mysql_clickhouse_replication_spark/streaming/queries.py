@@ -474,7 +474,21 @@ def cdc_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the standard Structured Streaming exactly-once recipe for
     non-transactional sinks (batch_id as the idempotence key); for
     ClickHouse the same pattern keys INSERT blocks by (table, batch_id)
-    and relies on replicated-dedup of identical blocks."""
+    and relies on replicated-dedup of identical blocks.
+
+    Replay-alignment assumption (ADVICE r3): batch_id-keyed overwrite
+    is exactly-once only when the replay produces the SAME batch
+    boundaries as the first run.  Here that holds by construction —
+    one fixture file + availableNow + no maxFilesPerTrigger → a single
+    batch 0 both times.  With multiple input files or a file-rate
+    trigger the rerun could split batches differently and leave stale
+    batch_id partitions that dynamic overwrite never touches; a
+    production deployment must either pin deterministic batching
+    (same source options + checkpoint) or key overwrites by a
+    source-derived epoch instead of batch_id.  The demo asserts the
+    invariant outright: after the replay the sink must hold exactly
+    one delivery (sink rows == source rows) — a silent duplicate
+    raises instead of returning."""
     sink = _scratch("cdc_sink_idem", uuid.uuid4().hex)
 
     def run_once() -> None:
@@ -507,4 +521,12 @@ def cdc_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_once()
     run_once()  # full redelivery — must overwrite, not duplicate
-    return spark.read.parquet(sink).select("op", "pk", "seq", "value")
+    out = spark.read.parquet(sink).select("op", "pk", "seq", "value")
+    n_sink = out.count()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    if n_sink != n_src:
+        raise AssertionError(
+            f"idempotent sink violated: {n_sink} sink rows != {n_src} "
+            "source rows — replay produced misaligned batch boundaries"
+        )
+    return out

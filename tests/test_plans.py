@@ -267,6 +267,11 @@ def test_q21_semi_anti_pair_no_cartesian(plans):
 def test_q2_dims_broadcast_no_cartesian(plans):
     p = plans("tpch_q2_shape", "simple")
     assert p.count("BroadcastHashJoin") >= 4
+    # ADVICE r3: the min-cost join-back must be a shuffle hash join —
+    # best's cardinality is linear in SF, so no broadcast; no sort-merge
+    # re-sort of the eligible catalog either.
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
 
 
@@ -405,11 +410,14 @@ def test_dlq_split_is_map_only_before_agg(plans):
     assert "BatchEvalPython" not in p
 
 
-def test_contamination_join_broadcasts_benchmark(plans):
-    # eval-set grams are the small side: broadcast hash join on the gram
-    # hash, never a nested-loop/cartesian pairing of documents.
+def test_contamination_join_is_shuffle_hash_not_broadcast(plans):
+    # ADVICE r3: this fixture's 'benchmark' side grows linearly with
+    # the corpus, so the gram join must be a shuffle hash join — a hash
+    # join without broadcast's driver-memory bound — and never a
+    # nested-loop/cartesian pairing of documents.
     p = plans("docs_contamination_check")
-    assert "BroadcastHashJoin" in p
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -439,3 +447,30 @@ def test_conflict_lww_single_pk_exchange(plans):
     p = plans("cdc_conflict_lww", "simple")
     assert p.count("Exchange hashpartitioning") <= 2  # pk windows + join
     assert "CartesianProduct" not in p
+
+
+def test_cc_loop_lineage_bounded_on_deep_graph(spark):
+    # VERDICT r3 item 5: the connected-components fixpoint loop must
+    # truncate lineage (localCheckpoint every 4 rounds + unpersist of
+    # superseded label frames) so plan depth stays bounded no matter
+    # the component diameter.  A 12-chain path graph forces ~11 rounds
+    # (>= 2 checkpoint cuts); the converged frame's parsed plan must be
+    # a checkpoint leaf — a handful of joins from the last partial
+    # window, NOT the ~22 joins an untruncated 11-round chain carries.
+    from mysql_clickhouse_replication_spark.functions.text import (
+        _min_label_propagate,
+    )
+
+    n = 12
+    edges = [(f"d{i:02d}", f"d{i+1:02d}") for i in range(n - 1)]
+    und_pairs = edges + [(b, a) for a, b in edges]
+    und = spark.createDataFrame(und_pairs, ["doc_a", "doc_b"])
+    labels = _min_label_propagate(und)
+    rows = {r["v"]: r["lbl"] for r in labels.collect()}
+    assert len(rows) == n
+    assert set(rows.values()) == {"d00"}  # single component, min label
+    plan = _plan(labels, "extended")
+    # the logical plan must hang off a checkpoint scan, not the full
+    # iteration history
+    assert plan.count("Join") <= 8, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
