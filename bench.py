@@ -151,6 +151,96 @@ EXTRA = [
     "events_ab_ztest",
     "cdc_gap_check",
     "text_entropy",
+    # --- round 4: full coverage of the remaining non-streaming keys
+    # (VERDICT r3 item 6) — cheap scalar/relational/agg/join/TPCH keys
+    # that had correctness evidence but no timing row.
+    "scan_parquet",
+    "scan_partition_filter",
+    "project_compute",
+    "filter_in_between_like",
+    "filter_null_semantics",
+    "case_when",
+    "sample_hash_based",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "agg_hash_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_minmax_by",
+    "agg_collect",
+    "agg_conditional",
+    "agg_distinct_rows",
+    "agg_skew_salted",
+    "agg_approx_percentiles",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_interval_overlap",
+    "join_bucketed_colocated",
+    "tpch_q3_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q10_shape",
+    "tpch_q12_shape",
+    "tpch_q14_shape",
+    "cdc_snapshot",
+    "cdc_decode",
+    "cdc_filter_tables",
+    "cdc_apply_delete",
+    "cdc_dedup_exact",
+    "cdc_type_cast",
+    "cdc_merge_into",
+    "cdc_schema_evolution",
+    "cdc_snapshot_increment",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_hash",
+    "fn_url",
+    "fn_bitwise",
+    "fn_variant",
+    "text_stats",
+    "text_token_count",
+    "multimodal_join",
+    "multimodal_decode",
+    "multimodal_framesample",
+    "vector_group_rank",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    # --- round 4 additions (MergeTree sink twins + pipeline ops).
+    "cdc_collapsing_sign",
+    "cdc_ttl_expiry",
+    "events_funnel_strict",
+    "sample_importance_weighted",
+    "docs_repetition_ratio",
+]
+
+# Deliberately NOT timed — wall time is fixed micro-batch machinery
+# (~1-2 s trigger/sink constants per key at any SF), which at bench
+# scale measures Structured Streaming overhead, not operator
+# throughput; their per-round evidence is the correctness gate row.
+# (stream_stream_join stays in EXTRA: it predates this list and its
+# round-over-round comparability is worth the constant.)
+STREAMING_EXCLUDED = [
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_stateful", "stream_triggers", "stream_output_modes",
+    "stream_static_join", "cdc_stream_source", "cdc_sink",
+    "cdc_checkpoint", "cdc_sink_idempotent",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

@@ -407,3 +407,124 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("bench_id").alias("first_bench_doc"),
         )
     )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle="""
+WITH w AS (
+  SELECT source, doc_id,
+         CAST(n_chars AS DOUBLE)
+           / (SELECT MAX(n_chars) FROM documents) AS wt,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (b < wt * 4294967296.0) AS n_kept,
+       ROUND(CAST(COUNT(*) FILTER (b < wt * 4294967296.0) AS DOUBLE)
+             / COUNT(*), 6) AS kept_rate,
+       ROUND(AVG(wt), 6) AS expected_rate
+FROM w GROUP BY source
+""",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling — the data-mixing
+    primitive of a training pipeline: keep each document with
+    probability proportional to a quality weight (here n_chars
+    normalized by the corpus max), implemented as a PORTABLE hash
+    threshold rather than an RNG.  P(keep) = weight exactly, the sample
+    is reproducible across engines/runs/cluster sizes, and re-deriving
+    it for any doc_id needs no stored state — the weighted extension of
+    sample_hash_based (ClickHouse SAMPLE parity).  Per-source kept_rate
+    vs expected_rate (= avg weight) surfaces the sanity check a
+    pipeline monitors.
+
+    Shape: a 1-row global max broadcast into a map-only predicate, then
+    one groupBy(source) with conditional counts.  At 100 TB the weight
+    column would come from a quality model's score; the plumbing is
+    identical."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("mx_chars"))
+    wt = F.col("n_chars").cast("double") / F.col("mx_chars")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    kept = bucket < wt * F.lit(4294967296.0)
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(kept).alias("n_kept"),
+            F.round(
+                F.count_if(kept).cast("double") / F.count(F.lit(1)), 6
+            ).alias("kept_rate"),
+            F.round(F.avg(wt), 6).alias("expected_rate"),
+        )
+    )
+
+
+@register(
+    "docs_repetition_ratio",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(toks), 2))]) AS g,
+         greatest(len(toks) - 1, 1) AS n_bigrams,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct
+  FROM base),
+cnt AS (
+  SELECT doc_id, n_tokens, n_distinct, n_bigrams, COUNT(*) AS c
+  FROM bg GROUP BY doc_id, n_tokens, n_distinct, n_bigrams, g)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND(CAST(MAX(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_share,
+       (CAST(n_distinct AS DOUBLE) / n_tokens) >= 0.3
+         AND (CAST(MAX(c) AS DOUBLE) / n_bigrams) <= 0.2 AS keep
+FROM cnt GROUP BY doc_id, n_tokens, n_distinct, n_bigrams
+""",
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher-style repetition
+    filters a training pipeline runs alongside length/stopword checks
+    (text_quality): type-token ratio (distinct/total tokens) and the
+    share of the most frequent bigram, with the keep/drop gate
+    (ttr >= 0.3 AND top-bigram share <= 0.2).  Boilerplate, template
+    spam, and looped generations fail exactly these two.
+
+    Shape: bigrams via the same slice/concat construction as
+    docs_contamination_check, exploded and counted per (doc, gram) —
+    one doc_id-keyed shuffle — then a max-share per doc off the same
+    grouping.  Per-doc state is its distinct-bigram counts; nothing is
+    global, so the plan partitions freely at 100 TB.  Single-token docs
+    degrade gracefully (1 'bigram' = the token, share 1.0 → drop)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.greatest(F.size("toks") - 1, F.lit(1)).alias("n_bigrams"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    cnt = base.groupBy(
+        "doc_id", "n_tokens", "n_distinct", "n_bigrams", "g"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    share = F.max("c").cast("double") / F.col("n_bigrams")
+    return cnt.groupBy("doc_id", "n_tokens", "n_distinct", "n_bigrams").agg(
+        F.round(ttr, 6).alias("ttr"),
+        F.round(share, 6).alias("top_bigram_share"),
+        ((ttr >= 0.3) & (share <= 0.2)).alias("keep"),
+    ).select("doc_id", "n_tokens", "ttr", "top_bigram_share", "keep")

@@ -605,3 +605,108 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
+
+
+@register(
+    "events_funnel_strict",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+l1 AS (SELECT DISTINCT user_id FROM v),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c ON c.user_id = v.user_id
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM v
+  JOIN c ON c.user_id = v.user_id
+   AND c.ts > v.ts AND c.ts < v.ts + INTERVAL 24 HOUR
+  JOIN p ON p.user_id = v.user_id
+   AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+)
+SELECT lvl AS funnel_level, COUNT(*) AS n_users
+FROM (
+  SELECT u.user_id,
+         CASE WHEN l3.user_id IS NOT NULL THEN 3
+              WHEN l2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS lvl
+  FROM l1 u
+  LEFT JOIN l2 ON u.user_id = l2.user_id
+  LEFT JOIN l3 ON u.user_id = l3.user_id
+)
+GROUP BY lvl
+""",
+)
+def events_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(W)(ts, cond1, cond2, cond3)`` exact
+    parity: the max funnel level per user where the WHOLE chain
+    view -> click -> purchase fits inside the window of the FIRST step
+    (strictly increasing ts, every later step <= anchor + 24h).  This
+    differs from events_funnel, whose window re-anchors at each step
+    (rolling); the strict variant is what CH's function computes and is
+    the harder shape, because a late click can still chain off an
+    earlier view.
+
+    Spark shape: exactly CH's execution — per-user ordered event list,
+    one linear DP pass.  collect_list the 3 step types per user,
+    array_sort by (ts, type), then a single ``aggregate()`` lambda
+    tracking (latest view, best purchase-deadline over valid clicks,
+    level flags).  Greedy-latest-anchor is exact: for any click the
+    latest prior view maximizes anchor+W, so no chain is missed.  ONE
+    shuffle (groupBy user), per-user state bounded by that user's
+    events — the same memory CH's windowFunnel holds.  No joins, no row
+    explosion; the quadratic pair enumeration lives only in the oracle.
+    Precondition (holds in every fixture, asserted implicitly by the
+    hash): (user_id, ts) unique, so strict-ts ordering is total."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", F.col("event_type").alias("et")))
+        ).alias("evs")
+    )
+    dp = F.expr(
+        """
+        aggregate(
+          evs,
+          named_struct(
+            'lv', CAST(NULL AS TIMESTAMP),
+            'dl', CAST(NULL AS TIMESTAMP),
+            'l2', false, 'l3', false),
+          (acc, x) -> CASE
+            WHEN x.et = 'view' THEN named_struct(
+              'lv', x.ts, 'dl', acc.dl, 'l2', acc.l2, 'l3', acc.l3)
+            WHEN x.et = 'click' AND acc.lv IS NOT NULL
+                 AND acc.lv < x.ts THEN named_struct(
+              'lv', acc.lv,
+              'dl', CASE WHEN x.ts < acc.lv + INTERVAL 24 HOURS
+                          AND (acc.dl IS NULL
+                               OR acc.lv + INTERVAL 24 HOURS > acc.dl)
+                         THEN acc.lv + INTERVAL 24 HOURS ELSE acc.dl END,
+              'l2', acc.l2 OR x.ts <= acc.lv + INTERVAL 24 HOURS,
+              'l3', acc.l3)
+            WHEN x.et = 'purchase' THEN named_struct(
+              'lv', acc.lv, 'dl', acc.dl, 'l2', acc.l2,
+              'l3', acc.l3 OR (acc.dl IS NOT NULL AND x.ts <= acc.dl))
+            ELSE acc END,
+          acc -> named_struct(
+            'l1', acc.lv IS NOT NULL, 'l2', acc.l2, 'l3', acc.l3))
+        """
+    )
+    lvl = (
+        F.when(F.col("dp.l3"), 3)
+        .when(F.col("dp.l2"), 2)
+        .when(F.col("dp.l1"), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.withColumn("dp", dp)
+        .withColumn("funnel_level", lvl)
+        .filter(F.col("funnel_level") >= 1)
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

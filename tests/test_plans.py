@@ -474,3 +474,39 @@ def test_cc_loop_lineage_bounded_on_deep_graph(spark):
     # iteration history
     assert plan.count("Join") <= 8, plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+
+
+def test_collapsing_sign_single_pk_exchange(plans):
+    # state+cancel construction and the collapse agg must share the pk
+    # exchange: one window (LAG) + one aggregate, never a self-join of
+    # the changelog.
+    p = plans("cdc_collapsing_sign", "simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_funnel_strict_is_single_shuffle_dp(plans):
+    # CH windowFunnel parity must run as per-user array DP: exactly the
+    # groupBy(user) exchanges (partial/final agg), no join at all — the
+    # quadratic pair enumeration lives only in the oracle.
+    p = plans("events_funnel_strict", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_importance_sample_is_scalar_broadcast_plus_agg(plans):
+    # the corpus max is a 1-row broadcast; the keep predicate is pure
+    # expression; no python, no cartesian blowup beyond the scalar.
+    p = plans("sample_importance_weighted", "simple")
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_repetition_ratio_doc_keyed_only(plans):
+    # bigram counting shuffles on doc-keyed groupings only — no global
+    # window, no join, no python.
+    p = plans("docs_repetition_ratio", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+    assert "Window" not in p
