@@ -228,6 +228,8 @@ EXTRA = [
     "events_funnel_strict",
     "sample_importance_weighted",
     "docs_repetition_ratio",
+    "sim_product_quantize",
+    "agg_mergeable_moments",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -548,3 +548,99 @@ def sim_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round((F.sum("x") / F.count(F.lit(1))).cast("double"), 6).alias("mean_x"),
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace (64 / 4)
+_PQ_K = 8  # centroids per subspace: subvectors of vec_id < 8
+
+
+def _pq_oracle() -> str:
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN m = {m} THEN cid END) AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    dist_sum = " + ".join(
+        f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_PQ_K}),
+sub AS (
+  SELECT v.vec_id, ms.m, cent.cid,
+         ROUND(list_sum([(v.vec[ms.m * {_PQ_D} + i] - cent.cvec[ms.m * {_PQ_D} + i])
+                         * (v.vec[ms.m * {_PQ_D} + i] - cent.cvec[ms.m * {_PQ_D} + i])
+                         FOR i IN range(1, {_PQ_D + 1})]), 6) AS d
+  FROM v
+  CROSS JOIN cent
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms
+),
+best AS (
+  SELECT vec_id, m, cid, d FROM sub
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+)
+SELECT vec_id,
+       {code_cols},
+       ROUND({dist_sum}, 6) AS distortion
+FROM best GROUP BY vec_id
+"""
+
+
+@register("sim_product_quantize", oracle=_pq_oracle())
+def sim_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ in IVF-PQ — the index layout ANN
+    systems use at billion-vector scale): split each 64-dim embedding
+    into 4 subspaces of 16 dims, assign every subvector to its nearest
+    of 8 per-subspace centroids (deterministic codebook: the subvectors
+    of vec_id < 8 — one Lloyd refinement would be sim_ivf_refine run
+    per subspace), and emit the 4-byte code plus total squared-L2
+    distortion.  64 floats compress to 4 small ints — the 64x payload
+    shrink that makes exhaustive scan of a 100 TB corpus's codes
+    feasible in memory.
+
+    Shape: the codebook is a 1-ROW broadcast (collect_list of 8
+    centroid structs — constant-size by construction, never a driver
+    collect); assignment is pure higher-order expressions (slice +
+    zip_with fold per subspace, array_min argmin over struct(d, cid)
+    whose lexicographic order gives the lowest-cid tiebreak), map-only
+    after the broadcast — no shuffle at all on the corpus side.
+    Distances rounded to 6dp BEFORE the argmin so both engines rank
+    identical values (the sim_* convention); the 4 per-subspace minima
+    are added in fixed subspace order, never SUM-aggregated, so the
+    total is fold-order-deterministic."""
+    v = _vecs(spark, sf_dir)
+    cents = (
+        v.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+                )
+            ).alias("cents")
+        )
+    )
+    out = v.crossJoin(F.broadcast(cents))
+    for m in range(_PQ_M):
+        lo = m * _PQ_D + 1
+        dist = (
+            f"round(aggregate(zip_with(slice(vec, {lo}, {_PQ_D}),"
+            f" slice(c.cvec, {lo}, {_PQ_D}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, x) -> acc + x), 6)"
+        )
+        out = out.withColumn(
+            f"b{m}",
+            F.expr(
+                f"array_min(transform(cents,"
+                f" c -> named_struct('d', {dist}, 'k', c.cid)))"
+            ),
+        )
+    total = F.col("b0.d")
+    for m in range(1, _PQ_M):  # fixed left-to-right order, matching the oracle
+        total = total + F.col(f"b{m}.d")
+    distortion = F.round(total, 6)
+    return out.select(
+        "vec_id",
+        *[F.col(f"b{m}.k").alias(f"code_{m}") for m in range(_PQ_M)],
+        distortion.alias("distortion"),
+    )

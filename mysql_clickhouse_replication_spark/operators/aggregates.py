@@ -675,3 +675,67 @@ def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(kv, x -> x.v)").alias("vals"),
         )
     )
+
+
+@register(
+    "agg_mergeable_moments",
+    oracle="""
+WITH shard AS (
+  SELECT event_type, user_id % 8 AS shard,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+  FROM events GROUP BY event_type, user_id % 8
+),
+merged AS (
+  SELECT event_type,
+         COUNT(*) AS n_shards,
+         SUM(n) AS n,
+         CAST(SUM(s) AS DOUBLE) AS sx,
+         CAST(SUM(ss) AS DOUBLE) AS sxx
+  FROM shard GROUP BY event_type
+)
+SELECT event_type, n_shards, n,
+       ROUND(sx / n, 6) AS mean_value,
+       ROUND((sxx - sx * sx / n) / n, 6) AS var_pop
+FROM merged
+""",
+)
+def agg_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment sketches — the rollup-table pattern for
+    mean/variance (ClickHouse ``avgState``/``varPopState`` +
+    ``-Merge`` parity, the non-distinct sibling of agg_hll_mergeable):
+    per-(group, shard) partial states (n, Σx, Σx²) built independently,
+    then MERGED by plain addition into exact global moments — how a
+    100 TB pipeline stores per-day/per-partition stats that roll up to
+    any coarser grain without re-scanning raw data.
+
+    Determinism: the partial states are EXACT decimals (the agg_stats
+    power-sum convention), so shard merge order cannot perturb them —
+    the only doubles are the final derived mean/variance, rounded to
+    6dp identically on both engines.  Shape: two keyed aggregations
+    (map-side combined), the second over |groups|x8 rows — merge cost
+    independent of raw data size, which is the entire point."""
+    ev = table(spark, sf_dir, "events")
+    x = dec("value", "decimal(18,6)")
+    shard = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    )
+    merged = shard.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").alias("n"),
+        F.sum("s").cast("double").alias("sx"),
+        F.sum("ss").cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return merged.select(
+        "event_type",
+        "n_shards",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round((sxx - sx * sx / n) / n, 6).alias("var_pop"),
+    )

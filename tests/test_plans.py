@@ -510,3 +510,22 @@ def test_repetition_ratio_doc_keyed_only(plans):
     assert "Join" not in p
     assert "BatchEvalPython" not in p
     assert "Window" not in p
+
+
+def test_product_quantize_is_broadcast_map_only(plans):
+    # the codebook is a 1-row broadcast; assignment is pure expression —
+    # no shuffle of the corpus, no python, no pair enumeration.
+    p = plans("sim_product_quantize", "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_mergeable_moments_two_keyed_aggs(plans):
+    # shard states then merge: two hash aggregations, no window, no join,
+    # second agg over |groups|x8 rows only.
+    p = plans("agg_mergeable_moments", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
