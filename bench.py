@@ -230,6 +230,8 @@ EXTRA = [
     "docs_repetition_ratio",
     "sim_product_quantize",
     "agg_mergeable_moments",
+    "agg_weighted_percentile",
+    "events_ema_daily",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -739,3 +739,83 @@ def agg_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / n, 6).alias("mean_value"),
         F.round((sxx - sx * sx / n) / n, 6).alias("var_pop"),
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty
+  FROM lineitem
+),
+g AS (
+  SELECT flag, price, SUM(qty) AS wt
+  FROM w GROUP BY flag, price
+),
+c AS (
+  SELECT flag, price, wt,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY price) AS cum,
+         SUM(wt) OVER (PARTITION BY flag) AS total
+  FROM g
+)
+SELECT flag,
+       CAST(MIN(CASE WHEN cum >= total * 0.50 THEN price END) AS DOUBLE)
+         AS p50_weighted,
+       CAST(MIN(CASE WHEN cum >= total * 0.90 THEN price END) AS DOUBLE)
+         AS p90_weighted,
+       CAST(MIN(CASE WHEN cum >= total * 0.99 THEN price END) AS DOUBLE)
+         AS p99_weighted
+FROM c GROUP BY flag
+""",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact percentiles (ClickHouse ``quantileExactWeighted``
+    parity): the p50/p90/p99 of price where each row counts with weight
+    = quantity — the shape behind revenue-weighted latency/price
+    analytics, where unweighted quantiles mislead.  Selection rule: the
+    smallest value whose CUMULATIVE weight reaches q x total (the
+    standard weighted-quantile definition; reduces to nearest-rank for
+    unit weights).
+
+    Determinism: weights and values stay exact decimals through the
+    cumulative sums; the quantile thresholds (total x q) are exact
+    decimal x literal products, so the boundary comparison can never
+    1-ULP-flip between engines; the selected price converts to double
+    only at output.  Shape: pre-aggregate per (group, value) — the
+    value-distinct compression quantileExactWeighted itself stores —
+    then ONE cumulative window per group and a final min-conditional
+    agg; everything keyed by group, no global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        dec("l_extendedprice", "decimal(12,2)").alias("price"),
+        dec("l_quantity", "decimal(12,2)").alias("qty"),
+    )
+    g = w.groupBy("flag", "price").agg(F.sum("qty").alias("wt"))
+    win_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("wt").over(win_cum).alias("cum"),
+        F.sum("wt").over(win_all).alias("total"),
+    )
+    def pick(q: float, alias: str):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.col("total") * F.lit(q), F.col("price"))
+            )
+            .cast("double")
+            .alias(alias)
+        )
+    return c.groupBy("flag").agg(
+        pick(0.50, "p50_weighted"),
+        pick(0.90, "p90_weighted"),
+        pick(0.99, "p99_weighted"),
+    )

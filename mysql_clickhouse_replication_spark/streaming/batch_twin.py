@@ -534,3 +534,60 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_ema_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+series AS (
+  SELECT event_type,
+         list(CAST(n AS DOUBLE) ORDER BY d) AS ns,
+         MIN(d) AS first_day, MAX(d) AS last_day, COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, first_day, last_day,
+       ROUND(list_reduce(ns, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ema
+FROM series
+""",
+)
+def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event rate per
+    type (ClickHouse ``exponentialMovingAverage`` parity, alpha=0.3) —
+    the smoothed-rate signal an ingest monitor alarms on (the EMA damps
+    weekend dips that a raw daily count would page on).
+
+    EMA is inherently recursive (ema_t = (1-a)*ema_{t-1} + a*x_t), which
+    no windowed SQL aggregate expresses — the repo pattern for bounded
+    per-group recursion is collect the ordered series and FOLD it
+    (events_funnel_strict's shape): groupBy(type) collects the ~30
+    daily counts, one aggregate() lambda folds left in date order.
+    Both engines fold the identical double sequence left-to-right
+    (Spark aggregate vs DuckDB list_reduce), seeded with the first
+    element, so the arithmetic is step-for-step identical; final value
+    rounded 6dp.  Per-group state = days in range, bounded; the daily
+    pre-aggregation is the only data-sized shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", F.col("n").cast("double").alias("x")))
+        ).alias("s"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    ema = F.expr(
+        """
+        round(aggregate(slice(s, 2, size(s) - 1), s[0].x,
+                        (acc, e) -> acc * 0.7D + e.x * 0.3D), 6)
+        """
+    )
+    return series.select(
+        "event_type", "n_days", "first_day", "last_day", ema.alias("ema")
+    )

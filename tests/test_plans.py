@@ -529,3 +529,20 @@ def test_mergeable_moments_two_keyed_aggs(plans):
     assert "Join" not in p
     assert "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_weighted_percentile_group_keyed_windows(plans):
+    # value-distinct pre-agg, then cumulative + total windows per group,
+    # final conditional min — all keyed by flag; no global sort, no join.
+    p = plans("agg_weighted_percentile", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_ema_fold_no_window_no_join(plans):
+    # recursive EMA must run as per-group ordered-array fold: daily
+    # pre-agg shuffle + group collect; no window machinery, no join.
+    p = plans("events_ema_daily", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
