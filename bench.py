@@ -232,6 +232,9 @@ EXTRA = [
     "agg_mergeable_moments",
     "agg_weighted_percentile",
     "events_ema_daily",
+    "sim_ann_recall",
+    "cdc_snapshot_diff",
+    "fn_timezone",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -540,3 +540,60 @@ def fn_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zeroed_distinct"
         ),
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+WITH z AS (
+  SELECT unnest(['America/New_York', 'Europe/Berlin', 'Asia/Tokyo']) AS zone
+),
+loc AS (
+  SELECT e.event_type, z.zone,
+         CAST((e.ts AT TIME ZONE 'UTC') AT TIME ZONE z.zone AS TIMESTAMP)
+           AS local_ts
+  FROM events e CROSS JOIN z
+)
+SELECT event_type, zone,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (EXTRACT(hour FROM local_ts) BETWEEN 9 AND 17)
+         AS n_business_hours,
+       MIN(local_ts) AS min_local_ts,
+       MAX(local_ts) AS max_local_ts
+FROM loc GROUP BY event_type, zone
+""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family — the MySQL(DATETIME, server zone) ->
+    ClickHouse(DateTime('UTC')) mapping where real replications silently
+    corrupt data: render the UTC-stored event stream in three IANA
+    zones (from_utc_timestamp == DuckDB's AT TIME ZONE chain) and
+    aggregate business-hours counts + local min/max per (type, zone).
+
+    Determinism: the fixture spans January only, so none of the chosen
+    zones crosses a DST transition — the conversion is a fixed offset
+    under any tzdata version both engines ship (a DST-window fixture
+    would make the hash depend on tzdata parity; documented limit).
+    Zone list is a 3-row broadcast explode; everything else is one
+    keyed aggregate.  Session timezone is pinned UTC repo-wide
+    (session.py), which this key also regression-proves."""
+    ev = table(spark, sf_dir, "events")
+    zones = F.array(
+        F.lit("America/New_York"), F.lit("Europe/Berlin"), F.lit("Asia/Tokyo")
+    )
+    loc = ev.select(
+        "event_type",
+        F.explode(zones).alias("zone"),
+        "ts",
+    ).select(
+        "event_type",
+        "zone",
+        F.expr("from_utc_timestamp(ts, zone)").alias("local_ts"),
+    )
+    biz = F.hour("local_ts").between(9, 17)
+    return loc.groupBy("event_type", "zone").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(biz).alias("n_business_hours"),
+        F.min("local_ts").alias("min_local_ts"),
+        F.max("local_ts").alias("max_local_ts"),
+    )

@@ -644,3 +644,60 @@ def sim_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"b{m}.k").alias(f"code_{m}") for m in range(_PQ_M)],
         distortion.alias("distortion"),
     )
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+exact AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.vec, c.vec), 6)
+                      DESC, c.vec_id) <= {_TOP_K}
+),
+approx AS ({_IVF_ORACLE.strip()})
+SELECT e.q_id,
+       COUNT(*) AS n_exact,
+       COUNT(a.vec_id) AS n_hit,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+GROUP BY e.q_id
+""",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — THE quality
+    metric an ANN deployment monitors (speed without recall is just a
+    wrong answer fast).  Composes the repo's two existing plans:
+    sim_cosine_topk (exact top-5 per query) left-joined with
+    sim_ann_lsh's IVF top-5; per-query recall = hits / k.  A recall
+    regression after re-training centroids (sim_ivf_refine) or raising
+    data skew shows up here before users see it.
+
+    Shape: both sides are the already-audited plans (broadcast query
+    pass; IVF probe) — tiny per-query outputs (10 x 5 rows each) meet
+    in a trivially small join.  At 100 TB you run this over a sampled
+    query set; the corpus-side cost IS the two plans' cost, which is
+    the point of measuring them against each other."""
+    exact = sim_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = sim_ann_lsh(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("a_vec_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (exact.vec_id == approx.a_vec_id),
+            "left",
+        )
+        .drop(approx.q_id)
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec_id").alias("n_hit"),
+            F.round(
+                F.count("a_vec_id").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )

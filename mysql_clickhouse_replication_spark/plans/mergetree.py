@@ -157,3 +157,114 @@ def cdc_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("max_ts"),
         )
     )
+
+
+_DIFF_DECODE = """
+SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+            WHEN event_type = 'error'  THEN 'delete'
+            ELSE 'update' END AS op,
+       user_id AS pk, event_id AS seq, value,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH decoded AS ({_DIFF_DECODE.strip()}),
+cut AS (SELECT CAST(FLOOR(MAX(seq) * 0.6) AS BIGINT) AS c FROM decoded),
+s1 AS (
+  SELECT pk, value, prop_k FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM decoded d CROSS JOIN cut WHERE seq <= cut.c)
+  WHERE rn = 1 AND op != 'delete'
+),
+s2 AS (
+  SELECT pk, value, prop_k FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM decoded d)
+  WHERE rn = 1 AND op != 'delete'
+),
+cls AS (
+  SELECT COALESCE(s1.pk, s2.pk) AS pk,
+         CASE WHEN s1.pk IS NULL THEN 'added'
+              WHEN s2.pk IS NULL THEN 'removed'
+              WHEN s1.value IS DISTINCT FROM s2.value
+                   OR s1.prop_k IS DISTINCT FROM s2.prop_k THEN 'changed'
+              ELSE 'unchanged' END AS diff_class
+  FROM s1 FULL OUTER JOIN s2 ON s1.pk = s2.pk
+)
+SELECT diff_class, COUNT(*) AS n_pks,
+       MIN(pk) AS min_pk, MAX(pk) AS max_pk
+FROM cls GROUP BY diff_class
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the answer to "CHECKSUM TABLE mismatched, WHICH
+    rows diverged?" (pt-table-sync's planning pass): compact the
+    changelog at two cuts (seq <= 60% of max, and the full log), full
+    outer join the two states on pk, and classify every key as
+    added / removed / changed / unchanged with count + pk range per
+    class.  cdc_row_checksum detects divergence; this localizes it —
+    together they are the repair loop a production replicator ships.
+
+    Determinism: the cut is a pure function of the data (floor of
+    0.6 x max seq, a 1-row broadcast), never wall clock; value/prop
+    comparison uses null-safe IS DISTINCT FROM on both engines.
+    Shape: two pk-windowed compactions (the cdc_apply_upsert core) +
+    one pk full outer join + a 4-group aggregate.  At 100 TB both
+    compactions and the join share pk partitioning — AQE reuses the
+    exchange — and in production the older state is a stored snapshot,
+    not a recompaction, making this one join + one agg over row counts
+    that pruning bounds to the suspected tables."""
+    ev = table(spark, sf_dir, "events")
+    decoded = ev.select(
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+    cut = decoded.agg(
+        F.floor(F.max("seq") * 0.6).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+
+    def state(log):
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .select("pk", "value", "prop_k")
+        )
+
+    s1 = state(
+        decoded.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("c"))
+    ).alias("s1")
+    s2 = state(decoded).alias("s2")
+    joined = s1.join(s2, F.col("s1.pk") == F.col("s2.pk"), "full_outer")
+    diff_class = (
+        F.when(F.col("s1.pk").isNull(), "added")
+        .when(F.col("s2.pk").isNull(), "removed")
+        .when(
+            ~F.col("s1.value").eqNullSafe(F.col("s2.value"))
+            | ~F.col("s1.prop_k").eqNullSafe(F.col("s2.prop_k")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("s1.pk"), F.col("s2.pk")).alias("pk"),
+            diff_class.alias("diff_class"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_pks"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+    )

@@ -546,3 +546,27 @@ def test_ema_fold_no_window_no_join(plans):
     assert "Join" not in p
     assert "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_ann_recall_joins_tiny_topk_outputs(plans):
+    # both sides are already-audited plans whose outputs are 10x5 rows;
+    # the recall join must not introduce a cartesian or python stage.
+    p = plans("sim_ann_recall", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_snapshot_diff_classifies_via_pk_outer_join(plans):
+    # two pk-window compactions meeting in ONE full outer join on pk,
+    # then a 4-group agg — no cartesian, no python.
+    p = plans("cdc_snapshot_diff", "simple")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_timezone_family_is_explode_plus_agg(plans):
+    # 3-zone explode + keyed agg; conversion is pure expression.
+    p = plans("fn_timezone", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
