@@ -235,6 +235,7 @@ EXTRA = [
     "sim_ann_recall",
     "cdc_snapshot_diff",
     "fn_timezone",
+    "dedup_minhash_accuracy",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

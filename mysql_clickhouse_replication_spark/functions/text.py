@@ -1054,3 +1054,106 @@ def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+_ACC_HASHES = 16  # portable md5 minhashes for the accuracy estimate
+
+
+@register(
+    "dedup_minhash_accuracy",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+             f"MIN(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || s), 1, 8))::BIGINT) AS m{i}"
+             for i in range(16)
+         )}
+  FROM ex GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ROUND(({" + ".join(
+           f"CAST(sa.m{i} = sb.m{i} AS INTEGER)" for i in range(16)
+       )}) / 16.0, 6) AS jaccard_est,
+       ROUND(ABS(p.jaccard - ({" + ".join(
+           f"CAST(sa.m{i} = sb.m{i} AS INTEGER)" for i in range(16)
+       )}) / 16.0), 6) AS abs_err
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+""",
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit — the dedup-family sibling of
+    sim_ann_recall: for every true near-dup pair (exact 3-gram Jaccard
+    >= 0.5), compare the sketch ESTIMATE (fraction of 16 agreeing
+    portable minhashes; E[est] = J by the MinHash theorem) against the
+    exact value.  A pipeline tunes band/row counts off exactly this
+    error distribution; estimator drift after a tokenizer change shows
+    up here before dedup quality degrades.
+
+    Portability: the production plan (dedup_minhash) uses xxhash64,
+    which DuckDB lacks — the audit uses the repo's portable md5-bucket
+    hash for its 16 estimator hashes so BOTH engines compute
+    bit-identical signatures (agreement counts are integers; the only
+    doubles are est = k/16 and the error, exact in binary / rounded).
+    Shape: one explode + one 16-min aggregate per doc (signature
+    build), the verified pair set (equi-joined by doc id, two broadcast
+    -sized sides at audit scale), pure expressions throughout."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"m{i}")
+            for i in range(_ACC_HASHES)
+        ]
+    )
+    pairs = dedup_minhash(spark, sf_dir)  # exact-verified J>=0.5 pairs
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_ACC_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_ACC_HASHES)],
+    )
+    agree = None
+    for i in range(_ACC_HASHES):  # fixed order, integer adds
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = agree / F.lit(float(_ACC_HASHES))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )

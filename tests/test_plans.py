@@ -570,3 +570,11 @@ def test_timezone_family_is_explode_plus_agg(plans):
     p = plans("fn_timezone", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_minhash_accuracy_no_cartesian_no_python(plans):
+    # signature build is explode + 16-min agg; pair set is the audited
+    # banded plan; estimator joins are doc-id equi joins only.
+    p = plans("dedup_minhash_accuracy")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
