@@ -236,6 +236,18 @@ EXTRA = [
     "cdc_snapshot_diff",
     "fn_timezone",
     "dedup_minhash_accuracy",
+    # --- round 4, second wave (analytics/pipeline/ops diagnostics).
+    "events_streaks",
+    "agg_linreg",
+    "events_audience_overlap",
+    "sim_matryoshka_recall",
+    "fn_time_bucket",
+    "profile_skew",
+    "docs_block_dedup",
+    "docs_novelty_ratio",
+    "cdc_multi_table_route",
+    "cdc_replace_partition",
+    "cdc_lag_percentiles",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

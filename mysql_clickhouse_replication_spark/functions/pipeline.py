@@ -528,3 +528,203 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("top_bigram_share"),
         ((ttr >= 0.3) & (share <= 0.2)).alias("keep"),
     ).select("doc_id", "n_tokens", "ttr", "top_bigram_share", "keep")
+
+
+_BLOCK = 8  # tokens per boilerplate block
+
+
+@register(
+    "docs_block_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks), {_BLOCK})) AS i, toks
+  FROM t
+), h AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i : least(i + {_BLOCK} - 1, len(toks))], ' ')
+           AS btext,
+         len(toks[i : least(i + {_BLOCK} - 1, len(toks))]) AS nt
+  FROM b
+), hh AS (
+  SELECT doc_id, i, btext, nt,
+         ('0x' || substr(md5(btext), 1, 8))::BIGINT AS bh
+  FROM h
+), boiler AS (
+  SELECT bh FROM (SELECT DISTINCT doc_id, bh FROM hh)
+  GROUP BY bh HAVING COUNT(*) >= 2
+), j AS (
+  SELECT hh.*, (bo.bh IS NOT NULL) AS is_b
+  FROM hh LEFT JOIN boiler bo USING (bh)
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       COUNT(*) FILTER (is_b) AS n_removed,
+       CAST(COALESCE(SUM(nt) FILTER (NOT is_b), 0) AS BIGINT)
+         AS n_tokens_kept,
+       md5(COALESCE(string_agg(btext, ' ' ORDER BY i) FILTER (NOT is_b), ''))
+         AS kept_hash
+FROM j GROUP BY doc_id
+""",
+)
+def docs_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal at block granularity — the
+    C4/RefinedWeb line-dedup step adapted to this corpus's token-stream
+    documents: split each doc into consecutive 8-token blocks, drop
+    every block whose hash occurs in >= 2 DISTINCT documents (headers,
+    navigation chrome, licence boilerplate, cloned spans), and
+    reassemble the surviving blocks in order.  Emits per doc: block
+    counts, removed counts, kept-token total, and the md5 of the
+    reassembled text (portable across engines; the full rewritten text
+    goes to the sink in production, the hash is what the gate compares).
+
+    Scale shape: explode is bounded by n_tokens/8 per doc; the
+    doc-frequency pass is DISTINCT (doc, hash) then a map-combined
+    count — the frequent-block set is the HEAD of the block-frequency
+    distribution (boilerplate is frequent by definition), but the join
+    back is NOT hard-broadcast (ADVICE r3 on contamination_check: a
+    corpus-derived set grows with scale; AQE picks broadcast while it
+    fits, shuffle-hash after).  Reassembly sorts each doc's <=
+    n_tokens/8 surviving blocks in-row (array_sort over (pos, text)
+    structs), never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    blocks = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_BLOCK))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(F.slice("toks", F.col("i"), _BLOCK), " ").alias("btext"),
+            F.size(F.slice("toks", F.col("i"), _BLOCK)).alias("nt"),
+        )
+        .withColumn(
+            "bh",
+            F.conv(F.substring(F.md5("btext"), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    boiler = (
+        blocks.select("doc_id", "bh")
+        .distinct()
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("bh", F.lit(True).alias("is_b0"))
+    )
+    j = blocks.join(boiler, "bh", "left").withColumn(
+        "is_b", F.coalesce(F.col("is_b0"), F.lit(False))
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_b"), F.struct(F.col("i"), F.col("btext")))
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count_if(F.col("is_b")).alias("n_removed"),
+        F.coalesce(F.sum(F.when(~F.col("is_b"), F.col("nt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s.btext), " "
+            )
+        ).alias("kept_hash"),
+    )
+
+
+_NGRAM_NOV = 3  # token n-gram width for novelty tracking
+
+
+@register(
+    "docs_novelty_ratio",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - {_NGRAM_NOV - 1}, 1)))
+           AS i,
+         toks
+  FROM t
+), g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             toks[i : least(i + {_NGRAM_NOV - 1}, len(toks))], ' ')), 1, 8)
+          )::BIGINT AS gh
+  FROM s
+), f AS (
+  SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (first_doc = doc_id) AS n_novel,
+       CAST(COUNT(*) FILTER (first_doc = doc_id) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm
+FROM g JOIN f USING (gh)
+GROUP BY doc_id
+""",
+)
+def docs_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the corpus in doc_id
+    (ingestion) order: the fraction of a doc's distinct token trigrams
+    whose FIRST owner is the doc itself — the streaming-corpus
+    memorization/novelty ledger (a near-zero-novelty doc is a rehash of
+    earlier data; LLM data curation uses exactly this to measure how
+    much *new* text a crawl snapshot adds).
+
+    Plan: explode to distinct (doc, gram), one map-combined MIN(doc_id)
+    per gram (the first-owner ledger — a mergeable argmin, so at 100 TB
+    it persists as a rollup and new snapshots merge into it), then a
+    1:1 posting-list join back and a per-doc count — join fan-out is
+    exactly the distinct (doc, gram) row count, never quadratic.  The
+    ratio is surfaced as integer ppm (floor division on exact BIGINTs —
+    zero float surface)."""
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - (_NGRAM_NOV - 1), F.lit(1)),
+                )
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("i"), _NGRAM_NOV), " ")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("gh"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"),
+        )
+    )

@@ -597,3 +597,43 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("local_ts").alias("min_local_ts"),
         F.max("local_ts").alias("max_local_ts"),
     )
+
+
+@register(
+    "fn_time_bucket",
+    oracle="""
+SELECT event_id,
+       date_trunc('hour', ts)
+         + ((minute(ts) // 15) * 15) * INTERVAL 1 MINUTE AS bucket_15min,
+       date_trunc('hour', ts) AS hour_start,
+       CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       CAST(date_trunc('quarter', ts) AS DATE) AS quarter_start,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start
+FROM events
+""",
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket family — ClickHouse ``toStartOfFifteenMinutes`` /
+    ``toStartOfHour`` / ``toStartOfWeek`` (Monday) / ``toStartOfQuarter``
+    / ``toStartOfMinute`` parity, the truncations every rollup and
+    retention query keys on.  The 15-minute bucket is built portably as
+    hour-truncate plus a floored-minute interval (both engines share the
+    identical integer-division construction; generic ``time_bucket``
+    epoch math was rejected because DuckDB's ``epoch()`` is a DOUBLE and
+    its double->int cast ROUNDS where Spark truncates).  Week start is
+    Monday in both engines' date_trunc.  Pure projection, zero shuffle;
+    at 100 TB these are the partition-key derivations pushed into scans,
+    not compute."""
+    ev = table(spark, sf_dir, "events")
+    t = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.expr(
+            "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, 0,"
+            " CAST((minute(ts) DIV 15) * 15 AS INT), 0)"
+        ).alias("bucket_15min"),
+        F.date_trunc("hour", t).alias("hour_start"),
+        F.date_trunc("week", t).cast("date").alias("week_start"),
+        F.date_trunc("quarter", t).cast("date").alias("quarter_start"),
+        F.date_trunc("minute", t).alias("minute_start"),
+    )

@@ -701,3 +701,102 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+_TRUNC_DIMS = 16  # Matryoshka prefix length (of 64)
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+full_k AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.vec, c.vec), 6)
+                      DESC, c.vec_id) <= {_TOP_K}
+),
+trunc_k AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(
+                        q.vec[1:{_TRUNC_DIMS}], c.vec[1:{_TRUNC_DIMS}]), 6)
+                      DESC, c.vec_id) <= {_TOP_K}
+)
+SELECT f.q_id,
+       COUNT(*) AS n_full,
+       COUNT(t.vec_id) AS n_hit,
+       ROUND(CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+FROM full_k f
+LEFT JOIN trunc_k t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+GROUP BY f.q_id
+""",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of DIMENSION-TRUNCATED cosine search (first 16 of 64
+    dims) against the full-precision ranking — the evaluation behind
+    Matryoshka-style coarse-to-fine retrieval, where a cheap prefix-dim
+    pass prunes candidates before full-dim re-scoring.  sim_ann_recall
+    measures what the IVF *index* loses; this measures what *dimension
+    reduction* loses — the two independent levers a 100 TB vector
+    deployment tunes (cells x probe vs prefix length), each needing its
+    own recall monitor.
+
+    Shape: two brute-force broadcast-query passes over the corpus (the
+    truncated side slices the array BEFORE scoring, so its per-row cost
+    is dims/4), tiny per-query top-k outputs joined at |queries| x k
+    rows.  Scores rounded to 6dp before ranking with the vec_id
+    tiebreak, so both engines rank identical values."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cos(F.col("q_vec"), F.col("vec")), 6).alias("cos_full"),
+            F.round(
+                _cos(
+                    F.slice(F.col("q_vec"), 1, _TRUNC_DIMS),
+                    F.slice(F.col("vec"), 1, _TRUNC_DIMS),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    w_trunc = Window.partitionBy("q_id").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_trunc).alias("rn_trunc"),
+    )
+    full_k = ranked.filter(F.col("rn_full") <= _TOP_K).select("q_id", "vec_id")
+    # Both top-k frames share the `ranked` lineage, so the trunc side is
+    # FULLY renamed before the join — a raw self-join on q_id would
+    # resolve both sides to the same column (trivially-true predicate).
+    trunc_k = ranked.filter(F.col("rn_trunc") <= _TOP_K).select(
+        F.col("q_id").alias("t_q_id"), F.col("vec_id").alias("t_vec_id")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("q_id") == F.col("t_q_id"))
+            & (F.col("vec_id") == F.col("t_vec_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.count("t_vec_id").alias("n_hit"),
+            F.round(
+                F.count("t_vec_id").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )

@@ -710,3 +710,242 @@ def events_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_level")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+  SELECT user_id, d,
+         (d - DATE '2024-01-01')
+           - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS g
+  FROM days
+), st AS (
+  SELECT user_id, g, COUNT(*) AS len, MIN(d) AS streak_start
+  FROM isl GROUP BY user_id, g
+)
+SELECT user_id,
+       len AS longest_streak,
+       streak_start,
+       CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+FROM st
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY len DESC, streak_start) = 1
+""",
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    — the engagement metric ClickHouse users assemble from groupArray /
+    arraySplit tricks, and warehouses from the classic
+    date-minus-row_number island key).
+
+    Plan: distinct (user, day) first — the streak input is the deduped
+    activity calendar (bounded by users x days), NEVER the raw event
+    stream — then ONE user_id exchange reused by every window here: the
+    island-key row_number, and the final stats pass where max/sum/count
+    windows and the rank-1 pick share the same partitioning (two sorts,
+    one exchange — asserted shape elsewhere in this repo).  At 100 TB
+    the cardinality after the first distinct is |users| x |days|, which
+    is the ceiling for every later stage; no self-joins, no per-key
+    range scans.  Tiebreak: among equal-length streaks the earliest
+    start wins (total order, cross-engine deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "g",
+        F.datediff("d", F.lit("2024-01-01").cast("date")) - F.row_number().over(w),
+    )
+    st = isl.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wu = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(F.desc("len"), "streak_start")
+    return (
+        st.select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+            F.sum("len").over(wu).alias("n_active_days"),
+            F.count(F.lit(1)).over(wu).alias("n_streaks"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "agg_linreg",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(ts AS DATE) - DATE '2024-01-01') AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS deny,
+         sx, sy
+  FROM s
+)
+SELECT event_type,
+       n AS n_days,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+FROM d
+""",
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression of daily event volume on the day index,
+    per event type (ClickHouse ``simpleLinearRegression`` / ANSI
+    ``regr_slope``/``regr_intercept``/``regr_r2`` parity) — the trend
+    readout an ingest monitor fits over its rate series.
+
+    Determinism: built from the five EXACT integer power sums
+    (n, Σx, Σy, Σx², Σxy, Σy²) — a map-combinable constant-size state,
+    the same mergeable-moments pattern as agg_mergeable_moments — and
+    the closed-form estimates are derived with the IDENTICAL floating
+    expression tree in both engines (exact BIGINT numerators/
+    denominators cast to DOUBLE once, one divide each, rounded 6dp), so
+    no summation-order or formula-assoc drift can flip a hash bit.
+    Built-in regr_* aggregates are deliberately NOT used: their internal
+    update order is engine-specific, this formulation is exact.
+
+    Scale: daily pre-agg reduces the stream to |types| x |days| rows;
+    the sums pass is map-combined; output is |types| rows. Zero joins,
+    zero windows."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "event_type",
+            F.datediff("d", F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    d = s.select(
+        "event_type",
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+        deny.alias("deny"),
+        "sx",
+        "sy",
+    )
+    fnum = F.col("num").cast("double")
+    fden = F.col("den").cast("double")
+    return d.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(fnum / fden, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - (fnum / fden) * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            fnum * fnum / (fden * F.col("deny").cast("double")), 6
+        ).alias("r2"),
+    )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT t1, t2, n_both, s1.n AS n1, s2.n AS n2,
+       ROUND(CAST(n_both AS DOUBLE)
+             / CAST(s1.n + s2.n - n_both AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.event_type = t1
+JOIN sizes s2 ON s2.event_type = t2
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users(a) ∩
+    users(b)| and the Jaccard of the two user sets for every unordered
+    type pair — the segment-overlap matrix behind "do purchasers also
+    click" questions (ClickHouse territory: uniqExact intersections over
+    segment pairs).
+
+    Plan shape: DISTINCT (type, user) first, then a USER-keyed self
+    co-occurrence join — each user contributes at most |their types|²
+    ≤ |types|² pairs, so the join fan-out is bounded per key by the
+    constant |types|², never by corpus size (the same
+    bounded-co-occurrence argument as events_top_paths).  Per-type set
+    sizes come from the same distinct frame and enter through two
+    broadcast joins (|types| rows).  One shuffle on user_id, one on the
+    pair key; exact integers until the single rounded divide."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.alias("a")
+    b = du.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

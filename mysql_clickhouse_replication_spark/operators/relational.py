@@ -439,3 +439,102 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
     )
+
+
+@register(
+    "profile_skew",
+    oracle="""
+WITH c AS (
+  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+), dist AS (
+  SELECT c, COUNT(*) AS nk FROM c GROUP BY c
+), stats AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+         CAST(SUM(c * nk) AS BIGINT) AS total_rows,
+         MAX(c) AS max_cnt
+  FROM dist
+), cum AS (
+  SELECT c, SUM(nk) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dist
+), pct AS (
+  SELECT MIN(CASE WHEN 2 * cum >= (SELECT n_keys FROM stats)
+                  THEN c END) AS p50_cnt,
+         MIN(CASE WHEN 100 * cum >= 99 * (SELECT n_keys FROM stats)
+                  THEN c END) AS p99_cnt
+  FROM cum
+), top1 AS (
+  SELECT k AS top_key, c AS top_cnt FROM c ORDER BY c DESC, k LIMIT 1
+)
+SELECT n_keys, total_rows, max_cnt, p50_cnt, p99_cnt, top_key,
+       CAST(top_cnt * 1000000 // total_rows AS BIGINT) AS top_share_ppm,
+       ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(total_rows AS DOUBLE), 4) AS skew_ratio
+FROM stats, pct, top1
+""",
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE deciding
+    whether a 100 TB join needs salting (join_skew_salted) or AQE skew
+    splitting: per-key count distribution (median / p99 / max
+    multiplicity), the heaviest key and its ppm share of all rows, and
+    the max/avg skew ratio.
+
+    Plan: ONE map-combined groupBy on the key, then everything downstream
+    runs on |distinct multiplicities| rows (the count-of-counts
+    histogram, typically a few hundred values regardless of key
+    cardinality) — the global cumulative window is over that tiny frame,
+    NOT over keys, so the single-partition window that kills
+    global-percentile plans never sees more than the histogram.
+    Percentiles are exact smallest-value-reaching-quantile picks over
+    integer cumulative counts (no interpolation drift); the only double
+    is the final rounded ratio of exact integers.  The top-1 probe is a
+    TakeOrderedAndProject (limit 1), and the three 1-row frames meet in
+    broadcast cross joins."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    dist = c.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+    stats = dist.agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).alias("total_rows"),
+        F.max("c").alias("max_cnt"),
+    )
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("c", F.sum("nk").over(wc).alias("cum"))
+    pct = (
+        cum.crossJoin(F.broadcast(stats.select("n_keys")))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n_keys"), F.col("c"))
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(100 * F.col("cum") >= 99 * F.col("n_keys"), F.col("c"))
+            ).alias("p99_cnt"),
+        )
+    )
+    top1 = (
+        c.orderBy(F.desc("c"), F.asc("k"))
+        .limit(1)
+        .select(F.col("k").alias("top_key"), F.col("c").alias("top_cnt"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(pct))
+        .crossJoin(F.broadcast(top1))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            "top_key",
+            F.expr("CAST(top_cnt * 1000000 DIV total_rows AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+            F.round(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )

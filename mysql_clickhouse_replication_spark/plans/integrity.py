@@ -291,3 +291,77 @@ def cdc_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(gap, F.col("seq"))).alias("first_gap_before"),
         F.count(F.when(~F.col("received"), 1)).alias("n_dropped_true"),
     )
+
+
+@register(
+    "cdc_lag_percentiles",
+    oracle=f"""
+WITH lg AS (
+  SELECT tbl,
+         epoch_us(date_trunc('minute', ts) + INTERVAL 1 MINUTE)
+           - epoch_us(ts) AS lag_us
+  FROM ({_DECODE_SQL})
+), dist AS (
+  SELECT tbl, lag_us, COUNT(*) AS nk FROM lg GROUP BY tbl, lag_us
+), c AS (
+  SELECT tbl, lag_us,
+         SUM(nk) OVER (PARTITION BY tbl ORDER BY lag_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nk) OVER (PARTITION BY tbl) AS total
+  FROM dist
+)
+SELECT tbl,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       MIN(CASE WHEN 2 * cum >= total THEN lag_us END) AS p50_lag_us,
+       MIN(CASE WHEN 20 * cum >= 19 * total THEN lag_us END) AS p95_lag_us,
+       MAX(lag_us) AS max_lag_us
+FROM c GROUP BY tbl
+""",
+)
+def cdc_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication apply-lag profile per routed table — the
+    latency-SLO readout a CDC operator watches: with a 1-minute flush
+    cadence (cdc_batch_window's micro-batching), each event's apply
+    latency is the gap from its commit timestamp to its batch's flush
+    boundary; reported as exact p50/p95/max in microseconds per table.
+
+    Determinism: lag is EXACT integer microseconds (epoch_us on both
+    engines — never DuckDB's DOUBLE ``epoch()``), and percentiles are
+    exact smallest-value-reaching-quantile picks over integer cumulative
+    counts (the agg_weighted_percentile construction, weight = event
+    count), so no interpolation formula is trusted across engines.
+
+    Scale: one map-combined (table, lag) pre-agg bounds the window input
+    by DISTINCT lag values, not events; production additionally buckets
+    lag to milliseconds first (<= 60 000 distinct values per table at
+    this cadence — constant), making the cumulative window's partition
+    size a constant independent of event volume.  The same plan shape
+    serves any latency histogram; ClickHouse parity:
+    quantileExactWeighted over a pre-bucketed lag column."""
+    lag_us = F.unix_micros(
+        F.date_trunc("minute", F.col("ts")) + F.expr("INTERVAL 1 MINUTE")
+    ) - F.unix_micros(F.col("ts"))
+    lg = _changelog(spark, sf_dir).select("tbl", lag_us.alias("lag_us"))
+    dist = lg.groupBy("tbl", "lag_us").agg(F.count(F.lit(1)).alias("nk"))
+    wcum = (
+        Window.partitionBy("tbl")
+        .orderBy("lag_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("tbl")
+    c = dist.select(
+        "tbl",
+        "lag_us",
+        F.sum("nk").over(wcum).alias("cum"),
+        F.sum("nk").over(wtot).alias("total"),
+    )
+    return c.groupBy("tbl").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("lag_us"))).alias(
+            "p50_lag_us"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("lag_us"))
+        ).alias("p95_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )

@@ -578,3 +578,78 @@ def test_minhash_accuracy_no_cartesian_no_python(plans):
     p = plans("dedup_minhash_accuracy")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_streaks_user_keyed_no_join(plans):
+    # gaps-and-islands runs entirely on user-keyed exchanges (distinct
+    # calendar, island agg, stats/rank windows) — no join, no python,
+    # no global window.
+    p = plans("events_streaks", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_linreg_is_two_keyed_aggs_only(plans):
+    # daily pre-agg + power-sum agg; closed-form estimates are pure
+    # projection — no join, no window, no python.
+    p = plans("agg_linreg", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_audience_overlap_bounded_cooccurrence(plans):
+    # user-keyed self co-occurrence join (fan-out <= |types|^2 per user)
+    # plus two broadcast size joins — never a cartesian.
+    p = plans("events_audience_overlap", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_matryoshka_two_ranks_share_scored_pass(plans):
+    # full and truncated rankings are two windows over ONE broadcast-query
+    # scoring pass — no cartesian, no second corpus scan join.
+    p = plans("sim_matryoshka_recall", "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_time_bucket_is_pure_projection(plans):
+    # truncations are expressions only: no exchange, no join.
+    p = plans("fn_time_bucket", "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_profile_skew_top1_probe_and_histogram(plans):
+    # the heaviest-key probe is a TakeOrderedAndProject(limit 1); the
+    # percentile window runs over the count-of-counts histogram; the
+    # three 1-row frames meet in broadcast joins, never a cartesian.
+    p = plans("profile_skew")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_block_dedup_no_cartesian_no_python(plans):
+    # doc-frequency join back on block hash is equi; reassembly is an
+    # in-row array_sort — no pair enumeration, no python.
+    p = plans("docs_block_dedup", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_novelty_join_is_posting_list_equi(plans):
+    # first-owner ledger joins back 1:1 per (doc, gram) — equi join on
+    # the gram hash, no cartesian, ratio is integer-only projection.
+    p = plans("docs_novelty_ratio", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_lag_percentiles_windows_over_histogram(plans):
+    # lag distribution pre-agg bounds the cumulative window input by
+    # distinct lag values; all windows table-keyed; no join, no python.
+    p = plans("cdc_lag_percentiles", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
