@@ -248,6 +248,13 @@ EXTRA = [
     "cdc_multi_table_route",
     "cdc_replace_partition",
     "cdc_lag_percentiles",
+    # --- round 4, third wave.
+    "events_session_duration",
+    "events_record_highs",
+    "cdc_tx_batches",
+    "docs_length_mad_outliers",
+    "sim_centroid_classify",
+    "fn_format",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

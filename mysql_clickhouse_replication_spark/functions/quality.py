@@ -512,3 +512,102 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low_diversity"
         ),
     )
+
+
+@register(
+    "docs_length_mad_outliers",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id, n_chars FROM documents
+), dist1 AS (
+  SELECT source, n_chars AS v, COUNT(*) AS nk FROM d GROUP BY source, n_chars
+), c1 AS (
+  SELECT source, v,
+         SUM(nk) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nk) OVER (PARTITION BY source) AS total
+  FROM dist1
+), med AS (
+  SELECT source, MIN(CASE WHEN 2 * cum >= total THEN v END) AS med
+  FROM c1 GROUP BY source
+), dev AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS dv, d.n_chars, m.med
+  FROM d JOIN med m ON d.source = m.source
+), dist2 AS (
+  SELECT source, dv, COUNT(*) AS nk FROM dev GROUP BY source, dv
+), c2 AS (
+  SELECT source, dv,
+         SUM(nk) OVER (PARTITION BY source ORDER BY dv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nk) OVER (PARTITION BY source) AS total
+  FROM dist2
+), mad AS (
+  SELECT source, MIN(CASE WHEN 2 * cum >= total THEN dv END) AS mad
+  FROM c2 GROUP BY source
+)
+SELECT dev.source,
+       COUNT(*) AS n_docs,
+       MAX(dev.med) AS median_chars,
+       MAX(x.mad) AS mad_chars,
+       COUNT(*) FILTER (dev.dv > 3 * x.mad) AS n_outliers,
+       CAST(COUNT(*) FILTER (dev.dv > 3 * x.mad) * 1000000 // COUNT(*)
+            AS BIGINT) AS outlier_ppm
+FROM dev JOIN mad x ON dev.source = x.source
+GROUP BY dev.source
+""",
+)
+def docs_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier detection: median and MAD
+    (median absolute deviation) of document length, flagging docs whose
+    deviation exceeds 3x MAD — the robust-statistics quality gate
+    (mean/stddev cutoffs are themselves dragged by the outliers they
+    should catch; median/MAD are not, which is why corpus-cleaning
+    recipes use them).
+
+    Determinism: both medians are exact lower-median picks over integer
+    cumulative counts (the repo's histogram-percentile construction) —
+    no interpolation, no floats anywhere (output is all BIGINT + ppm).
+    Scale: each median pass runs its cumulative window over the
+    per-source COUNT-OF-COUNTS histogram (bounded by distinct lengths,
+    not docs); the median/MAD frames are |sources| rows joined back
+    broadcast.  Two histogram passes + two broadcast joins total."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        dist = df.groupBy("source", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("nk")
+        )
+        wcum = (
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("source")
+        c = dist.select(
+            "source",
+            "v",
+            F.sum("nk").over(wcum).alias("cum"),
+            F.sum("nk").over(wtot).alias("total"),
+        )
+        return c.groupBy("source").agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("v"))).alias(out)
+        )
+
+    med = _lower_median(d, "n_chars", "med")
+    dev = d.join(F.broadcast(med), "source").select(
+        "source",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dv"),
+        "med",
+    )
+    mad = _lower_median(dev, "dv", "mad")
+    j = dev.join(F.broadcast(mad), "source")
+    out_flag = F.col("dv") > 3 * F.col("mad")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("med").alias("median_chars"),
+        F.max("mad").alias("mad_chars"),
+        F.count_if(out_flag).alias("n_outliers"),
+        F.expr(
+            "CAST(count_if(dv > 3 * mad) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("outlier_ppm"),
+    )

@@ -637,3 +637,37 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", t).cast("date").alias("quarter_start"),
         F.date_trunc("minute", t).alias("minute_start"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       rpad(c_mktsegment, 12, '.') AS seg_padded,
+       repeat(substr(c_name, 1, 2), 3) AS rep2,
+       reverse(c_name) AS rev_name,
+       printf('%d|%05d|%x', c_custkey, c_nationkey, c_custkey) AS formatted
+FROM customer
+""",
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family — ClickHouse leftPad/rightPad/repeat/
+    reverse/format parity: zero-padding keys for lexicographic
+    partition names, C-style printf composition (decimal, zero-padded,
+    hex) for log/id rendering.  The conversion subset is pinned to
+    specifiers whose output is bit-identical across Java's Formatter
+    and C printf (%d/%05d/%x on exact integers — float %f specifiers
+    are deliberately excluded: Java rounds HALF_UP where C rounds
+    half-even).  Pure projection, zero shuffle."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.repeat(F.substring("c_name", 1, 2), 3).alias("rep2"),
+        F.reverse("c_name").alias("rev_name"),
+        F.format_string(
+            "%d|%05d|%x", "c_custkey", "c_nationkey", "c_custkey"
+        ).alias("formatted"),
+    )

@@ -800,3 +800,78 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle="""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (
+  SELECT label, unnest(generate_series(1, len(vec))) AS i, vec FROM v
+), comp AS (
+  SELECT label, i,
+         CAST(SUM(CAST(FLOOR(vec[i] * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS cv
+  FROM q GROUP BY label, i
+), cent AS (
+  SELECT label AS clabel, list(cv ORDER BY i) AS cvec FROM comp GROUP BY label
+), scored AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS s
+  FROM v CROSS JOIN cent c
+), pred AS (
+  SELECT vec_id, label, clabel AS pred_label FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, clabel) = 1
+)
+SELECT label, pred_label, COUNT(*) AS n
+FROM pred GROUP BY label, pred_label
+""",
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification with a confusion
+    matrix: per-label mean embedding as the class prototype, every
+    vector assigned to its most-cosine-similar centroid, and the
+    (true label, predicted label, count) matrix — the cheapest useful
+    embedding classifier and the standard first-look evaluation of
+    embedding quality (kNN's sibling with |labels| comparisons per
+    vector instead of |corpus|).
+
+    Determinism: centroid components are exact integer sums of
+    FLOOR(x * 1e6) micro-units divided once (floor is identical in both
+    engines; DuckDB's double->int CAST rounds, which is why FLOOR is
+    explicit — the embedding_quantize lesson), and scores are rounded
+    6dp before the argmax with a label tiebreak.  Scale: one
+    dim-exploded map-combined aggregate builds the centroids (|labels|
+    x dims rows — a mergeable rollup state), centroids broadcast
+    (|labels| rows, constant), ONE corpus pass scores |labels|
+    comparisons per vector, argmax per vector is a bounded window.  No
+    corpus self-join anywhere."""
+    v = _vecs(spark, sf_dir)
+    comp = (
+        v.select("label", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s"),
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("clabel"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred_label"))
+    )
+    return pred.groupBy("label", "pred_label").agg(F.count(F.lit(1)).alias("n"))

@@ -949,3 +949,57 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_record_highs",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         MAX(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) FILTER (prev_max IS NULL OR v > prev_max) AS n_records,
+       CAST(MAX(v) AS DOUBLE) AS max_value,
+       MAX(CASE WHEN prev_max IS NULL OR v > prev_max
+                THEN event_id END) AS last_record_seq
+FROM w GROUP BY user_id
+""",
+)
+def events_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record tracking per user: how often a user's event value
+    set a new personal best (strictly exceeded every prior value), the
+    final record, and the event that set it — ClickHouse
+    ``runningAccumulate``/max-state territory, and the
+    high-watermark/record-high analytic every leaderboard and
+    monitoring system computes.
+
+    Determinism: record comparisons run on exact DECIMAL(12,2) casts
+    (the _util convention) so a ULP of double noise can never flip a
+    "new record" decision; the time order carries the event_id tiebreak.
+    Scale: ONE user-keyed window (rows-frame running max — mergeable
+    in-partition state, no self-join formulation) feeding a map-combined
+    per-user aggregate; cardinality out = |users|."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast(D12)
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.max(v).over(wprev).alias("prev_max"),
+    )
+    is_rec = F.col("prev_max").isNull() | (F.col("v") > F.col("prev_max"))
+    return w.groupBy("user_id").agg(
+        F.count_if(is_rec).alias("n_records"),
+        F.max("v").cast("double").alias("max_value"),
+        F.max(F.when(is_rec, F.col("event_id"))).alias("last_record_seq"),
+    )

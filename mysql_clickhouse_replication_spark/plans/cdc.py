@@ -607,3 +607,49 @@ def cdc_replace_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "cdc_tx_batches",
+    oracle=f"""
+SELECT seq // 50 AS tx_id, tbl,
+       COUNT(*) AS n_rows,
+       MIN(seq) AS min_seq,
+       MAX(seq) AS max_seq,
+       (MAX(seq) - MIN(seq) + 1 = COUNT(*)) AS contiguous
+FROM ({_DECODE_SQL})
+GROUP BY seq // 50, tbl
+""",
+)
+def cdc_tx_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-aware apply batching: group the changelog by its
+    transaction envelope (binlog rows between BEGIN and XID share a
+    transaction — synthesized here as seq DIV 50 — [P:high] for the
+    binlog framing, empty snapshot) and split each transaction into its
+    PER-TABLE apply batches, the unit the reference flushes as one
+    ClickHouse INSERT so a transaction is never half-applied to a
+    table.  Per (tx, table) batch: row count, seq span, and a
+    contiguity audit flag — interleaved tables make a table's slice of
+    a transaction non-contiguous in the global log, which is exactly
+    what the flag surfaces (and why apply order must key on seq, not
+    arrival).
+
+    Scale: one map-combined groupBy on (tx, table); at 100 TB the
+    transaction id arrives in the binlog envelope (no derivation) and
+    this is the natural micro-batch partitioning key for the sink —
+    batches are independent, so apply parallelism is |tx x table|."""
+    cl = _changelog(spark, sf_dir)
+    return (
+        cl.groupBy(
+            F.expr("seq DIV 50").alias("tx_id"), "tbl"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .withColumn(
+            "contiguous",
+            F.col("max_seq") - F.col("min_seq") + 1 == F.col("n_rows"),
+        )
+    )

@@ -591,3 +591,120 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.select(
         "event_type", "n_days", "first_day", "last_day", ema.alias("ema")
     )
+
+
+@register(
+    "events_session_duration",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {GAP_MINUTES} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM gaps
+), per AS (
+  SELECT user_id, session_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+), dist AS (
+  SELECT dur_s, COUNT(*) AS nk FROM per GROUP BY dur_s
+), c AS (
+  SELECT dur_s,
+         SUM(nk) OVER (ORDER BY dur_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nk) OVER () AS total
+  FROM dist
+), pct AS (
+  SELECT MIN(CASE WHEN 2 * cum >= total THEN dur_s END) AS p50_dur_s,
+         MIN(CASE WHEN 20 * cum >= 19 * total THEN dur_s END) AS p95_dur_s,
+         MAX(dur_s) AS max_dur_s
+  FROM c
+), tot AS (
+  SELECT COUNT(*) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events_total
+  FROM per
+)
+SELECT n_sessions, n_events_total,
+       CAST(n_events_total * 1000000 // n_sessions AS BIGINT)
+         AS events_per_session_ppm,
+       p50_dur_s, p95_dur_s, max_dur_s
+FROM tot, pct
+""",
+)
+def events_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution over sessionize_batch's construction
+    (identical lag + gap-flag + running-sum session ids): exact p50/p95/
+    max session duration in SECONDS plus events-per-session — the
+    engagement KPI row a product dashboard pins.
+
+    Determinism & scale: durations are exact integer microsecond diffs
+    floored to seconds (both engines integer-divide), so the global
+    percentile pass runs over the count-of-counts histogram of SECOND
+    buckets — bounded by the longest session in seconds (a constant,
+    ~thousands of distinct values), NOT by session count; the classic
+    single-partition global-percentile killer is structurally avoided,
+    same argument as profile_skew/cdc_lag_percentiles.  One user_id
+    exchange for sessionization, one map-combined histogram, 1-row
+    broadcast cross join at the end."""
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us >= GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            ).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.expr("dur_us DIV 1000000").alias("dur_s"), "n_events")
+    )
+    dist = per.groupBy("dur_s").agg(F.count(F.lit(1)).alias("nk"))
+    wc = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = dist.select(
+        "dur_s",
+        F.sum("nk").over(wc).alias("cum"),
+        F.sum("nk").over(wt).alias("total"),
+    )
+    pct = c.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("dur_s"))).alias(
+            "p50_dur_s"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("dur_s"))
+        ).alias("p95_dur_s"),
+        F.max("dur_s").alias("max_dur_s"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events_total"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pct))
+        .select(
+            "n_sessions",
+            "n_events_total",
+            F.expr(
+                "CAST(n_events_total * 1000000 DIV n_sessions AS BIGINT)"
+            ).alias("events_per_session_ppm"),
+            "p50_dur_s",
+            "p95_dur_s",
+            "max_dur_s",
+        )
+    )

@@ -653,3 +653,48 @@ def test_lag_percentiles_windows_over_histogram(plans):
     p = plans("cdc_lag_percentiles", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_session_duration_histogram_percentiles(plans):
+    # global percentiles must run over the second-bucket histogram, not
+    # per-session rows; sessionization is the only user-keyed shuffle.
+    p = plans("events_session_duration", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_record_highs_single_user_window(plans):
+    # running max is one user-keyed rows-frame window + agg; no join.
+    p = plans("events_record_highs", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_tx_batches_single_keyed_agg(plans):
+    # transaction batching is one map-combined groupBy; nothing else.
+    p = plans("cdc_tx_batches", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_mad_outliers_broadcast_medians(plans):
+    # median/MAD frames are |sources| rows and must join back broadcast;
+    # the histogram windows are source-keyed.
+    p = plans("docs_length_mad_outliers", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_centroid_classify_broadcast_prototypes(plans):
+    # centroids broadcast against ONE corpus pass; argmax is a bounded
+    # window; no corpus self-join/cartesian.
+    p = plans("sim_centroid_classify", "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_format_family_is_pure_projection(plans):
+    p = plans("fn_format", "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
