@@ -255,6 +255,12 @@ EXTRA = [
     "docs_length_mad_outliers",
     "sim_centroid_classify",
     "fn_format",
+    # --- round 4, fourth wave.
+    "embedding_hard_negatives",
+    "cdc_backfill_plan",
+    "events_seasonality",
+    "scan_sorted_layout_prune",
+    "docs_dedup_pipeline",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

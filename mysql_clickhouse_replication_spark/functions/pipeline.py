@@ -728,3 +728,116 @@ def docs_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"),
         )
     )
+
+
+@register(
+    "docs_dedup_pipeline",
+    oracle=None,  # set below: needs text._MINHASH_ORACLE (import-order safe)
+)
+def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup funnel — the whole LLM-corpus cleaning pipeline
+    in one verified readout: raw corpus (with the deterministic re-crawl
+    clones of dedup_exact_text injected) -> exact content dedup ->
+    near-duplicate cluster collapse (keep each cluster's canonical) ->
+    quality gate (text_quality's length/token bounds), reporting the
+    survivor count after every stage.  This is the funnel number a data
+    curation run reports, and it PINS THE STAGE COMPOSITION: each stage
+    is individually hash-verified elsewhere (dedup_exact_text,
+    dedup_cluster, text_quality); here their interaction is too —
+    exact-dup removal must run BEFORE near-dup clustering sees the
+    corpus, canonical survival must not resurrect exact dupes, and the
+    quality gate must apply to survivors only.
+
+    Shape: one md5-keyed rank for exact keep, the audited banded-LSH +
+    iterative-CC cluster labels (reused via dedup_cluster — cost is that
+    plan's cost), ONE left join of flags, one global count row.  No new
+    heavy machinery; the composite is joins of already-bounded frames.
+    Oracle: the same funnel with DuckDB's recursive-CTE closure."""
+    from .text import dedup_cluster
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(clones)
+    wmd5 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = corpus.withColumn("rn", F.row_number().over(wmd5))
+    canon = dedup_cluster(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("canonical")
+    )
+    flags = ex.join(canon, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        (F.col("rn") == 1).alias("f_exact"),
+        (
+            (F.col("rn") == 1)
+            & (F.col("canonical").isNull() | (F.col("canonical") == F.col("doc_id")))
+        ).alias("f_near"),
+    )
+    fq = flags.withColumn(
+        "f_q",
+        F.col("f_near")
+        & F.length("text").between(40, 2000)
+        & (F.size(F.split("text", " ")) >= 5),
+    )
+    return fq.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(F.col("f_exact")).alias("n_after_exact"),
+        F.count_if(F.col("f_near")).alias("n_after_near"),
+        F.count_if(F.col("f_q")).alias("n_after_quality"),
+    )
+
+
+def _register_pipeline_oracle() -> None:
+    from ..registry import ORACLES
+    from .text import _MINHASH_ORACLE
+
+    ORACLES["docs_dedup_pipeline"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), ex AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus
+), pairs AS ({_MINHASH_ORACLE.strip()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+closure AS (
+  SELECT a, b FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM und
+),
+canon AS (
+  SELECT a AS doc_id, MIN(b) AS canonical FROM closure GROUP BY a
+),
+flags AS (
+  SELECT ex.doc_id, ex.text,
+         (ex.rn = 1) AS f_exact,
+         (ex.rn = 1 AND (c.canonical IS NULL OR c.canonical = ex.doc_id))
+           AS f_near
+  FROM ex LEFT JOIN canon c ON ex.doc_id = c.doc_id
+), fq AS (
+  SELECT *,
+         f_near AND length(text) BETWEEN 40 AND 2000
+                AND len(string_split(text, ' ')) >= 5 AS f_q
+  FROM flags
+)
+SELECT COUNT(*) AS n_raw,
+       COUNT(*) FILTER (f_exact) AS n_after_exact,
+       COUNT(*) FILTER (f_near) AS n_after_near,
+       COUNT(*) FILTER (f_q) AS n_after_quality
+FROM fq
+""".strip()
+
+
+_register_pipeline_oracle()

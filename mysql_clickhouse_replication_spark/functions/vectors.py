@@ -875,3 +875,68 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("clabel").alias("pred_label"))
     )
     return pred.groupBy("label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+_N_MINE = 3  # positives / hard negatives mined per query
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, vec AS q_vec
+  FROM v WHERE vec_id < {_N_QUERIES}
+), s AS (
+  SELECT q.q_id, c.vec_id, (c.label = q.q_label) AS is_pos,
+         ROUND(list_cosine_similarity(q.q_vec, c.vec), 6) AS cos
+  FROM q JOIN v c ON c.vec_id != q.q_id
+)
+SELECT q_id, vec_id,
+       CASE WHEN is_pos THEN 'pos' ELSE 'neg' END AS role, cos
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id, is_pos
+                           ORDER BY cos DESC, vec_id) <= {_N_MINE}
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per query, the top-k most
+    similar SAME-label vectors (positives) and the top-k most similar
+    DIFFERENT-label vectors (hard negatives — near the decision
+    boundary, the pairs that actually teach an embedding model;
+    random negatives are trivially separable and add nothing).  This is
+    the data-generation step of contrastive finetuning (in-batch
+    negatives' offline sibling).
+
+    Shape: the SAME broadcast-query one-corpus-pass scoring as
+    sim_cosine_topk, then ONE window partitioned by (query, is_positive)
+    — mining both roles costs one rank pass, not two scans.  Scores
+    rounded 6dp pre-rank, vec_id tiebreak.  At 100 TB the corpus pass
+    is the cost and it is one map-side scan per query batch."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+    )
+    s = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("is_pos"),
+            F.round(_cos(F.col("q_vec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _N_MINE)
+        .select(
+            "q_id",
+            "vec_id",
+            F.when(F.col("is_pos"), "pos").otherwise("neg").alias("role"),
+            "cos",
+        )
+    )

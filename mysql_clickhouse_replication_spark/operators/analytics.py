@@ -1003,3 +1003,48 @@ def events_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("double").alias("max_value"),
         F.max(F.when(is_rec, F.col("event_id"))).alias("last_record_seq"),
     )
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+WITH g AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hod, COUNT(*) AS n
+  FROM events GROUP BY dayofweek(ts), hour(ts)
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM g
+)
+SELECT dow, hod, n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       (n = MAX(n) OVER (PARTITION BY dow)) AS is_peak_hour
+FROM g, t
+""",
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: the day-of-week x hour-of-day
+    intensity matrix with global ppm shares and each weekday's peak
+    hour flagged — the capacity-planning / anomaly-baseline readout
+    every ingest dashboard renders (ClickHouse territory:
+    toDayOfWeek/toHour rollups).
+
+    Portability: DuckDB's dayofweek is 0-6 (Sunday=0) while Spark's
+    dayofweek is 1-7 (Sunday=1) — the Spark side subtracts 1 to match
+    (documented dialect bridge, same class as the DIV/float-div gap).
+    Scale: one map-combined groupBy to a CONSTANT 7x24 matrix; the
+    peak window and share math run on 168 rows."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").cast("bigint").alias("total"))
+    wd = Window.partitionBy("dow")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+            (F.col("n") == F.max("n").over(wd)).alias("is_peak_hour"),
+        )
+    )

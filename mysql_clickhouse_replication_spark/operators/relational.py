@@ -12,11 +12,13 @@ scale lever is making sure they reach the scan (no shuffle at all).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import table
+from ..session import scratch_path, table
 from ._util import D4, dec
 
 
@@ -537,4 +539,57 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("skew_ratio"),
         )
+    )
+
+
+@register(
+    "scan_sorted_layout_prune",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderdate) AS min_d,
+       MAX(o_orderdate) AS max_d
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+""",
+)
+def scan_sorted_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key data layout for scan pruning — ClickHouse
+    ``ORDER BY (o_orderdate)`` primary-index parity on parquet: land the
+    table RANGE-PARTITIONED + sorted on the filter column, so every
+    parquet row group's min/max statistics span a narrow date slice and
+    a one-month predicate skips almost all of them at the reader level
+    (PushedFilters -> row-group stats pruning; asserted in
+    tests/test_plans.py).  The verified result is the month aggregate
+    read back from the sorted sink.
+
+    At 100 TB this is the cheapest scan win there is: the SAME query on
+    an unsorted landing reads every row group (each spans the full date
+    domain); sorted layout turns time-windowed scans into
+    O(selected data).  repartitionByRange gives cluster-wide partition
+    pruning by range, sortWithinPartitions gives row-group pruning
+    inside each file — two pruning levels, one write-time decision."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    sink = scratch_path("sorted_orders", os.path.basename(sf_dir))
+    (
+        src.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(sink)
+    )
+    rb = spark.read.parquet(sink)
+    f = rb.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
     )

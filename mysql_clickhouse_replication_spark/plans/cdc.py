@@ -653,3 +653,60 @@ def cdc_tx_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_seq") - F.col("min_seq") + 1 == F.col("n_rows"),
         )
     )
+
+
+_BACKFILL_BATCH_ROWS = 1000  # rows per backfill batch (budget)
+
+
+@register(
+    "cdc_backfill_plan",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM ({_DECODE_SQL}) GROUP BY CAST(ts AS DATE)
+), c AS (
+  SELECT day, n,
+         SUM(n) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+)
+SELECT (cum - n) // {_BACKFILL_BATCH_ROWS} AS batch_id,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day,
+       COUNT(*) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM c GROUP BY (cum - n) // {_BACKFILL_BATCH_ROWS}
+""",
+)
+def cdc_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill work-partitioning plan — the query an operator runs
+    BEFORE replaying history into the sink: split the changelog's day
+    range into bounded batches of ~{_BACKFILL_BATCH_ROWS} rows by greedy
+    cumulative fill (a day joins the batch its cumulative start falls
+    in), emitting per batch the day range and true row count.  This is
+    how a 100 TB backfill becomes independently retryable, rate-limited
+    units (each batch = one availableNow replay window / one
+    REPLACE-PARTITION-able slice) instead of one giant job.
+
+    Determinism & scale: the plan runs entirely on the DAY histogram
+    (|days| rows — bounded), with one global cumulative window over
+    that histogram, integer arithmetic only.  The event scan is one
+    map-combined daily count."""
+    daily = (
+        _changelog(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select("day", "n", F.sum("n").over(wc).alias("cum"))
+    return (
+        c.groupBy(
+            F.expr(f"(cum - n) DIV {_BACKFILL_BATCH_ROWS}").alias("batch_id")
+        )
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -698,3 +698,40 @@ def test_format_family_is_pure_projection(plans):
     p = plans("fn_format", "simple")
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_hard_negatives_one_scoring_pass(plans):
+    # both roles mined from ONE broadcast-query corpus pass + one
+    # (query, polarity) window — no cartesian, no second scan join.
+    p = plans("embedding_hard_negatives", "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_backfill_plan_runs_on_day_histogram(plans):
+    # batch assignment is a cumulative window over the daily histogram;
+    # no join, no python.
+    p = plans("cdc_backfill_plan", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_seasonality_constant_matrix(plans):
+    # 7x24 matrix + 1-row broadcast total; peak window over 168 rows.
+    p = plans("events_seasonality", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sorted_layout_filter_reaches_reader(plans):
+    # the month predicate must be pushed into the sorted sink's parquet
+    # reader (row-group stats pruning depends on it).
+    p = plans("scan_sorted_layout_prune")
+    assert "PushedFilters: [" in p
+    assert "o_orderdate" in p
+
+
+def test_dedup_pipeline_composite_no_cartesian(plans):
+    # the funnel composes audited stages; the flag joins are equi/left —
+    # nothing quadratic on the Spark side (the oracle holds the closure).
+    p = plans("docs_dedup_pipeline", "simple")
+    assert "CartesianProduct" not in p
