@@ -261,6 +261,12 @@ EXTRA = [
     "events_seasonality",
     "scan_sorted_layout_prune",
     "docs_dedup_pipeline",
+    # --- round 4, fifth wave.
+    "events_new_vs_returning",
+    "events_alert_rules",
+    "events_distribution_drift",
+    "text_langid_eval",
+    "docs_split_leakage_safe",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

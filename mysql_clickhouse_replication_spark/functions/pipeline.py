@@ -841,3 +841,101 @@ FROM fq
 
 
 _register_pipeline_oracle()
+
+
+@register(
+    "docs_split_leakage_safe",
+    oracle=None,  # set below (reuses text._MINHASH_ORACLE closure)
+)
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: documents are bucketed into
+    80/10/10 splits by a portable hash of their NEAR-DUP CLUSTER
+    CANONICAL (not their own id) — near-duplicates of a test document
+    must never land in train, or the eval is contaminated by
+    construction; splitting by cluster key makes cross-split leakage
+    structurally impossible.  Emits per split: docs, distinct groups —
+    and the PROOF column: the number of clusters spanning more than one
+    split, which the gate pins at 0.
+
+    Scale: cluster labels come from the audited dedup_cluster plan
+    (cost = that plan's cost); the split assignment is a pure md5
+    expression on the group key (reproducible across engines, runs, and
+    cluster sizes — the sample_hash_based discipline); the leakage
+    audit is one map-combined (group -> distinct splits) aggregate."""
+    from .text import dedup_cluster
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    canon = dedup_cluster(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("canonical")
+    )
+    g = d.join(canon, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical", "doc_id").alias("gk")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gk").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "valid").otherwise("train")
+    )
+    assigned = g.withColumn("split", split)
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+    )
+    leaky = (
+        assigned.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.count_if(F.col("ns") > 1).alias("n_leaky_groups"))
+    )
+    return per_split.crossJoin(F.broadcast(leaky))
+
+
+def _register_split_oracle() -> None:
+    from ..registry import ORACLES
+    from .text import _MINHASH_ORACLE
+
+    ORACLES["docs_split_leakage_safe"] = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE.strip()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+closure AS (
+  SELECT a, b FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM und
+),
+canon AS (
+  SELECT a AS doc_id, MIN(b) AS canonical FROM closure GROUP BY a
+),
+g AS (
+  SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS gk
+  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+),
+assigned AS (
+  SELECT doc_id, gk,
+         CASE ('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 8))::BIGINT % 10
+              WHEN 0 THEN 'test' WHEN 1 THEN 'valid' ELSE 'train' END AS split
+  FROM g
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gk) AS n_groups
+  FROM assigned GROUP BY split
+),
+leaky AS (
+  SELECT COUNT(*) FILTER (ns > 1) AS n_leaky_groups
+  FROM (SELECT gk, COUNT(DISTINCT split) AS ns FROM assigned GROUP BY gk)
+)
+SELECT split, n_docs, n_groups, n_leaky_groups FROM per_split, leaky
+""".strip()
+
+
+_register_split_oracle()

@@ -611,3 +611,42 @@ def docs_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count_if(dv > 3 * mad) * 1000000 DIV count(1) AS BIGINT)"
         ).alias("outlier_ppm"),
     )
+
+
+@register(
+    "text_langid_eval",
+    oracle=f"""
+WITH m(m_lang, markers) AS (VALUES {', '.join(
+    "('" + lang + "', [" + ", ".join("'" + w + "'" for w in ws) + "])"
+    for lang, ws in _LANG_MARKERS.items())}),
+scored AS (
+  SELECT doc_id, lang, m_lang,
+         len(list_intersect(list_distinct(string_split(text, ' ')), markers))
+             AS score
+  FROM documents CROSS JOIN m
+), pred AS (
+  SELECT doc_id, lang, m_lang AS pred_lang FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) = 1
+)
+SELECT lang, pred_lang, COUNT(*) AS n,
+       (lang = pred_lang) AS is_correct
+FROM pred GROUP BY lang, pred_lang
+""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the language-ID heuristic: the
+    (true lang, predicted lang) confusion matrix over the corpus — the
+    readout that tells a pipeline operator whether the cheap marker
+    classifier is good enough to gate on, and WHERE it confuses (which
+    language pairs bleed into each other).  Same evaluation shape as
+    sim_centroid_classify's confusion matrix, over the text surface.
+
+    Scale: text_langid's own audited plan (constant broadcast marker
+    table, one corpus pass, bounded argmax window) followed by ONE
+    map-combined count over the |langs|^2 matrix."""
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("is_correct", F.col("lang") == F.col("pred_lang"))
+    )

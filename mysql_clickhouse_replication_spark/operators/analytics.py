@@ -1048,3 +1048,184 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") == F.max("n").over(wd)).alias("is_peak_hour"),
         )
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT d,
+       COUNT(*) FILTER (d = d0) AS n_new,
+       COUNT(*) FILTER (d > d0) AS n_returning,
+       CAST(COUNT(*) FILTER (d = d0) * 1000000 // COUNT(*) AS BIGINT)
+         AS new_share_ppm
+FROM act JOIN f USING (user_id)
+GROUP BY d
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: each active (user, day) is
+    classified against the user's FIRST-SEEN day — the acquisition/
+    retention decomposition on every growth dashboard.
+
+    Scale: first-seen is a mergeable per-user MIN ledger (the same
+    argmin-rollup shape as docs_novelty_ratio's first-owner ledger — at
+    100 TB it persists and new days merge in, no rescan), the activity
+    frame is the deduped user-day calendar, and the classify join is
+    1:1 per (user, day) on the user key.  Integer ppm share, zero float
+    surface."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = act.join(f, "user_id")
+    return j.groupBy("d").agg(
+        F.count_if(F.col("d") == F.col("d0")).alias("n_new"),
+        F.count_if(F.col("d") > F.col("d0")).alias("n_returning"),
+        F.expr(
+            "CAST(count_if(d = d0) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("new_share_ppm"),
+    )
+
+
+_ALERT_RULES = [("error", 210000), ("purchase", 205000), ("view", 260000)]
+
+
+@register(
+    "events_alert_rules",
+    oracle=f"""
+WITH rules(r_type, threshold_ppm) AS (VALUES {", ".join(
+    f"('{t}', {p})" for t, p in _ALERT_RULES)}),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY CAST(ts AS DATE), event_type
+), tot AS (
+  SELECT d, CAST(SUM(n) AS BIGINT) AS day_total FROM daily GROUP BY d
+)
+SELECT daily.d, event_type, n,
+       CAST(n * 1000000 // day_total AS BIGINT) AS share_ppm,
+       threshold_ppm,
+       (n * 1000000 // day_total > threshold_ppm) AS breach
+FROM daily
+JOIN tot ON daily.d = tot.d
+JOIN rules ON event_type = r_type
+""",
+)
+def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative alerting-rule evaluation: a (metric, threshold) rules
+    table joined against the daily metric rollup, emitting each
+    rule-covered metric row with its value and breach flag — the
+    rules-engine shape behind "alert when error share of daily traffic
+    exceeds X" monitors.  Thresholds are ppm SHARES of the day's
+    traffic, so rules are scale-free (an absolute row-count threshold
+    would be meaningless across SFs/cluster sizes).
+
+    Scale: the rules table is a constant broadcast; the metric rollup
+    is one map-combined daily groupBy; day totals are a second tiny
+    keyed agg joined on the day key.  Evaluation is pure expression —
+    all integer."""
+    ev = table(spark, sf_dir, "events")
+    rules = spark.createDataFrame(_ALERT_RULES, "r_type string, threshold_ppm long")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.groupBy("d").agg(F.sum("n").cast("bigint").alias("day_total"))
+    return (
+        daily.join(tot, "d")
+        .join(F.broadcast(rules), F.col("event_type") == F.col("r_type"))
+        .select(
+            "d",
+            "event_type",
+            "n",
+            F.expr("CAST(n * 1000000 DIV day_total AS BIGINT)").alias("share_ppm"),
+            "threshold_ppm",
+            F.expr("n * 1000000 DIV day_total > threshold_ppm").alias("breach"),
+        )
+    )
+
+
+_DRIFT_W1 = ("2024-01-01", "2024-01-08")  # [start, end)
+_DRIFT_W4 = ("2024-01-22", "2024-01-29")
+
+
+@register(
+    "events_distribution_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(FLOOR(value / 2) AS BIGINT), 19) AS bucket,
+         (ts >= TIMESTAMP '{_DRIFT_W1[0]}' AND ts < TIMESTAMP '{_DRIFT_W1[1]}')
+           AS w1,
+         (ts >= TIMESTAMP '{_DRIFT_W4[0]}' AND ts < TIMESTAMP '{_DRIFT_W4[1]}')
+           AS w4
+  FROM events
+  WHERE (ts >= TIMESTAMP '{_DRIFT_W1[0]}' AND ts < TIMESTAMP '{_DRIFT_W1[1]}')
+     OR (ts >= TIMESTAMP '{_DRIFT_W4[0]}' AND ts < TIMESTAMP '{_DRIFT_W4[1]}')
+), g AS (
+  SELECT event_type, bucket,
+         COUNT(*) FILTER (w1) AS n1,
+         COUNT(*) FILTER (w4) AS n2
+  FROM b GROUP BY event_type, bucket
+), t AS (
+  SELECT event_type,
+         CAST(SUM(n1) AS BIGINT) AS t1,
+         CAST(SUM(n2) AS BIGINT) AS t2
+  FROM g GROUP BY event_type
+)
+SELECT g.event_type, MAX(t1) AS n_week1, MAX(t2) AS n_week4,
+       CAST(SUM(ABS(n1 * 1000000 // t1 - n2 * 1000000 // t2)) // 2 AS BIGINT)
+         AS drift_ppm
+FROM g JOIN t ON g.event_type = t.event_type
+GROUP BY g.event_type
+""",
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value-distribution drift per event type: total
+    variation distance (in ppm) between the first and fourth week's
+    20-bin value histograms — the data-drift monitor that catches a
+    payload change (pricing shift, decode bug) even when row counts
+    look normal.  TV distance was chosen over PSI/KL deliberately:
+    it is a pure integer computation (sum of absolute ppm differences,
+    halved), so no cross-engine ln() is trusted.
+
+    Scale: one scan with both week predicates pushed down, one
+    map-combined (type, bucket) agg to a CONSTANT-size histogram grid,
+    totals joined back on the type key.  Everything after the first
+    agg runs on |types| x 20 rows."""
+    ev = table(spark, sf_dir, "events")
+    w1 = (F.col("ts") >= F.lit(_DRIFT_W1[0]).cast("timestamp")) & (
+        F.col("ts") < F.lit(_DRIFT_W1[1]).cast("timestamp")
+    )
+    w4 = (F.col("ts") >= F.lit(_DRIFT_W4[0]).cast("timestamp")) & (
+        F.col("ts") < F.lit(_DRIFT_W4[1]).cast("timestamp")
+    )
+    b = ev.filter(w1 | w4).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 2).cast("bigint"), F.lit(19)).alias(
+            "bucket"
+        ),
+        w1.alias("w1"),
+        w4.alias("w4"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        F.count_if(F.col("w1")).alias("n1"), F.count_if(F.col("w4")).alias("n2")
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    return (
+        g.join(t, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t1").alias("n_week1"),
+            F.max("t2").alias("n_week4"),
+            F.expr(
+                "CAST(SUM(ABS(n1 * 1000000 DIV t1 - n2 * 1000000 DIV t2))"
+                " DIV 2 AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )

@@ -735,3 +735,41 @@ def test_dedup_pipeline_composite_no_cartesian(plans):
     # nothing quadratic on the Spark side (the oracle holds the closure).
     p = plans("docs_dedup_pipeline", "simple")
     assert "CartesianProduct" not in p
+
+
+def test_new_vs_returning_ledger_join(plans):
+    # first-seen ledger is a user-keyed argmin; classify join is equi on
+    # user; no cartesian, no python.
+    p = plans("events_new_vs_returning", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_alert_rules_broadcast_constant(plans):
+    # the rules table is a constant broadcast; evaluation is expression.
+    p = plans("events_alert_rules", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_distribution_drift_week_filter_pushed(plans):
+    # the two week predicates reach the scan; the grid after the first
+    # agg is constant-size; no python.
+    p = plans("events_distribution_drift")
+    assert "PushedFilters: [" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_langid_eval_composes_audited_plan(plans):
+    # confusion matrix is one count over langid's bounded argmax output.
+    p = plans("text_langid_eval", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_split_leakage_hash_expression_only(plans):
+    # split assignment is a pure md5 expression on the group key; the
+    # audit is a keyed two-level agg; no python, no cartesian beyond the
+    # 1-row proof broadcast.
+    p = plans("docs_split_leakage_safe", "simple")
+    assert "BatchEvalPython" not in p
