@@ -267,6 +267,10 @@ EXTRA = [
     "events_distribution_drift",
     "text_langid_eval",
     "docs_split_leakage_safe",
+    # --- round 4, sixth wave.
+    "cdc_snapshot_chunks",
+    "analytics_segment_migration",
+    "events_dormant_reactivation",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1229,3 +1229,115 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_ppm"),
         )
     )
+
+
+_MIGRATION_CUT = "2024-01-16"  # period boundary (Jan 1-15 vs 16-31)
+
+
+@register(
+    "analytics_segment_migration",
+    oracle=f"""
+WITH p1 AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events WHERE ts < TIMESTAMP '{_MIGRATION_CUT}' GROUP BY user_id
+), q1 AS (
+  SELECT user_id, NTILE(4) OVER (ORDER BY v DESC, user_id) AS q FROM p1
+), p2 AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events WHERE ts >= TIMESTAMP '{_MIGRATION_CUT}' GROUP BY user_id
+), q2 AS (
+  SELECT user_id, NTILE(4) OVER (ORDER BY v DESC, user_id) AS q FROM p2
+)
+SELECT COALESCE(q1.q, 0) AS seg_p1,
+       COALESCE(q2.q, 0) AS seg_p2,
+       COUNT(*) AS n_users
+FROM q1 FULL OUTER JOIN q2 USING (user_id)
+GROUP BY COALESCE(q1.q, 0), COALESCE(q2.q, 0)
+""",
+)
+def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-segment migration matrix: each user's spend quartile in
+    the first half of the month vs the second, counted per (from, to)
+    transition — the segment-churn view (did my top quartile stay top?)
+    that sits one step past analytics_rfm's static segmentation.
+    Segment 0 = absent in that period (churn-in / churn-out rows).
+
+    Determinism: quartiles are NTILE(4) over EXACT decimal spend with
+    (spend DESC, user_id) keyed tiebreaks — identical total order and
+    identical NTILE remainder distribution in both engines.  Scale:
+    like analytics_rfm, the global NTILE is a single-partition window
+    over |users| — fine at gate scale, and the documented production
+    swap is approx_percentile cutpoints (constant-size sketch) with the
+    same matrix agg; the transition join is per-user 1:1 full outer,
+    and the matrix is a constant 5x5."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit(_MIGRATION_CUT).cast("timestamp")
+
+    def quartiles(df: DataFrame, pred) -> DataFrame:
+        p = df.filter(pred).groupBy("user_id").agg(
+            F.sum(F.col("value").cast(D12)).alias("v")
+        )
+        w = Window.orderBy(F.desc("v"), F.asc("user_id"))
+        return p.select("user_id", F.ntile(4).over(w).alias("q"))
+
+    q1 = quartiles(ev, F.col("ts") < cut).withColumnRenamed("q", "q1")
+    q2 = quartiles(ev, F.col("ts") >= cut).withColumnRenamed("q", "q2")
+    return (
+        q1.join(q2, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("q1", F.lit(0)).alias("seg_p1"),
+            F.coalesce("q2", F.lit(0)).alias("seg_p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_DORMANT_GAP_DAYS = 3  # fixture-calibrated (production: 14-30 days)
+
+
+@register(
+    "events_dormant_reactivation",
+    oracle=f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id, d,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
+  FROM days
+)
+SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+       COUNT(*) AS n_reactivations,
+       COUNT(DISTINCT user_id) AS n_users
+FROM g
+WHERE prev IS NOT NULL AND d - prev >= {_DORMANT_GAP_DAYS}
+GROUP BY CAST(date_trunc('week', d) AS DATE)
+""",
+)
+def events_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-user reactivation: users returning after >=
+    {_DORMANT_GAP_DAYS} days of inactivity, counted per return week —
+    the resurrection metric growth teams track beside
+    events_new_vs_returning (new vs returning vs RESURRECTED is the
+    standard three-way growth accounting).  The gap threshold is
+    fixture-calibrated (the synthetic corpus is dense; production uses
+    14-30 days — one constant, same plan).
+
+    Scale: deduped user-day calendar -> ONE user-keyed lag window ->
+    map-combined weekly agg; the same single-exchange discipline as
+    events_streaks (which finds the islands; this flags the island
+    BOUNDARIES that exceed the dormancy gap)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn("prev", F.lag("d").over(w))
+    return (
+        g.filter(
+            F.col("prev").isNotNull()
+            & (F.datediff("d", "prev") >= _DORMANT_GAP_DAYS)
+        )
+        .groupBy(F.date_trunc("week", "d").cast("date").alias("wk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reactivations"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -710,3 +710,53 @@ def cdc_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+_SNAPSHOT_CHUNK_WIDTH = 2048  # pk units per snapshot chunk
+
+
+@register(
+    "cdc_snapshot_chunks",
+    oracle=f"""
+SELECT o_orderkey // {_SNAPSHOT_CHUNK_WIDTH} AS chunk_id,
+       MIN(o_orderkey) AS min_pk,
+       MAX(o_orderkey) AS max_pk,
+       COUNT(*) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(o_orderkey || '|' || o_custkey), 1, 8))
+                ::BIGINT) AS BIGINT) AS chunk_hash
+FROM orders
+GROUP BY o_orderkey // {_SNAPSHOT_CHUNK_WIDTH}
+""",
+)
+def cdc_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot chunk plan — the DBLog / Debezium
+    incremental-snapshot algorithm's partitioning step (public
+    algorithm: Netflix DBLog paper; the reference class snapshots with
+    a single cursor, which cannot pause/resume or interleave with the
+    binlog): the source table's pk domain is split into fixed-width
+    chunks, each small enough to read in one short transaction and
+    fingerprint, so the snapshot can run chunk-at-a-time BETWEEN binlog
+    batches and resume from any chunk after a crash.  Emits per chunk:
+    pk span, row count, and an order-insensitive chunk checksum (the
+    watermark-reconciliation token the algorithm compares against
+    concurrent changes).
+
+    Scale: chunking by PK VALUE RANGE (pk DIV width), deliberately NOT
+    by global row_number — a global row_number is one sort on a single
+    reducer at 100 TB, while value-range chunking is a map-side
+    expression whose per-chunk stats are map-combined.  Sparse pk
+    ranges just yield small chunks, which the algorithm tolerates by
+    design."""
+    o = table(spark, sf_dir, "orders")
+    ch = F.expr(f"o_orderkey DIV {_SNAPSHOT_CHUNK_WIDTH}").alias("chunk_id")
+    rh = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "o_orderkey", "o_custkey")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return o.groupBy(ch).agg(
+        F.min("o_orderkey").alias("min_pk"),
+        F.max("o_orderkey").alias("max_pk"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rh).cast("bigint").alias("chunk_hash"),
+    )

@@ -773,3 +773,28 @@ def test_split_leakage_hash_expression_only(plans):
     # 1-row proof broadcast.
     p = plans("docs_split_leakage_safe", "simple")
     assert "BatchEvalPython" not in p
+
+
+def test_snapshot_chunks_value_range_partitioning(plans):
+    # DBLog chunking must be a map-side value-range expression + one
+    # map-combined agg — no global row_number sort, no join.
+    p = plans("cdc_snapshot_chunks", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_segment_migration_user_keyed_transition(plans):
+    # two quartile windows + one per-user full outer join + constant
+    # 5x5 matrix agg; no cartesian, no python.
+    p = plans("analytics_segment_migration", "simple")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dormant_reactivation_single_user_window(plans):
+    # deduped calendar -> one user-keyed lag -> weekly agg; no join.
+    p = plans("events_dormant_reactivation", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
