@@ -271,6 +271,10 @@ EXTRA = [
     "cdc_snapshot_chunks",
     "analytics_segment_migration",
     "events_dormant_reactivation",
+    # --- round 4, seventh wave.
+    "sim_ivf_nprobe_sweep",
+    "events_conversion_latency",
+    "cdc_order_violations",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

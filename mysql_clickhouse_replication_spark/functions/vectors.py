@@ -940,3 +940,125 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
         )
     )
+
+
+_MAX_NPROBE = 4
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_K_CENTROIDS}),
+sim AS (SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.vec, c.cvec), 6) AS s
+        FROM v CROSS JOIN c),
+assign AS (SELECT vec_id, cid FROM sim
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+probe AS (SELECT vec_id AS q_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS pr
+          FROM sim WHERE vec_id < {_N_QUERIES}
+          QUALIFY pr <= {_MAX_NPROBE}),
+cand AS (SELECT p.q_id, a.vec_id, p.pr
+         FROM probe p JOIN assign a USING (cid) WHERE a.vec_id != p.q_id),
+candn AS (SELECT q_id, vec_id, unnest(generate_series(pr, {_MAX_NPROBE})) AS nprobe
+          FROM cand),
+scored AS (SELECT cn.nprobe, cn.q_id, cn.vec_id,
+                  ROUND(list_cosine_similarity(qv.vec, cv.vec), 6) AS cos
+           FROM candn cn
+           JOIN v qv ON qv.vec_id = cn.q_id
+           JOIN v cv ON cv.vec_id = cn.vec_id),
+approx AS (SELECT nprobe, q_id, vec_id FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                      ORDER BY cos DESC, vec_id) <= {_TOP_K}),
+exact AS (SELECT q.vec_id AS q_id, cc.vec_id
+          FROM v q JOIN v cc ON q.vec_id < {_N_QUERIES} AND cc.vec_id != q.vec_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(q.vec, cc.vec), 6)
+                              DESC, cc.vec_id) <= {_TOP_K}),
+grid AS (SELECT unnest(generate_series(1, {_MAX_NPROBE})) AS nprobe)
+SELECT grid.nprobe,
+       COUNT(a.vec_id) AS n_hits,
+       CAST(COUNT(a.vec_id) * 1000000
+            // ({_TOP_K} * {_N_QUERIES}) AS BIGINT) AS recall_ppm
+FROM grid
+CROSS JOIN exact e
+LEFT JOIN approx a ON a.nprobe = grid.nprobe AND a.q_id = e.q_id
+                   AND a.vec_id = e.vec_id
+GROUP BY grid.nprobe
+""",
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k as a function of nprobe (1..4
+    probed cells) in ONE query — the cost/recall frontier an ANN
+    deployment reads to pick its operating point (sim_ann_recall pins
+    one point of this curve; this emits the whole curve).
+
+    Shape economy: ONE centroid-scoring pass feeds assignment and all
+    probe depths; each candidate carries its cell's probe rank and is
+    fanned out only to the nprobe values that would include it
+    (explode(sequence(pr, max)) — bounded by max_nprobe, never a
+    recompute per depth); one re-scoring pass; one (nprobe, query)
+    rank window; recall joins against the single exact top-k.  Exact
+    integer ppm recall.  At 100 TB the sweep costs ~1 extra rank
+    window over the deepest probe's candidates — not 4 separate
+    searches."""
+    v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    c = F.broadcast(
+        v.filter(F.col("vec_id") < _K_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    sim = v.crossJoin(c).select(
+        "vec_id", "cid", F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    ranked = sim.withColumn("pr", F.row_number().over(wv))
+    assign = ranked.filter(F.col("pr") == 1).select("vec_id", "cid")
+    probe = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("pr") <= _MAX_NPROBE))
+        .select(F.col("vec_id").alias("q_id"), "cid", "pr")
+    )
+    cand = probe.join(assign, "cid").filter(F.col("vec_id") != F.col("q_id"))
+    candn = cand.select(
+        "q_id",
+        "vec_id",
+        F.explode(F.sequence(F.col("pr"), F.lit(_MAX_NPROBE))).alias("nprobe"),
+    )
+    qv = v.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+    cv = v.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    scored = (
+        candn.join(F.broadcast(qv), "q_id")
+        .join(cv, candn.vec_id == cv.c_id)
+        .select(
+            "nprobe",
+            "q_id",
+            "vec_id",
+            F.round(_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("nprobe", "q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    approx = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("nprobe", F.col("q_id").alias("a_q"), F.col("vec_id").alias("a_v"))
+    )
+    exact = sim_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    grid = spark.range(1, _MAX_NPROBE + 1).select(F.col("id").cast("int").alias("nprobe"))
+    joined = (
+        grid.crossJoin(exact)
+        .join(
+            approx,
+            (approx.nprobe == grid.nprobe)
+            & (F.col("a_q") == F.col("q_id"))
+            & (F.col("a_v") == F.col("vec_id")),
+            "left",
+        )
+        .drop(approx.nprobe)
+    )
+    return joined.groupBy("nprobe").agg(
+        F.count("a_v").alias("n_hits"),
+        F.expr(
+            f"CAST(count(a_v) * 1000000 DIV ({_TOP_K} * {_N_QUERIES}) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -1341,3 +1341,103 @@ def events_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS p0
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.v0
+  GROUP BY e.user_id
+), lat AS (
+  SELECT (epoch_us(p0) - epoch_us(v0)) // 1000000 AS lat_s
+  FROM fv JOIN fp USING (user_id)
+), dist AS (
+  SELECT lat_s, COUNT(*) AS nk FROM lat GROUP BY lat_s
+), c AS (
+  SELECT lat_s,
+         SUM(nk) OVER (ORDER BY lat_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nk) OVER () AS total
+  FROM dist
+), pct AS (
+  SELECT MIN(CASE WHEN 2 * cum >= total THEN lat_s END) AS p50_lat_s,
+         MIN(CASE WHEN 20 * cum >= 19 * total THEN lat_s END) AS p95_lat_s,
+         MAX(lat_s) AS max_lat_s
+  FROM c
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM fv) AS n_viewers,
+         (SELECT COUNT(*) FROM lat) AS n_converted
+)
+SELECT n_viewers, n_converted,
+       CAST(n_converted * 1000000 // n_viewers AS BIGINT) AS conversion_ppm,
+       p50_lat_s, p95_lat_s, max_lat_s
+FROM tot, pct
+""",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: time from a user's FIRST view to their first
+    subsequent purchase — exact p50/p95/max in integer seconds plus the
+    conversion rate — the 'how long does conversion take' readout that
+    complements events_funnel's 'how many convert' counts.
+
+    Determinism & scale: latencies are exact integer microsecond diffs
+    floored to seconds; percentiles use the histogram-cume construction
+    (window input bounded by distinct second values, production buckets
+    to minutes); the first-view/first-purchase anchors are mergeable
+    per-user MINs and meet in one user-keyed join.  All-integer
+    output."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.expr("(unix_micros(p0) - unix_micros(v0)) DIV 1000000").alias("lat_s")
+    )
+    dist = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("nk"))
+    wc = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = dist.select(
+        "lat_s",
+        F.sum("nk").over(wc).alias("cum"),
+        F.sum("nk").over(wt).alias("total"),
+    )
+    pct = c.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("lat_s"))).alias(
+            "p50_lat_s"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("lat_s"))
+        ).alias("p95_lat_s"),
+        F.max("lat_s").alias("max_lat_s"),
+    )
+    tot = fv.agg(F.count(F.lit(1)).alias("n_viewers")).crossJoin(
+        F.broadcast(lat.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pct))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.expr(
+                "CAST(n_converted * 1000000 DIV n_viewers AS BIGINT)"
+            ).alias("conversion_ppm"),
+            "p50_lat_s",
+            "p95_lat_s",
+            "max_lat_s",
+        )
+    )

@@ -365,3 +365,64 @@ def cdc_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_lag_us"),
         F.max("lag_us").alias("max_lag_us"),
     )
+
+
+@register(
+    "cdc_order_violations",
+    oracle=f"""
+WITH arr AS (
+  SELECT tbl, seq, ts,
+         seq + CASE WHEN seq % 97 = 0 THEN -2 ELSE 0 END AS arr_seq
+  FROM ({_DECODE_SQL})
+), o AS (
+  SELECT tbl, ts,
+         LAG(ts) OVER (PARTITION BY tbl ORDER BY arr_seq, seq) AS prev_ts
+  FROM arr
+)
+SELECT tbl,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (prev_ts IS NOT NULL AND ts < prev_ts) AS n_inversions,
+       CAST(MAX(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                     THEN epoch_us(prev_ts) - epoch_us(ts) END) AS BIGINT)
+         AS max_backstep_us
+FROM o GROUP BY tbl
+""",
+)
+def cdc_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog ordering-guarantee audit: per routed table, how many
+    events arrived with a commit timestamp EARLIER than their
+    predecessor in arrival order, and the worst backward time-step —
+    the disorder monitor that catches a mis-merged multi-source stream
+    or a connector that re-reads segments out of order (the apply loop
+    assumes per-table monotonicity; violations mean LWW/versioned
+    collapsing must arbitrate, cdc_conflict_lww's territory).  A
+    deterministic arrival perturbation (every 97th seq displaced two
+    slots back) is injected so the audit provably FIRES — the same
+    injected-anomaly discipline as agg_heavy_hitters' storm and
+    cdc_gap_check's drops.
+
+    Scale: ONE table-keyed lag window over arrival order + a
+    map-combined per-table agg; adjacent-pair checking is O(n) and
+    catches every contiguous disorder run (global inversion pairs
+    would be O(n²) and add nothing an operator acts on)."""
+    arr = _changelog(spark, sf_dir).select(
+        "tbl",
+        "seq",
+        "ts",
+        (
+            F.col("seq")
+            + F.when(F.col("seq") % 97 == 0, F.lit(-2)).otherwise(F.lit(0))
+        ).alias("arr_seq"),
+    )
+    w = Window.partitionBy("tbl").orderBy("arr_seq", "seq")
+    o = arr.select("tbl", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    viol = F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    return o.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(viol).alias("n_inversions"),
+        F.max(
+            F.when(viol, F.unix_micros(F.col("prev_ts")) - F.unix_micros(F.col("ts")))
+        )
+        .cast("bigint")
+        .alias("max_backstep_us"),
+    )

@@ -798,3 +798,26 @@ def test_dormant_reactivation_single_user_window(plans):
     p = plans("events_dormant_reactivation", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_nprobe_sweep_single_scoring_pass(plans):
+    # one centroid pass feeds assignment + all probe depths; candidate
+    # fan-out is explode(pr..max), never a per-depth recompute; no
+    # cartesian beyond the 4-row grid broadcast.
+    p = plans("sim_ivf_nprobe_sweep", "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_conversion_latency_histogram_percentiles(plans):
+    # anchors are mergeable per-user MINs; percentile window runs over
+    # the second-bucket histogram; no python.
+    p = plans("events_conversion_latency", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_order_violations_single_table_window(plans):
+    # adjacent-pair audit: one table-keyed lag window + agg; no join.
+    p = plans("cdc_order_violations", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
