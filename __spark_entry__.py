@@ -112,9 +112,10 @@ def _ordered_keys() -> list[str]:
     extras beyond position 50, plus keys added in round 4) to the front
     -- replace the return below with  g_r04[50:] + g_r04[:50] + g_r03 +
     proven  (keeping _RED_R03 inside the proven region if r04 records
-    them green).  Counts after the round-4 build (229 keys total,
-    g_r04 = 126): r04 window proves 50, r05's overflow rotation proves
-    the next 50, r06 the remaining 26 -- full driver coverage by r06."""
+    them green).  Counts after the round-4 build (235 keys total,
+    g_r04 = 132): r04's window proves 50 (driver-green total 148),
+    r05's overflow rotation proves the next 50, r06 the remaining 37
+    -- full driver coverage by r06."""
     seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
     extras = [k for k in QUERIES if k not in seen]
     g_r03 = [k for k in _R03_WINDOW if k in QUERIES and k not in _RED_R03]
