@@ -275,6 +275,10 @@ EXTRA = [
     "sim_ivf_nprobe_sweep",
     "events_conversion_latency",
     "cdc_order_violations",
+    # --- round 4, eighth wave.
+    "join_null_skew_split",
+    "docs_shard_balance",
+    "cdc_freshness",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

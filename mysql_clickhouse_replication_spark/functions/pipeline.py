@@ -939,3 +939,67 @@ SELECT split, n_docs, n_groups, n_leaky_groups FROM per_split, leaky
 
 
 _register_split_oracle()
+
+
+_N_SHARDS = 8
+_SHARD_BAND = 32  # token-size band width for band-local round-robin
+
+
+@register(
+    "docs_shard_balance",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+), b AS (
+  SELECT doc_id, ntok, ntok // {_SHARD_BAND} AS band FROM t
+), r AS (
+  SELECT doc_id, ntok, band,
+         ROW_NUMBER() OVER (PARTITION BY band ORDER BY ntok DESC, doc_id) AS rn
+  FROM b
+), a AS (
+  SELECT (rn - 1) % {_N_SHARDS} AS shard, ntok FROM r
+), p AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens
+  FROM a GROUP BY shard
+), s AS (
+  SELECT MAX(total_tokens) AS mx, MIN(total_tokens) AS mn FROM p
+)
+SELECT shard, n_docs, total_tokens,
+       CAST(mx * 1000000 // mn AS BIGINT) AS imbalance_ppm
+FROM p, s
+""",
+)
+def docs_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard assignment — the writer-side planning step
+    that keeps training shards (and their downstream reader tasks)
+    token-balanced: documents are round-robined across {_N_SHARDS}
+    shards WITHIN token-size bands (longest-first within each band), a
+    distributed approximation of LPT scheduling; emits per-shard doc/
+    token totals and the max/min imbalance in ppm — the number that
+    tells you whether shard 3 will finish an epoch late.
+
+    Scale discipline: assignment deliberately avoids a GLOBAL size rank
+    (single-partition window) — the round-robin runs per token-size
+    BAND (band-keyed windows), which balances because every band's
+    membership is near-uniform in size by construction.  One band-keyed
+    window + one shard agg + a 1-row stats broadcast."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+    b = t.withColumn("band", F.expr(f"ntok DIV {_SHARD_BAND}"))
+    w = Window.partitionBy("band").orderBy(F.desc("ntok"), F.asc("doc_id"))
+    a = b.select(
+        ((F.row_number().over(w) - 1) % _N_SHARDS).alias("shard"), "ntok"
+    )
+    p = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+    )
+    s = p.agg(
+        F.max("total_tokens").alias("mx"), F.min("total_tokens").alias("mn")
+    )
+    return p.crossJoin(F.broadcast(s)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST(mx * 1000000 DIV mn AS BIGINT)").alias("imbalance_ppm"),
+    )

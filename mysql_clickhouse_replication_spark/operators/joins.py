@@ -735,3 +735,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+@register(
+    "join_null_skew_split",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_orderkey END AS fk
+  FROM lineitem
+), j AS (
+  SELECT li.fk, li.l_linenumber, li.l_quantity, o.o_totalprice
+  FROM li LEFT JOIN orders o ON li.fk = o.o_orderkey
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (fk IS NULL) AS n_null_fk,
+       COUNT(o_totalprice) AS n_matched,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM j
+""",
+)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew defense for outer joins: every NULL foreign key
+    hashes to the SAME shuffle partition, so a null-heavy fact (here a
+    deterministic ~8% of rows nulled, standing in for optional FKs)
+    sends its entire null population to one reducer in a plain left
+    join.  The rewrite splits the fact BEFORE the shuffle: non-null
+    rows join normally, null rows bypass the join entirely (a LEFT join
+    can never match them) and union back with null-padded columns —
+    bitwise-equal to the naive join, which is exactly what the oracle
+    (a plain LEFT JOIN) verifies.
+
+    At 100 TB this and salting (join_skew_salted) are the two skew
+    levers; the null split is FREE (no fan-out factor) and should
+    always be applied first when null rates are material.  The final
+    aggregate is the equality witness — exact decimal sums over every
+    column the join produces."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 13 == 0, None)
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nn = (
+        li.filter(F.col("fk").isNotNull())
+        .join(o, F.col("fk") == F.col("o_orderkey"), "left")
+        .select("fk", "l_linenumber", "l_quantity", "o_totalprice")
+    )
+    nul = li.filter(F.col("fk").isNull()).select(
+        "fk",
+        "l_linenumber",
+        "l_quantity",
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    j = nn.unionByName(nul)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("fk").isNull()).alias("n_null_fk"),
+        F.count("o_totalprice").alias("n_matched"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -426,3 +426,46 @@ def cdc_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_backstep_us"),
     )
+
+
+@register(
+    "cdc_freshness",
+    oracle=f"""
+WITH per AS (
+  SELECT tbl, MAX(ts) AS last_ts, COUNT(*) AS n_events
+  FROM ({_DECODE_SQL}) GROUP BY tbl
+), g AS (
+  SELECT MAX(last_ts) AS wm FROM per
+)
+SELECT tbl, n_events, last_ts,
+       CAST((epoch_us(wm) - epoch_us(last_ts)) // 1000000 AS BIGINT)
+         AS staleness_s,
+       ((epoch_us(wm) - epoch_us(last_ts)) // 1000000 > 3600) AS stale
+FROM per, g
+""",
+)
+def cdc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table replication freshness — the first monitor a CDC
+    operator wires up: each routed table's last-applied event time
+    against the stream's global watermark (max event time across
+    tables — deterministic, never wall clock), with a stale flag at
+    1 hour of lag.  A table whose writes stopped flowing (dropped
+    subscription, filter misconfiguration) surfaces here before any
+    checksum runs; cdc_row_checksum then localizes WHAT diverged.
+
+    Scale: one map-combined per-table MAX/COUNT, a 1-row global
+    watermark broadcast, pure integer expression math — the cost of
+    monitoring is one aggregate over the changelog regardless of
+    volume."""
+    per = _changelog(spark, sf_dir).groupBy("tbl").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = per.agg(F.max("last_ts").alias("wm"))
+    lag_s = F.expr("(unix_micros(wm) - unix_micros(last_ts)) DIV 1000000")
+    return per.crossJoin(F.broadcast(g)).select(
+        "tbl",
+        "n_events",
+        "last_ts",
+        lag_s.cast("bigint").alias("staleness_s"),
+        (lag_s > 3600).alias("stale"),
+    )

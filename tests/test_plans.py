@@ -821,3 +821,26 @@ def test_order_violations_single_table_window(plans):
     p = plans("cdc_order_violations", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_null_skew_split_bypasses_shuffle_for_nulls(plans):
+    # the rewrite must show a union of (join of non-null) + (null scan)
+    # — null rows never enter the join exchange.
+    p = plans("join_null_skew_split", "simple")
+    assert "Union" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_shard_balance_band_keyed_window(plans):
+    # assignment must run per token-band window, never a global rank;
+    # the stats frame is a 1-row broadcast.
+    p = plans("docs_shard_balance", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_freshness_single_agg_plus_watermark(plans):
+    # one per-table agg + 1-row watermark broadcast; expression math.
+    p = plans("cdc_freshness", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
