@@ -291,7 +291,7 @@ STREAMING_EXCLUDED = [
     "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
     "stream_stateful", "stream_triggers", "stream_output_modes",
     "stream_static_join", "cdc_stream_source", "cdc_sink",
-    "cdc_checkpoint", "cdc_sink_idempotent",
+    "cdc_checkpoint", "cdc_sink_idempotent", "stream_resume_incremental",
 ]
 
 N_RUNS = 2  # keep the best (steady-state) time per query

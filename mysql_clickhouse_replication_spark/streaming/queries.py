@@ -530,3 +530,75 @@ def cdc_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source rows — replay produced misaligned batch boundaries"
         )
     return out
+
+
+@register(
+    "stream_resume_incremental",
+    oracle="""
+SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+            WHEN event_type = 'error'  THEN 'delete'
+            ELSE 'update' END AS op,
+       user_id AS pk, event_id AS seq, value
+FROM events
+""",
+)
+def stream_resume_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental resume — the property the reference's persisted
+    (log_file, log_pos) actually buys, strictly stronger than
+    cdc_checkpoint's replay-nothing restart: the stream consumes the
+    FIRST half of the changelog, stops, NEW data lands (the second
+    half), and a resumed query from the same checkpoint processes ONLY
+    the delta.  The sink must then hold the full changelog exactly once
+    — one copy of the old data (not reprocessed) and one of the new
+    (not missed), which is precisely what the full-table oracle hash
+    proves.  This is the binlog operational loop: connector restarts
+    must neither rewind nor skip.
+
+    Mechanics: the two halves land as separate staged parquet files;
+    the file source's checkpoint records which files each run consumed
+    (the engine's (file, pos)); availableNow bounds both runs.  At
+    100 TB the same checkpoint discipline carries a real binlog source
+    (sources/binlog.py) — offsets are engine-managed WAL state, not
+    application bookkeeping."""
+    run_id = uuid.uuid4().hex
+    stage = _scratch("resume_stage", run_id)
+    sink = _scratch("resume_sink", run_id)
+    ckpt = _scratch("resume_ckpt", run_id)
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    schema_src = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    schema_src.filter(F.col("event_id") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+
+    def consume() -> None:
+        sdf = spark.readStream.schema(schema_src.schema).parquet(stage)
+        decoded = sdf.select(
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("user_id").alias("pk"),
+            F.col("event_id").alias("seq"),
+            "value",
+        )
+        q = (
+            decoded.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    consume()  # run 1: first half only
+    # new data lands while the stream is down (distinct file names —
+    # mode=append adds files, leaving run 1's consumed files in place)
+    schema_src.filter(F.col("event_id") > F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    consume()  # run 2: resumes from checkpoint, consumes ONLY the delta
+    return spark.read.parquet(sink)
