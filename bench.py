@@ -279,6 +279,10 @@ EXTRA = [
     "join_null_skew_split",
     "docs_shard_balance",
     "cdc_freshness",
+    # --- round 4, ninth wave.
+    "sim_pq_adc_search",
+    "docs_ngram_coverage_eval",
+    "events_funnel_by_segment",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1003,3 +1003,75 @@ def docs_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.expr("CAST(mx * 1000000 DIV mn AS BIGINT)").alias("imbalance_ppm"),
     )
+
+
+@register(
+    "docs_ngram_coverage_eval",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(
+           [('0x' || substr(md5(array_to_string(toks[i : least(i + 7, len(toks))],
+                                                ' ')), 1, 8))::BIGINT
+            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+), train_g AS (
+  SELECT DISTINCT g FROM grams WHERE source != 'src0'
+), ev AS (
+  SELECT doc_id, g FROM grams WHERE source = 'src0'
+)
+SELECT ev.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(t.g) AS n_covered,
+       CAST(COUNT(t.g) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM ev LEFT JOIN train_g t ON ev.g = t.g
+GROUP BY ev.doc_id
+""",
+)
+def docs_ngram_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out coverage / OOV-rate: for each evaluation document
+    (source src0), the fraction of its distinct 8-token shingles that
+    appear ANYWHERE in the training corpus — contamination's inverse
+    reading: docs_contamination_check flags >=1 shared shingle (leak
+    detection); this measures HOW MUCH of the eval set the training
+    distribution covers, the domain-shift signal an eval-set curator
+    reads (near-zero coverage = the benchmark is out-of-distribution;
+    near-total = it may be memorized).
+
+    Shape: distinct grams per side (bounds the join by unique grams),
+    the training gram set joined WITHOUT a broadcast hint (corpus-
+    derived — grows with scale; AQE decides, the contamination_check
+    lesson), per-doc integer ppm."""
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                        " i -> cast(conv(substr(md5(concat_ws(' ',"
+                        " slice(toks, i, 8))), 1, 8), 16, 10) AS bigint))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    train_g = (
+        grams.filter(F.col("source") != "src0").select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = grams.filter(F.col("source") == "src0").select("doc_id", "g")
+    return (
+        ev.join(train_g, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_covered"),
+            F.expr(
+                "CAST(count(hit) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -1062,3 +1062,105 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(count(a_v) * 1000000 DIV ({_TOP_K} * {_N_QUERIES}) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+def _pq_adc_oracle() -> str:
+    lut_joins = "\n  ".join(
+        (
+            f"JOIN lut l{m} ON l{m}.q_id = l0.q_id AND l{m}.m = {m}"
+            f" AND l{m}.cid = c.code_{m}"
+        )
+        if m
+        else "JOIN lut l0 ON l0.m = 0 AND l0.cid = c.code_0"
+        for m in range(_PQ_M)
+    )
+    dist = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    return f"""
+WITH codes AS ({_pq_oracle().strip()}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_PQ_K}),
+q AS (SELECT vec_id AS q_id, vec FROM v WHERE vec_id < {_N_QUERIES}),
+lut AS (
+  SELECT q.q_id, ms.m, cent.cid,
+         ROUND(list_sum([(q.vec[ms.m * {_PQ_D} + i] - cent.cvec[ms.m * {_PQ_D} + i])
+                         * (q.vec[ms.m * {_PQ_D} + i] - cent.cvec[ms.m * {_PQ_D} + i])
+                         FOR i IN range(1, {_PQ_D + 1})]), 6) AS d
+  FROM q
+  CROSS JOIN cent
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms
+),
+adc AS (
+  SELECT l0.q_id, c.vec_id, ROUND({dist}, 6) AS adc_dist
+  FROM codes c
+  {lut_joins}
+  WHERE c.vec_id != l0.q_id
+)
+SELECT q_id, vec_id, adc_dist FROM adc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY adc_dist, vec_id) <= {_TOP_K}
+"""
+
+
+@register("sim_pq_adc_search", oracle=_pq_adc_oracle())
+def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes — the SEARCH step that completes the
+    IVF-PQ story sim_product_quantize's codes enable: each query builds
+    a tiny {_PQ_M}x{_PQ_K} lookup table of exact squared-L2 distances
+    from its own (full-precision) subvectors to every subspace
+    centroid, and a candidate's asymmetric distance is just {_PQ_M}
+    table lookups summed — the corpus pass never touches a float
+    vector, only 4 small codes.  That lookup-sum is why a PQ index
+    scans billions of codes in memory: ~{_PQ_M} adds per candidate vs
+    64 multiply-adds for raw cosine.
+
+    Shape: corpus codes from the audited PQ assignment (map-only,
+    broadcast codebook); per-query LUTs are a |queries| x {_PQ_M} x
+    {_PQ_K} constant broadcast; ADC is pure element_at expression math
+    over the codes pass; top-k per query via bounded window.  LUT
+    entries rounded 6dp, summed in fixed subspace order, total rounded
+    6dp — the PQ determinism discipline."""
+    codes = sim_product_quantize(spark, sf_dir).select(
+        "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
+    )
+    v = _vecs(spark, sf_dir)
+    cents = (
+        v.filter(F.col("vec_id") < _PQ_K)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+                )
+            ).alias("cents")
+        )
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    luts = q.crossJoin(F.broadcast(cents))
+    for m in range(_PQ_M):
+        lo = m * _PQ_D + 1
+        luts = luts.withColumn(
+            f"lut_{m}",
+            F.expr(
+                f"transform(cents, c -> round(aggregate("
+                f"zip_with(slice(q_vec, {lo}, {_PQ_D}),"
+                f" slice(c.cvec, {lo}, {_PQ_D}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 as double), (acc, x) -> acc + x), 6))"
+            ),
+        )
+    luts = luts.select("q_id", *[f"lut_{m}" for m in range(_PQ_M)])
+    adc_expr = " + ".join(
+        f"element_at(lut_{m}, CAST(code_{m} + 1 AS INT))" for m in range(_PQ_M)
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.expr(f"round({adc_expr}, 6)").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "adc_dist")
+    )

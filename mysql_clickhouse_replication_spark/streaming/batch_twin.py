@@ -708,3 +708,83 @@ def events_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dur_s",
         )
     )
+
+
+@register(
+    "events_funnel_by_segment",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT c.c_mktsegment AS segment,
+       COUNT(s1.user_id) AS n_view,
+       COUNT(s2.user_id) AS n_then_click,
+       COUNT(s3.user_id) AS n_then_purchase,
+       CAST(COUNT(s3.user_id) * 1000000 // COUNT(s1.user_id) AS BIGINT)
+         AS conversion_ppm
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+JOIN customer c ON s1.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def events_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel x dimension: events_funnel's strict-ordered 7-day-window
+    view->click->purchase funnel split by customer market segment — the
+    'which segment converts' question every funnel dashboard answers
+    next.  Same staged min-ts construction (each stage one filtered
+    aggregate over a shrinking user set), then the per-user funnel
+    state joins the broadcast customer dimension ONCE at the end —
+    segmentation costs one broadcast join over |users-who-viewed| rows,
+    NOT a re-run of the funnel per segment."""
+    ev = table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    seg = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    j = (
+        s1.join(s2.withColumn("hit2", F.lit(1)), "user_id", "left")
+        .join(s3.withColumn("hit3", F.lit(1)), "user_id", "left")
+        .join(F.broadcast(seg), "user_id")
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("hit2").alias("n_then_click"),
+        F.count("hit3").alias("n_then_purchase"),
+        F.expr(
+            "CAST(count(hit3) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )

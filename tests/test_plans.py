@@ -844,3 +844,27 @@ def test_freshness_single_agg_plus_watermark(plans):
     p = plans("cdc_freshness", "simple")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_adc_is_lookup_sum_over_codes(plans):
+    # the corpus pass sums LUT lookups over 4 small codes — broadcast
+    # LUTs, no float-vector join on the corpus side, no python.
+    p = plans("sim_pq_adc_search", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_coverage_eval_distinct_gram_join(plans):
+    # both sides distinct first; train gram set joined without a hard
+    # broadcast hint (AQE decides) — no cartesian, no python.
+    p = plans("docs_ngram_coverage_eval", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_funnel_by_segment_one_dim_join(plans):
+    # segmentation is ONE broadcast dim join over the per-user funnel
+    # state, not a per-segment funnel re-run.
+    p = plans("events_funnel_by_segment", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
