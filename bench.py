@@ -283,6 +283,10 @@ EXTRA = [
     "sim_pq_adc_search",
     "docs_ngram_coverage_eval",
     "events_funnel_by_segment",
+    # --- round 4, tenth wave.
+    "cdc_column_drift_stats",
+    "agg_wow_change",
+    "events_peak_concurrency",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

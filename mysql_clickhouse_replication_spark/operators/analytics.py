@@ -1441,3 +1441,66 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lat_s",
         )
     )
+
+
+@register(
+    "agg_wow_change",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS wk,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS rev
+  FROM events GROUP BY event_type, CAST(date_trunc('week', ts) AS DATE)
+), l AS (
+  SELECT event_type, wk, n,
+         CAST(rev AS DOUBLE) AS sum_value,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+  FROM w
+)
+SELECT event_type, wk, n, sum_value, prev_n,
+       ROUND(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)
+         AS wow_change
+FROM l
+""",
+)
+def agg_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type: weekly volume + exact
+    decimal revenue with the previous week's volume and the relative
+    change — the delta column every operational dashboard renders next
+    to its trend line (agg_linreg fits the slope; this reads the
+    step-by-step movement).
+
+    Determinism detail: the change is a ROUNDED DOUBLE ratio, NOT an
+    integer floor division — deltas go negative, and Spark's DIV
+    truncates toward zero where DuckDB's // floors, so the usual ppm
+    construction would diverge on every down week; the double divide is
+    the identical IEEE op in both engines.  Scale: one map-combined
+    weekly agg, one lag window over |types| x |weeks| rows."""
+    ev = table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(D12)).alias("rev"),
+    )
+    lw = Window.partitionBy("event_type").orderBy("wk")
+    l = w.select(
+        "event_type",
+        "wk",
+        "n",
+        F.col("rev").cast("double").alias("sum_value"),
+        F.lag("n").over(lw).alias("prev_n"),
+    )
+    return l.select(
+        "event_type",
+        "wk",
+        "n",
+        "sum_value",
+        "prev_n",
+        F.round(
+            (F.col("n") - F.col("prev_n")).cast("double")
+            / F.col("prev_n").cast("double"),
+            6,
+        ).alias("wow_change"),
+    )

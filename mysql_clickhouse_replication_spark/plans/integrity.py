@@ -469,3 +469,85 @@ def cdc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.cast("bigint").alias("staleness_s"),
         (lag_s > 3600).alias("stale"),
     )
+
+
+@register(
+    "cdc_column_drift_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT seq, value, prop_k FROM ({_DECODE_SQL})
+), c AS (
+  SELECT (MIN(seq) + MAX(seq)) // 2 AS cut FROM d
+), e AS (
+  SELECT (d.seq <= c.cut) AS first_half,
+         CASE WHEN d.seq > c.cut AND d.seq % 53 = 0
+              THEN NULL ELSE d.value END AS value,
+         d.prop_k
+  FROM d, c
+), per AS (
+  SELECT first_half, COUNT(*) AS n,
+         COUNT(*) FILTER (value IS NULL) AS v_null,
+         COUNT(DISTINCT value) AS v_ndv,
+         COUNT(*) FILTER (prop_k IS NULL) AS p_null,
+         COUNT(DISTINCT prop_k) AS p_ndv
+  FROM e GROUP BY first_half
+)
+SELECT 'value' AS col, first_half, n,
+       CAST(v_null * 1000000 // n AS BIGINT) AS null_ppm,
+       v_ndv AS ndv
+FROM per
+UNION ALL
+SELECT 'prop_k', first_half, n,
+       CAST(p_null * 1000000 // n AS BIGINT), p_ndv
+FROM per
+""",
+)
+def cdc_column_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality drift between changelog epochs — the
+    decode-regression monitor: split the stream at its seq midpoint
+    (old connector version vs new) and compare each payload column's
+    null rate and distinct-value count across the halves.  A connector
+    upgrade that silently breaks one column's decode shows up here as a
+    null-ppm spike before any consumer query does; a deterministic
+    second-half corruption (every 53rd seq nulls `value`) is injected
+    so the monitor provably fires (the cdc_dlq_split discipline).
+
+    Scale: ONE pass computing both halves' per-column profile in a
+    single conditional aggregate (the cut is a 1-row broadcast), then a
+    constant-size unpivot union — profiling cost is one map-combined
+    scan regardless of column count."""
+    d = _changelog(spark, sf_dir).select("seq", "value", "prop_k")
+    c = d.agg(
+        F.expr("CAST((MIN(seq) + MAX(seq)) DIV 2 AS BIGINT)").alias("cut")
+    )
+    e = d.crossJoin(F.broadcast(c)).select(
+        (F.col("seq") <= F.col("cut")).alias("first_half"),
+        F.when(
+            (F.col("seq") > F.col("cut")) & (F.col("seq") % 53 == 0), None
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "prop_k",
+    )
+    per = e.groupBy("first_half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value").isNull()).alias("v_null"),
+        F.countDistinct("value").alias("v_ndv"),
+        F.count_if(F.col("prop_k").isNull()).alias("p_null"),
+        F.countDistinct("prop_k").alias("p_ndv"),
+    )
+    v = per.select(
+        F.lit("value").alias("col"),
+        "first_half",
+        "n",
+        F.expr("CAST(v_null * 1000000 DIV n AS BIGINT)").alias("null_ppm"),
+        F.col("v_ndv").alias("ndv"),
+    )
+    p = per.select(
+        F.lit("prop_k").alias("col"),
+        "first_half",
+        "n",
+        F.expr("CAST(p_null * 1000000 DIV n AS BIGINT)").alias("null_ppm"),
+        F.col("p_ndv").alias("ndv"),
+    )
+    return v.unionByName(p)

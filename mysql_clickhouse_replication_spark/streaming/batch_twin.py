@@ -788,3 +788,96 @@ def events_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(hit3) * 1000000 DIV count(1) AS BIGINT)"
         ).alias("conversion_ppm"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {GAP_MINUTES} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess_id AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM gaps
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM sess_id GROUP BY user_id, session_id
+), b AS (
+  SELECT t0 AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT t1, -1 FROM sess
+), c AS (
+  SELECT t, d,
+         SUM(d) OVER (ORDER BY t, d DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM b
+), mx AS (
+  SELECT MAX(cur) AS peak FROM c
+)
+SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+       mx.peak,
+       (SELECT MIN(t) FROM c, mx WHERE c.cur = mx.peak) AS first_peak_ts
+FROM mx
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the capacity number (max simultaneous
+    live sessions and when it first happened), computed by the classic
+    sweep-line: each session contributes a +1 at its start and a -1 at
+    its end, and the running sum over boundary order is the live count;
+    boundaries at the same instant order starts first (d DESC), so
+    touching sessions count as overlapping — the conservative capacity
+    reading.  Sessions come from sessionize_batch's identical
+    construction.
+
+    Scale note, stated honestly: the sweep's running sum is a single
+    GLOBAL ordered window over 2x|sessions| boundary rows (bounded by
+    sessions, not events — orders of magnitude smaller than the stream,
+    fine far beyond bench scale).  The production swap at billions of
+    sessions is the two-level prefix sum: per-partition partial sums,
+    then a tiny exchange of per-partition totals prefix-summed and
+    broadcast back — same answer, no single reducer.  Determinism: the
+    prefix-value MULTISET is invariant to the order of identical (t, d)
+    rows, so MAX(cur) and the first peak instant are well-defined in
+    both engines."""
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us >= GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    b = sess.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    wsweep = (
+        Window.orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select("t", "d", F.sum("d").over(wsweep).alias("cur"))
+    mx = c.agg(F.max("cur").alias("peak"))
+    first = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.col("cur") == F.col("peak"))
+        .agg(F.min("t").alias("first_peak_ts"))
+    )
+    n = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(first))
+        .select("n_sessions", "peak", "first_peak_ts")
+    )

@@ -868,3 +868,28 @@ def test_funnel_by_segment_one_dim_join(plans):
     p = plans("events_funnel_by_segment", "simple")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_column_drift_single_conditional_scan(plans):
+    # both epochs' per-column profiles come from ONE conditional agg
+    # pass (cut = 1-row broadcast) + constant unpivot union.
+    p = plans("cdc_column_drift_stats", "simple")
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_wow_change_double_ratio_window(plans):
+    # weekly agg + one type-keyed lag window; no join, no python.
+    p = plans("agg_wow_change", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_peak_concurrency_sweep_over_boundaries(plans):
+    # the sweep runs over 2x|sessions| boundary rows, never raw events;
+    # peak/first-peak meet in 1-row broadcasts.
+    p = plans("events_peak_concurrency", "simple")
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
