@@ -287,6 +287,10 @@ EXTRA = [
     "cdc_column_drift_stats",
     "agg_wow_change",
     "events_peak_concurrency",
+    # --- round 4, eleventh wave.
+    "cdc_partitioned_changelog_prune",
+    "docs_language_balance",
+    "events_error_budget_burn",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1075,3 +1075,61 @@ def docs_ngram_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "docs_language_balance",
+    oracle="""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         COUNT(*) AS n_langs
+  FROM per
+)
+SELECT lang, n,
+       CAST(n * 1000000 // total AS BIGINT) AS actual_ppm,
+       CAST(1000000 // n_langs AS BIGINT) AS target_ppm,
+       CAST(LEAST(n * 1000000 // total,
+                  CAST(1000000 // n_langs AS BIGINT)) * 1000000
+            // (n * 1000000 // total) AS BIGINT) AS keep_rate_ppm,
+       CAST(n * (LEAST(n * 1000000 // total,
+                       CAST(1000000 // n_langs AS BIGINT)) * 1000000
+                 // (n * 1000000 // total)) // 1000000 AS BIGINT)
+         AS expected_kept
+FROM per, tot
+""",
+)
+def docs_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing rate computation — the multilingual
+    data-mixing planning step: given the corpus's actual language
+    shares and a uniform target mix, compute each language's
+    down-sampling keep rate (min(actual, target)/actual — never
+    up-sample) and the expected post-rebalance document count.  This
+    COMPUTES the rates that docs_mix_weighted / sample_importance_
+    weighted then EXECUTE via portable hash thresholds — planning and
+    execution as separate, individually-verified steps.
+
+    All-integer ppm arithmetic on exact counts (floor division at each
+    step, identical both engines — all operands non-negative, so the
+    DIV-vs-// negative-floor divergence cannot occur).  Scale: one
+    map-combined language count + a 1-row totals broadcast; the rate
+    table is |langs| rows."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    actual = "n * 1000000 DIV total"
+    target = "CAST(1000000 DIV n_langs AS BIGINT)"
+    keep = f"LEAST({actual}, {target}) * 1000000 DIV ({actual})"
+    return j.select(
+        "lang",
+        "n",
+        F.expr(f"CAST({actual} AS BIGINT)").alias("actual_ppm"),
+        F.expr(f"CAST({target} AS BIGINT)").alias("target_ppm"),
+        F.expr(f"CAST({keep} AS BIGINT)").alias("keep_rate_ppm"),
+        F.expr(f"CAST(n * ({keep}) DIV 1000000 AS BIGINT)").alias("expected_kept"),
+    )

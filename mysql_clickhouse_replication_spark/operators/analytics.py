@@ -1504,3 +1504,53 @@ def agg_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_change"),
     )
+
+
+_SLO_SUCCESS_PPM = 990_000  # 99.0% success SLO -> 1% error budget
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (event_type = 'error') AS n_err
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT d, n, n_err,
+       CAST(n_err * 1000000 // n AS BIGINT) AS error_ppm,
+       ROUND(CAST(n_err * 1000000 // n AS DOUBLE)
+             / {1_000_000 - _SLO_SUCCESS_PPM}, 6) AS burn_rate,
+       (n_err * 1000000 // n > {1_000_000 - _SLO_SUCCESS_PPM}) AS burning
+FROM daily
+""",
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate per day — the SRE readout layered on
+    the replicated event stream: daily error share against a 99.0%%
+    success objective, expressed as the burn-rate multiplier (1.0 =
+    exactly consuming budget; >1 = over-burning, the page threshold in
+    multiwindow burn alerts) plus the boolean burning flag.
+
+    Determinism: error share is integer ppm; the burn multiplier is
+    that exact integer divided by the constant budget — one identical
+    IEEE divide, rounded 6dp.  Scale: one map-combined daily
+    conditional aggregate; output |days| rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+    )
+    budget = 1_000_000 - _SLO_SUCCESS_PPM
+    return daily.select(
+        "d",
+        "n",
+        "n_err",
+        F.expr("CAST(n_err * 1000000 DIV n AS BIGINT)").alias("error_ppm"),
+        F.round(
+            F.expr("CAST(n_err * 1000000 DIV n AS DOUBLE)") / F.lit(float(budget)),
+            6,
+        ).alias("burn_rate"),
+        F.expr(f"n_err * 1000000 DIV n > {budget}").alias("burning"),
+    )

@@ -760,3 +760,59 @@ def cdc_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(rh).cast("bigint").alias("chunk_hash"),
     )
+
+
+@register(
+    "cdc_partitioned_changelog_prune",
+    oracle=f"""
+WITH state AS (
+  SELECT tbl, pk, seq, op, value FROM ({_DECODE_SQL})
+  WHERE tbl = 't1' AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                            AND DATE '2024-01-21'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+)
+SELECT COUNT(*) AS n_live,
+       CAST(SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+            AS BIGINT) AS state_hash,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM state WHERE op != 'delete'
+""",
+)
+def cdc_partitioned_changelog_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production changelog LAYOUT claim, proven: land the decoded
+    changelog partitioned by (table, day) — the layout cdc.py's header
+    prescribes for 100 TB — then compact ONE table over a two-week
+    window.  The scan must read ONLY the matching (tbl, day) partition
+    directories (partition filters on both keys, asserted in
+    tests/test_plans.py), so compaction cost is the touched partitions'
+    data, not the stream's history — the difference between rewriting
+    the world and an incremental maintenance job.
+
+    The verified result is the compacted state summary (live-row count,
+    order-insensitive state checksum, exact value total) computed from
+    the PRUNED read — if pruning dropped or duplicated anything, the
+    hash diverges from the oracle's filter-then-compact over the raw
+    decode."""
+    cl = _changelog(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    sink = scratch_path("cdc_part_prune", os.path.basename(sf_dir))
+    cl.write.mode("overwrite").partitionBy("tbl", "day").parquet(sink)
+    rb = spark.read.parquet(sink)
+    pruned = rb.filter(
+        (F.col("tbl") == "t1")
+        & F.col("day").between(
+            F.lit("2024-01-08").cast("date"), F.lit("2024-01-21").cast("date")
+        )
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    state = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+    )
+    rh = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "pk", "seq")), 1, 8), 16, 10
+    ).cast("bigint")
+    return state.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(rh).cast("bigint").alias("state_hash"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )

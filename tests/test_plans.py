@@ -893,3 +893,27 @@ def test_peak_concurrency_sweep_over_boundaries(plans):
     assert "Union" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_partitioned_changelog_scan_is_pruned(plans):
+    # the compaction's scan over the (tbl, day)-partitioned landing must
+    # carry BOTH partition filters — pruning to the touched directories
+    # is the entire point of the layout.
+    p = plans("cdc_partitioned_changelog_prune")
+    assert "PartitionFilters" in p
+    assert "t1" in p
+
+
+def test_language_balance_constant_frames(plans):
+    # one language count + 1-row totals broadcast; all-integer ppm.
+    p = plans("docs_language_balance", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_error_budget_single_daily_agg(plans):
+    # one map-combined conditional daily agg; expression math after.
+    p = plans("events_error_budget_burn", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
