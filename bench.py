@@ -291,6 +291,9 @@ EXTRA = [
     "cdc_partitioned_changelog_prune",
     "docs_language_balance",
     "events_error_budget_burn",
+    # --- round 4, twelfth wave.
+    "events_rate_limit_scan",
+    "sim_centroid_drift",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1164,3 +1164,68 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "vec_id", "adc_dist")
     )
+
+
+@register(
+    "sim_centroid_drift",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+half AS (
+  SELECT label, (vec_id % 2 = 0) AS h, vec FROM v
+), q AS (
+  SELECT label, h, unnest(generate_series(1, len(vec))) AS i, vec FROM half
+), comp AS (
+  SELECT label, h, i,
+         CAST(SUM(CAST(FLOOR(vec[i] * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS cv
+  FROM q GROUP BY label, h, i
+), cent AS (
+  SELECT label, h, list(cv ORDER BY i) AS cvec FROM comp GROUP BY label, h
+)
+SELECT a.label,
+       ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) AS half_cosine,
+       (ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) < 0.98) AS drifted
+FROM cent a JOIN cent b ON a.label = b.label AND a.h AND NOT b.h
+""",
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    centroid of one half of the population (even vec_ids — standing in
+    for 'embeddings produced by model v1') and the other half ('v2') —
+    the check an embedding-pipeline operator runs after a model update
+    or re-ingestion to see whether vector SPACE moved (an index built
+    on v1 vectors silently degrades against v2 queries even when both
+    look individually healthy; sim_ann_recall then quantifies the
+    damage).
+
+    Determinism: exact integer micro-unit centroid sums (FLOOR, the
+    embedding_quantize discipline) divided once; one rounded cosine per
+    label.  Scale: the dim-exploded centroid aggregate is mergeable
+    (same rollup state as sim_centroid_classify); the comparison joins
+    |labels| rows with |labels| rows."""
+    v = _vecs(spark, sf_dir)
+    half = v.select("label", (F.col("vec_id") % 2 == 0).alias("h"), "vec")
+    comp = (
+        half.select("label", "h", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "h", "i")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+    )
+    cent = comp.groupBy("label", "h").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+    a = cent.filter(F.col("h")).select("label", F.col("cvec").alias("cvec_a"))
+    b = cent.filter(~F.col("h")).select(
+        F.col("label").alias("b_label"), F.col("cvec").alias("cvec_b")
+    )
+    j = a.join(b, F.col("label") == F.col("b_label")).select(
+        "label",
+        F.round(_cos(F.col("cvec_a"), F.col("cvec_b")), 6).alias("half_cosine"),
+    )
+    return j.withColumn("drifted", F.col("half_cosine") < 0.98)

@@ -1554,3 +1554,56 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("burn_rate"),
         F.expr(f"n_err * 1000000 DIV n > {budget}").alias("burning"),
     )
+
+
+_RATE_WINDOW_S = 3600  # rolling window (fixture-calibrated; prod: 60s)
+_RATE_LIMIT = 12  # max events per window before flagging
+
+
+@register(
+    "events_rate_limit_scan",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, ts,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {_RATE_WINDOW_S * 1_000_000} PRECEDING
+                        AND CURRENT ROW) AS n_in_window
+  FROM events
+)
+SELECT user_id,
+       MAX(n_in_window) AS peak_rate,
+       COUNT(*) FILTER (n_in_window > {_RATE_LIMIT}) AS n_over_limit,
+       (MAX(n_in_window) > {_RATE_LIMIT}) AS flagged
+FROM w GROUP BY user_id
+""",
+)
+def events_rate_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling-rate abuse scan: each event's trailing
+    {_RATE_WINDOW_S}s event count via an exact RANGE-frame window, then
+    per user the peak rate, how many events fired while over the
+    {_RATE_LIMIT}-per-window limit, and the abuse flag — the
+    rate-limiting / velocity-fraud detector run retroactively over the
+    replicated stream (the online twin is stream_stateful's keyed
+    state).  Window seconds are fixture-calibrated; production uses the
+    same plan at 60 s.
+
+    Determinism & scale: the RANGE frame is keyed on exact integer
+    epoch-microseconds (no timestamp-interval arithmetic to diverge),
+    ONE user-keyed exchange serves both the frame and the final
+    per-user aggregate, and frame state is a count — O(1) per row.
+    Ties at identical ts are inside the same RANGE frame by definition,
+    so the count is order-invariant."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_RATE_WINDOW_S * 1_000_000, 0)
+    )
+    c = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_in_window")
+    )
+    return c.groupBy("user_id").agg(
+        F.max("n_in_window").alias("peak_rate"),
+        F.count_if(F.col("n_in_window") > _RATE_LIMIT).alias("n_over_limit"),
+        (F.max("n_in_window") > _RATE_LIMIT).alias("flagged"),
+    )

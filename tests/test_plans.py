@@ -917,3 +917,18 @@ def test_error_budget_single_daily_agg(plans):
     assert "Join" not in p
     assert "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_rate_limit_one_user_exchange(plans):
+    # the RANGE frame and the per-user aggregate share one user-keyed
+    # exchange; no join, no python.
+    p = plans("events_rate_limit_scan", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_centroid_drift_mergeable_rollup(plans):
+    # half-centroids come from the dim-exploded mergeable aggregate; the
+    # comparison joins |labels| rows — no corpus join, no cartesian.
+    p = plans("sim_centroid_drift", "simple")
+    assert "CartesianProduct" not in p
