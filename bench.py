@@ -294,6 +294,9 @@ EXTRA = [
     # --- round 4, twelfth wave.
     "events_rate_limit_scan",
     "sim_centroid_drift",
+    # --- round 4, thirteenth wave.
+    "docs_vocab_growth",
+    "cdc_seq_coverage_ranges",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1133,3 +1133,76 @@ def docs_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({keep} AS BIGINT)").alias("keep_rate_ppm"),
         F.expr(f"CAST(n * ({keep}) DIV 1000000 AS BIGINT)").alias("expected_kept"),
     )
+
+
+@register(
+    "docs_vocab_growth",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), mx AS (
+  SELECT MAX(doc_id) AS mxid FROM t
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i : least(i + 2, len(toks))], ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS gram
+  FROM t
+), f AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+), dec AS (
+  SELECT LEAST(first_doc * 10 // (mxid + 1), 9) AS decile,
+         COUNT(*) AS n_new
+  FROM f, mx GROUP BY LEAST(first_doc * 10 // (mxid + 1), 9)
+)
+SELECT decile, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM dec
+""",
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct token-trigram
+    vocabulary size after each tenth of the corpus in ingestion order —
+    the curve a corpus planner reads to predict how much NEW text the
+    next crawl snapshot actually adds (a flattening curve means more
+    data buys mostly repetition; docs_novelty_ratio is the per-doc
+    reading of the same ledger).
+
+    Computed WITHOUT ten overlapping distinct counts: each gram is
+    attributed to the decile of its FIRST owner (the mergeable
+    MIN(doc_id) ledger again), and the running sum of new-gram counts
+    over 10 buckets IS the cumulative vocabulary curve — one ledger
+    pass + a 10-row window instead of 10 corpus scans.  All-integer."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mxid"))
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                        " i -> concat_ws(' ', slice(toks, i, 3)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    f = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    dec = (
+        f.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("LEAST(first_doc * 10 DIV (mxid + 1), 9)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        "decile",
+        "n_new",
+        F.sum("n_new").over(wc).cast("bigint").alias("vocab_size"),
+    )

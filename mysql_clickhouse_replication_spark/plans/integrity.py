@@ -551,3 +551,55 @@ def cdc_column_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_ndv").alias("ndv"),
     )
     return v.unionByName(p)
+
+
+@register(
+    "cdc_seq_coverage_ranges",
+    oracle=f"""
+WITH received AS (
+  SELECT DISTINCT seq FROM ({_DECODE_SQL})
+  WHERE NOT seq % 211 = 0
+), isl AS (
+  SELECT seq,
+         seq - ROW_NUMBER() OVER (ORDER BY seq) AS grp
+  FROM received
+)
+SELECT MIN(seq) AS range_start, MAX(seq) AS range_end,
+       COUNT(*) AS n_seqs
+FROM isl GROUP BY grp
+""",
+)
+def cdc_seq_coverage_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed-coverage interval set — the GTID-set bookkeeping a
+    replication client maintains ([P:high] for the MySQL GTID model:
+    executed positions are stored as merged contiguous ranges like
+    uuid:1-5:7-9, never as individual ids): collapse the received
+    GLOBAL binlog sequence (the binlog is ONE totally-ordered stream;
+    per-table views interleave and are deliberately NOT the coverage
+    domain) into its maximal contiguous ranges via the integer-domain
+    gaps-and-islands key (seq - row_number).  A deterministic
+    receive-side drop (every 211th seq) fragments coverage into the
+    multi-interval state a reconnecting client sends to resume;
+    cdc_gap_check counts what is missing, this emits the COVERED set.
+
+    Scale, stated honestly: the islands window is a single global
+    ordered window over the received-id set of the monitored span — a
+    client reconciles coverage over its bounded reconnect window, not
+    all history, so the input is bounded by span size; at full-history
+    scale the production swap is block-partitioned islands (seq DIV B
+    partitions) with one tiny boundary-merge pass over per-block edge
+    ranges.  Output is bounded by gap count + 1 (a healthy stream is
+    ONE row regardless of volume — the point of range bookkeeping)."""
+    received = (
+        _changelog(spark, sf_dir)
+        .select("seq")
+        .filter(~(F.col("seq") % 211 == 0))
+        .distinct()
+    )
+    w = Window.orderBy("seq")
+    isl = received.withColumn("grp", F.col("seq") - F.row_number().over(w))
+    return isl.groupBy("grp").agg(
+        F.min("seq").alias("range_start"),
+        F.max("seq").alias("range_end"),
+        F.count(F.lit(1)).alias("n_seqs"),
+    ).drop("grp")

@@ -932,3 +932,19 @@ def test_centroid_drift_mergeable_rollup(plans):
     # comparison joins |labels| rows — no corpus join, no cartesian.
     p = plans("sim_centroid_drift", "simple")
     assert "CartesianProduct" not in p
+
+
+def test_vocab_growth_single_ledger_pass(plans):
+    # the curve comes from ONE first-owner ledger pass + a 10-row
+    # window — never ten overlapping distinct counts.
+    p = plans("docs_vocab_growth", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_coverage_ranges_islands_over_received_set(plans):
+    # distinct received ids -> one ordered islands window -> range agg;
+    # no join, no python.
+    p = plans("cdc_seq_coverage_ranges", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
