@@ -297,6 +297,9 @@ EXTRA = [
     # --- round 4, thirteenth wave.
     "docs_vocab_growth",
     "cdc_seq_coverage_ranges",
+    # --- round 4, fourteenth wave.
+    "fn_try_cast",
+    "dedup_source_matrix",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

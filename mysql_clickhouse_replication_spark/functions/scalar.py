@@ -671,3 +671,51 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%d|%05d|%x", "c_custkey", "c_nationkey", "c_custkey"
         ).alias("formatted"),
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_id,
+       TRY_CAST(o_orderpriority AS DATE) AS bad_date,
+       TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS price_rt,
+       TRY_CAST(o_totalprice * 1e15 AS INTEGER) AS overflow_int,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            / NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0) AS DOUBLE)
+         AS third_or_null
+FROM orders
+""",
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI cast-safety family — TRY_CAST / null-on-failure semantics
+    (the surface that decides whether one malformed row poisons a
+    100 TB job or becomes a NULL to route to the DLQ): non-numeric
+    strings to INT (null), digit suffix extraction to INT (succeeds),
+    garbage to DATE (null), a VARCHAR round-trip back to exact DECIMAL,
+    an overflowing value to INT (null-on-overflow in BOTH engines'
+    TRY_CAST — unlike plain CAST, where Spark saturates and DuckDB
+    errors), and divide-by-zero nulled via NULLIF (Spark's try_divide
+    has no DuckDB twin; NULLIF is the portable spelling both engines
+    share).  Pure projection, zero shuffle; the cdc_dlq_split routing
+    probes are built from exactly these primitives."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("TRY_CAST(o_orderstatus AS INTEGER)").alias("status_as_int"),
+        F.expr(
+            "TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)"
+        ).alias("priority_id"),
+        F.expr("TRY_CAST(o_orderpriority AS DATE)").alias("bad_date"),
+        F.expr(
+            "TRY_CAST(CAST(o_totalprice AS STRING) AS DECIMAL(12,2))"
+        ).alias("price_rt"),
+        F.expr("TRY_CAST(o_totalprice * 1e15 AS INTEGER)").alias("overflow_int"),
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            / F.nullif(F.expr("CAST(o_orderkey % 3 AS INTEGER)"), F.lit(0))
+        )
+        .cast("double")
+        .alias("third_or_null"),
+    )

@@ -1179,3 +1179,51 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+WITH pairs AS ({_MINHASH_ORACLE.strip()}),
+lab AS (
+  SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT LEAST(sa, sb) AS source_a,
+       GREATEST(sa, sb) AS source_b,
+       COUNT(*) AS n_pairs,
+       (LEAST(sa, sb) != GREATEST(sa, sb)) AS is_cross_source
+FROM lab
+GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+""",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the audited near-dup pair set
+    attributed to (source, source) cells — WHO copies WHOM.  A heavy
+    off-diagonal cell means two ingestion sources ship the same
+    content (mirror sites, syndication, a crawler configured twice)
+    and one of them should be dropped at the SOURCE level, which is
+    cheaper than deduping their union forever; the diagonal reads
+    within-source duplication.  Curation acts on this matrix before
+    any per-document dedup runs.
+
+    Shape: the pair set comes from the audited banded-LSH plan (its
+    cost); attribution is two broadcast-friendly doc_id equi joins to
+    the documents metadata; the matrix is bounded by |sources|².
+    Unordered pair normalization (LEAST/GREATEST on source names) keeps
+    the cell key deterministic in both engines."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = pairs.join(a, "doc_a").join(b, "doc_b")
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
+    )

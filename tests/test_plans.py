@@ -948,3 +948,17 @@ def test_coverage_ranges_islands_over_received_set(plans):
     p = plans("cdc_seq_coverage_ranges", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_try_cast_pure_projection(plans):
+    p = plans("fn_try_cast", "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_source_matrix_attribution_joins(plans):
+    # pair attribution is two doc_id equi joins onto metadata; the
+    # matrix agg is |sources|^2 — no cartesian, no python.
+    p = plans("dedup_source_matrix", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
