@@ -300,6 +300,9 @@ EXTRA = [
     # --- round 4, fourteenth wave.
     "fn_try_cast",
     "dedup_source_matrix",
+    # --- round 4, fifteenth wave.
+    "events_bot_detection",
+    "orders_purchase_cadence",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

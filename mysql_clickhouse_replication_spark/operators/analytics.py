@@ -1607,3 +1607,126 @@ def events_rate_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_in_window") > _RATE_LIMIT).alias("n_over_limit"),
         (F.max("n_in_window") > _RATE_LIMIT).alias("flagged"),
     )
+
+
+@register(
+    "events_bot_detection",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+           // 1000000 AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         COUNT(gap) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sgg
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+       ROUND((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+              / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0, 6) AS cv2,
+       ((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0 < 0.1)
+         AS too_regular
+FROM s WHERE n_gaps >= 20
+""",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularity-based bot signal: the squared coefficient of
+    variation of each user's inter-event gaps — humans are bursty
+    (CV² ≈ 1 for Poisson-ish arrivals, higher with sessions), schedulers
+    and scrapers are metronomic (CV² → 0) — flagging users whose timing
+    is too regular to be human.  Complements events_rate_limit_scan:
+    volume catches loud bots, regularity catches polite ones.
+
+    Determinism: CV² = n·Σg²/(Σg)² − 1 from EXACT integer microsecond
+    gap power sums (the mergeable-moments state again), derived with one
+    identical float expression tree, rounded 6dp; the threshold
+    comparison happens on the rounded-identical value.  Scale: one
+    user-keyed lag window + a map-combined moments aggregate; minimum
+    20 gaps guards the estimator."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # second-granularity gaps: microsecond gaps squared overflow a LONG
+    # in the power sum (8.6e10^2 > 2^63); seconds keep sg/sgg exact and
+    # bounded far past bench scale with no loss for minute-scale cadences
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id))) DIV 1000000"
+        ).alias("gap"),
+    )
+    s = g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+    )
+    cv2 = (
+        F.col("n_gaps").cast("double")
+        * F.col("sgg").cast("double")
+        / (F.col("sg").cast("double") * F.col("sg").cast("double"))
+    ) - F.lit(1.0)
+    return (
+        s.filter(F.col("n_gaps") >= 20)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(sg DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
+            F.round(cv2, 6).alias("cv2"),
+            (cv2 < 0.1).alias("too_regular"),
+        )
+    )
+
+
+@register(
+    "orders_purchase_cadence",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         o_orderdate - LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS gap
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       COUNT(gap) AS n_gaps,
+       CAST(COALESCE(SUM(CAST(epoch(gap) AS BIGINT)) // 86400, 0)
+            // GREATEST(COUNT(gap), 1) AS BIGINT) AS avg_gap_days,
+       CAST(COALESCE(MAX(CAST(epoch(gap) AS BIGINT)) // 86400, 0) AS BIGINT)
+         AS max_gap_days
+FROM g GROUP BY o_custkey
+""",
+)
+def orders_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per customer: order count, average and
+    maximum days between consecutive orders — the replenishment-cycle
+    readout behind churn prediction (a customer 3x past their own
+    cadence is lapsing; analytics_rfm's recency reads position, this
+    reads RHYTHM).
+
+    Determinism: date gaps are exact integer days (DuckDB date
+    subtraction yields an interval — epoch()/86400 renders it as exact
+    integer days matching Spark's datediff; all divisions are
+    non-negative floor divisions, identical in both engines).  Scale:
+    one customer-keyed lag window sharing its exchange with the final
+    aggregate."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_d"),
+    )
+    return g.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("gap_d").alias("n_gaps"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(gap_d AS BIGINT)), 0)"
+            " DIV GREATEST(COUNT(gap_d), 1) AS BIGINT)"
+        ).alias("avg_gap_days"),
+        F.expr("CAST(COALESCE(MAX(gap_d), 0) AS BIGINT)").alias("max_gap_days"),
+    )

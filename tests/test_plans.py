@@ -962,3 +962,18 @@ def test_source_matrix_attribution_joins(plans):
     p = plans("dedup_source_matrix", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bot_detection_moments_state(plans):
+    # one user-keyed lag window + mergeable power-sum aggregate; no
+    # join, no python.
+    p = plans("events_bot_detection", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_purchase_cadence_shared_exchange(plans):
+    # lag window and final agg share the customer exchange; no join.
+    p = plans("orders_purchase_cadence", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
