@@ -303,6 +303,9 @@ EXTRA = [
     # --- round 4, fifteenth wave.
     "events_bot_detection",
     "orders_purchase_cadence",
+    # --- round 4, sixteenth wave.
+    "cdc_dedup_bounded_window",
+    "events_funnel_window_sensitivity",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -816,3 +816,80 @@ def cdc_partitioned_changelog_prune(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(rh).cast("bigint").alias("state_hash"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+_DEDUP_WINDOW = 500  # arrival-distance dedup horizon (state bound)
+
+
+@register(
+    "cdc_dedup_bounded_window",
+    oracle=f"""
+WITH base AS (
+  SELECT tbl, pk, seq, seq AS arr FROM ({_DECODE_SQL})
+), dups AS (
+  SELECT tbl, pk, seq,
+         seq + CASE WHEN seq % 178 = 0 THEN 1200 ELSE 300 END AS arr
+  FROM base WHERE seq % 89 = 0
+), arrivals AS (
+  SELECT * FROM base UNION ALL SELECT * FROM dups
+), marked AS (
+  SELECT tbl, pk, seq, arr,
+         arr - LAG(arr) OVER (PARTITION BY pk, seq ORDER BY arr) AS dist
+  FROM arrivals
+)
+SELECT tbl,
+       COUNT(*) AS n_arrivals,
+       COUNT(*) FILTER (dist IS NULL) AS n_logical,
+       COUNT(*) FILTER (dist IS NOT NULL AND dist <= {_DEDUP_WINDOW})
+         AS n_caught,
+       COUNT(*) FILTER (dist IS NOT NULL AND dist > {_DEDUP_WINDOW})
+         AS n_missed
+FROM marked GROUP BY tbl
+""",
+)
+def cdc_dedup_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state duplicate suppression with QUANTIFIED misses — the
+    honest batch twin of ``dropDuplicatesWithinWatermark``: an
+    at-least-once redelivery storm is injected (every 89th event
+    re-arrives; half within the {_DEDUP_WINDOW}-position state horizon,
+    half beyond it), and a deduper that only remembers the last
+    {_DEDUP_WINDOW} arrivals catches exactly the near re-deliveries —
+    the far ones REACH THE SINK.  Per table: arrival count, logical
+    rows, duplicates caught, duplicates missed.  This is the
+    state-size/correctness tradeoff every streaming dedup makes;
+    quantifying the misses (instead of pretending unbounded state) is
+    what lets an operator size the watermark.
+
+    Shape: ONE (pk, seq)-keyed lag window over arrival order computes
+    each redelivery's arrival distance; classification is pure
+    expression; per-table rollup is map-combined.  All-integer."""
+    base = _changelog(spark, sf_dir).select(
+        "tbl", "pk", "seq", F.col("seq").alias("arr")
+    )
+    dups = (
+        base.filter(F.col("seq") % 89 == 0)
+        .select(
+            "tbl",
+            "pk",
+            "seq",
+            (
+                F.col("seq")
+                + F.when(F.col("seq") % 178 == 0, 1200).otherwise(300)
+            ).alias("arr"),
+        )
+    )
+    arrivals = base.unionByName(dups)
+    w = Window.partitionBy("pk", "seq").orderBy("arr")
+    marked = arrivals.withColumn(
+        "dist", F.col("arr") - F.lag("arr").over(w)
+    )
+    return marked.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.count_if(F.col("dist").isNull()).alias("n_logical"),
+        F.count_if(
+            F.col("dist").isNotNull() & (F.col("dist") <= _DEDUP_WINDOW)
+        ).alias("n_caught"),
+        F.count_if(
+            F.col("dist").isNotNull() & (F.col("dist") > _DEDUP_WINDOW)
+        ).alias("n_missed"),
+    )

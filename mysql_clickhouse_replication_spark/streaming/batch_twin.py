@@ -881,3 +881,97 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(first))
         .select("n_sessions", "peak", "first_peak_ts")
     )
+
+
+@register(
+    "events_funnel_window_sensitivity",
+    oracle="""
+WITH win(w) AS (VALUES (1), (3), (7)),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT win.w, e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id CROSS JOIN win
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + win.w * INTERVAL 1 DAY
+  GROUP BY win.w, e.user_id
+), s3 AS (
+  SELECT s2.w, e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + s2.w * INTERVAL 1 DAY
+  GROUP BY s2.w, e.user_id
+)
+SELECT win.w AS window_days,
+       (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2 WHERE s2.w = win.w) AS n_then_click,
+       (SELECT COUNT(*) FROM s3 WHERE s3.w = win.w) AS n_then_purchase
+FROM win
+""",
+)
+def events_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel window-sensitivity curve: events_funnel's strict staged
+    funnel evaluated at 1/3/7-day step windows IN ONE PASS — the
+    attribution-window tuning read (a funnel that collapses at 1 day
+    but holds at 7 tells you conversion is slow, not absent; the same
+    sweep pattern as sim_ivf_nprobe_sweep, applied to funnels).
+
+    Shape: stage 1 is window-independent (computed once); stages 2-3
+    carry the window as a grouping key via a constant 3-row cross join
+    — fan-out x|windows| on the SHRINKING staged user sets, never on
+    the raw stream; each stage stays one filtered keyed aggregate."""
+    ev = table(spark, sf_dir, "events")
+    win = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (3,), (7,)], "w int"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .crossJoin(F.broadcast(win))
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts")
+                <= F.expr("t1 + make_interval(0, 0, 0, w, 0, 0, 0)")
+            )
+        )
+        .groupBy("w", "user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.expr("t2 + make_interval(0, 0, 0, w, 0, 0, 0)")
+            )
+        )
+        .groupBy("w", "user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.groupBy(F.col("w").alias("w2")).agg(
+        F.count(F.lit(1)).alias("n_then_click")
+    )
+    c3 = s3.groupBy(F.col("w").alias("w3")).agg(
+        F.count(F.lit(1)).alias("n_then_purchase")
+    )
+    return (
+        win.crossJoin(F.broadcast(n1))
+        .join(F.broadcast(c2), F.col("w") == F.col("w2"), "left")
+        .join(F.broadcast(c3), F.col("w") == F.col("w3"), "left")
+        .select(
+            F.col("w").alias("window_days"),
+            "n_view",
+            F.coalesce("n_then_click", F.lit(0)).alias("n_then_click"),
+            F.coalesce("n_then_purchase", F.lit(0)).alias("n_then_purchase"),
+        )
+    )

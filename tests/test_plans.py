@@ -977,3 +977,20 @@ def test_purchase_cadence_shared_exchange(plans):
     p = plans("orders_purchase_cadence", "simple")
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bounded_dedup_single_key_lag(plans):
+    # arrival-distance classification is one (pk, seq)-keyed lag window;
+    # the rollup is map-combined. No join, no python.
+    p = plans("cdc_dedup_bounded_window", "simple")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_funnel_sensitivity_shares_stage_one(plans):
+    # stage 1 is window-independent; later stages carry w as a grouping
+    # key via a constant broadcast — never a per-window funnel re-run
+    # over the raw stream; no cartesian beyond the 3-row grid.
+    p = plans("events_funnel_window_sensitivity", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
