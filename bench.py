@@ -306,6 +306,9 @@ EXTRA = [
     # --- round 4, sixteenth wave.
     "cdc_dedup_bounded_window",
     "events_funnel_window_sensitivity",
+    # --- round 4, seventeenth wave.
+    "reshape_pivot_multi",
+    "text_entropy_rate",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1227,3 +1227,89 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
     )
+
+
+@register(
+    "text_entropy_rate",
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT lang,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 FOR i IN range(1, len(toks))]) AS bigram
+  FROM t
+), cbg AS (
+  SELECT lang, bigram, COUNT(*) AS c FROM bg GROUP BY lang, bigram
+), cfirst AS (
+  SELECT lang, split_part(bigram, ' ', 1) AS w1,
+         CAST(SUM(c) AS BIGINT) AS cf
+  FROM cbg GROUP BY lang, split_part(bigram, ' ', 1)
+), terms AS (
+  SELECT cbg.lang, cbg.c,
+         CAST(FLOOR(cbg.c * ln(CAST(cf AS DOUBLE) / CAST(cbg.c AS DOUBLE))
+                    * 1000000) AS BIGINT) AS term_e6
+  FROM cbg JOIN cfirst
+    ON cbg.lang = cfirst.lang AND split_part(cbg.bigram, ' ', 1) = cfirst.w1
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(term_e6) AS DOUBLE) / 1000000
+             / CAST(SUM(c) AS DOUBLE), 6) AS entropy_rate
+FROM terms GROUP BY lang
+""",
+)
+def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram conditional entropy rate H(next|current) —
+    the corpus compressibility / predictability statistic (a
+    language-model prior in one number: low entropy rate = repetitive,
+    templated text; text_entropy reads within-DOC diversity, this reads
+    the corpus-level transition structure that boilerplate and looped
+    generation collapse).
+
+    Determinism beyond the text_entropy precedent: each c·ln(cf/c)
+    term is FLOOR-scaled to an exact integer (x1e6) BEFORE the global
+    sum, so the cross-group summation is exact integer arithmetic with
+    NO fold-order surface at all — the only IEEE ops are the identical
+    per-term ln/multiply and one final divide.  Scale: two
+    map-combined vocabulary-bounded aggregates + one equi join on the
+    (lang, first-token) key; work is O(distinct bigrams), never
+    corpus-squared."""
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("bigram"),
+    )
+    cbg = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    cbg = cbg.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    cfirst = cbg.groupBy(F.col("lang").alias("f_lang"), F.col("w1").alias("f_w1")).agg(
+        F.sum("c").cast("bigint").alias("cf")
+    )
+    terms = cbg.join(
+        cfirst,
+        (F.col("lang") == F.col("f_lang")) & (F.col("w1") == F.col("f_w1")),
+    ).select(
+        "lang",
+        "c",
+        F.floor(
+            F.col("c")
+            * F.log(F.col("cf").cast("double") / F.col("c").cast("double"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    return terms.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("term_e6").cast("double")
+            / 1_000_000
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_rate"),
+    )

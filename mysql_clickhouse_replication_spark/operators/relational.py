@@ -593,3 +593,55 @@ def scan_sorted_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_d"),
         F.max("o_orderdate").alias("max_d"),
     )
+
+
+@register(
+    "reshape_pivot_multi",
+    oracle="""
+SELECT CAST(ts AS DATE) AS d,
+       COUNT(*) FILTER (event_type = 'view') AS view_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+            FILTER (event_type = 'view'), 0) AS DOUBLE) AS view_sum,
+       COUNT(*) FILTER (event_type = 'click') AS click_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+            FILTER (event_type = 'click'), 0) AS DOUBLE) AS click_sum,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase_n,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+            FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase_sum
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+)
+def reshape_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric pivot — the wide dashboard table (one row per day,
+    one COLUMN GROUP per event type x metric) that reshape_pivot's
+    single-metric form doesn't cover: groupBy(day).pivot(type with an
+    explicit value list).agg(count, sum) emits {type}_{metric} columns
+    in one pass.  The explicit pivot value list keeps the plan a single
+    conditional aggregate (no discovery scan), the reshape_pivot
+    discipline; exact decimal sums, zero-fill for absent cells so the
+    wide schema is total.
+
+    Scale: the long-form (day, type) aggregate does the data-volume
+    work (map-combined); the pivotfirst reshape is a SECOND exchange
+    over the already-reduced |days x types| frame — wide fan-out costs
+    a tiny extra shuffle, never a second pass over raw rows."""
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("value").cast("decimal(12,2)")), F.lit(0))
+            .cast("double")
+            .alias("sum"),
+        )
+    )
+    return p.select(
+        "d",
+        F.col("view_n"),
+        F.col("view_sum"),
+        F.col("click_n"),
+        F.col("click_sum"),
+        F.col("purchase_n"),
+        F.col("purchase_sum"),
+    )

@@ -994,3 +994,21 @@ def test_funnel_sensitivity_shares_stage_one(plans):
     p = plans("events_funnel_window_sensitivity", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_pivot_multi_two_stage_shuffles(plans):
+    # multi-metric pivot = long-form (day, type) agg + a pivotfirst
+    # exchange over the REDUCED |days x types| frame — exactly two
+    # exchanges, the second over tiny data; no discovery scan, no join.
+    p = plans("reshape_pivot_multi", "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "pivotfirst" in p
+
+
+def test_entropy_rate_vocab_bounded(plans):
+    # both aggregates are bounded by distinct bigrams; terms are
+    # integer-scaled pre-sum; the context join is equi on (lang, w1).
+    p = plans("text_entropy_rate", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
