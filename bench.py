@@ -309,6 +309,13 @@ EXTRA = [
     # --- round 4, seventeenth wave.
     "reshape_pivot_multi",
     "text_entropy_rate",
+    # --- round 4, eighteenth wave (post-restart).
+    "win_reset_running_sum",
+    "agg_histogram_quantile",
+    "text_collocations_pmi",
+    "docs_url_dedup",
+    "cdc_compaction_ratio",
+    "join_bloom_prefilter",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

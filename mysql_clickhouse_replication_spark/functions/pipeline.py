@@ -1206,3 +1206,73 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(wc).cast("bigint").alias("vocab_size"),
     )
+
+
+@register(
+    "docs_url_dedup",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example.COM/doc/'
+           || CAST(doc_id % 100 AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+           || '&id=' || CAST(doc_id % 100 AS VARCHAR) || '#frag' AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[A-Za-z]+://(?:[Ww]{3}\\.)?([^/?#]+)', 1))
+           || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+           || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS curl
+  FROM raw
+)
+SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS survivor_doc_id
+FROM canon
+GROUP BY curl
+HAVING COUNT(*) > 1
+""",
+)
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass every web
+    corpus runs, BEFORE any content hashing: the same page arrives
+    under scheme/host case variants, a www. prefix, tracking
+    parameters (utm_*, ref) and fragments.  Canonical form =
+    lowercase host without www + path + the identifying query param
+    only; duplicate groups keep the lowest doc_id as survivor.  URLs
+    are synthesized deterministically from the documents fixture
+    (100 collision buckets), mirroring fn_url's recipe.
+
+    Shape: canonicalization is pure per-row regex (map-only,
+    whole-stage codegen); the dedup is ONE map-side-combined groupBy
+    on the canonical key.  At 100 TB this is exactly
+    dedup_exact_text's shape with a cheaper key — canonical URLs are
+    ~60 bytes, so the shuffle moves keys + counts, never page bodies.
+    All counts/mins are exact integers — nothing to canonicalize."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM/doc/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("#frag"),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    curl = F.concat(
+        F.lower(
+            F.regexp_extract("url", r"^[A-Za-z]+://(?:[Ww]{3}\.)?([^/?#]+)", 1)
+        ),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        F.lit("?id="),
+        F.regexp_extract("url", r"[?&]id=([^&#]*)", 1),
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

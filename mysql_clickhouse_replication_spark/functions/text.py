@@ -1313,3 +1313,108 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_rate"),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+utot AS (SELECT SUM(c) AS n_tok FROM ucnt),
+big AS (
+  SELECT unnest(list_transform(range(2, len(t) + 1),
+                               i -> t[i-1] || ' ' || t[i])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+bcnt AS (SELECT bigram, COUNT(*) AS cxy FROM big GROUP BY bigram),
+btot AS (SELECT SUM(cxy) AS n_big FROM bcnt),
+pmi AS (
+  SELECT b.bigram, b.cxy, u1.c AS cx, u2.c AS cy,
+         ROUND(LN((b.cxy * 1.0 / t2.n_big)
+                  * (t1.n_tok * 1.0 / u1.c)
+                  * (t1.n_tok * 1.0 / u2.c)), 6) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON split_part(b.bigram, ' ', 1) = u1.w
+  JOIN ucnt u2 ON split_part(b.bigram, ' ', 2) = u2.w
+  CROSS JOIN utot t1 CROSS JOIN btot t2
+  WHERE b.cxy >= 5
+)
+SELECT bigram, cxy, cx, cy, pmi FROM pmi
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) <= 20
+""",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    token bigrams whose observed co-occurrence most exceeds chance
+    (PMI = ln(p(xy) / (p(x)p(y))), min support 5) — how a corpus
+    pipeline discovers multi-word units ('new york', 'machine
+    learning') for tokenizer merges, stopword-phrase lists, and
+    boilerplate signatures.  Raw frequency (text_topn_ngrams) surfaces
+    common pairs; PMI surfaces ASSOCIATED pairs.
+
+    Shape: one corpus pass builds both the unigram and bigram count
+    tables (vocabulary-sized from the first shuffle on); the PMI join
+    is bigram-vocab x unigram-vocab on the split words — count tables,
+    never raw text, cross the wire, and AQE picks hash joins sized to
+    the vocab.  Totals ride a 1-row broadcast.  The final top-20 is a
+    sort+limit (TakeOrderedAndProject — per-partition heaps, no global
+    sort).  Determinism: counts are exact integers; the probability
+    ratio is three IEEE divisions in fixed order, LN'd and rounded to
+    6dp BEFORE ranking (the sim_* convention), tiebreak on bigram."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
+    )
+    t = d.select(toks.alias("t"))
+    ucnt = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    utot = ucnt.agg(F.sum("c").alias("n_tok"))
+    bigrams = F.expr(
+        "transform(sequence(2, size(t)), i ->"
+        " concat(element_at(t, i - 1), ' ', element_at(t, i)))"
+    )
+    bcnt = (
+        t.filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    btot = (
+        t.filter(F.size("t") >= 2)
+        .select((F.size("t") - 1).alias("nb"))
+        .agg(F.sum("nb").alias("n_big"))
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    j = (
+        bcnt.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cxy") * 1.0 / F.col("n_big"))
+            * (F.col("n_tok") * 1.0 / F.col("cx"))
+            * (F.col("n_tok") * 1.0 / F.col("cy"))
+        ),
+        6,
+    )
+    return (
+        j.select("bigram", "cxy", "cx", "cy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )

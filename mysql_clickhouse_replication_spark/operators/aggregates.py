@@ -819,3 +819,77 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90, "p90_weighted"),
         pick(0.99, "p99_weighted"),
     )
+
+
+@register(
+    "agg_histogram_quantile",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY bin
+), c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM h
+), q AS (SELECT unnest(CAST([0.50, 0.90, 0.99] AS DOUBLE[])) AS q)
+SELECT q,
+       ROUND(MIN(CASE WHEN cum >= q * total THEN
+         bin * 10000 + 10000 * (q * total - (cum - cnt)) / cnt END), 6)
+         AS quantile_est
+FROM c CROSS JOIN q
+GROUP BY q
+""",
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles: p50/p90/p99 of order value
+    estimated from a fixed-width bin histogram (width 10k) with linear
+    interpolation inside the containing bin — the re-aggregatable
+    alternative to exact percentiles when the corpus is too large to
+    sort.  A fixed-bin histogram is the simplest mergeable quantile
+    sketch: per-partition partial counts add associatively (it is just
+    a groupBy), per-day rollup tables store the bins, and quantiles of
+    any date range come from summing bins — never re-scanning raw
+    data.  t-digest/KLL refine the memory bound, but the merge algebra
+    and the interpolation step are exactly this.
+
+    Shape: one map-side-combined groupBy over the fact (bins, not
+    rows, cross the wire — the histogram is ~100 entries regardless of
+    input size), then cumulative/total windows over the BIN table and
+    a 3-row quantile probe broadcast against it.  Determinism: counts
+    are integers, the interpolation is a single rounded division —
+    both engines compute bit-identical estimates."""
+    o = table(spark, sf_dir, "orders")
+    h = (
+        o.select(F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = h.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))).alias("q")
+    )
+    est = F.when(
+        F.col("cum") >= F.col("q") * F.col("total"),
+        F.col("bin") * 10000
+        + 10000
+        * (F.col("q") * F.col("total") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(F.round(F.min(est), 6).alias("quantile_est"))
+    )

@@ -255,3 +255,74 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos_bal").over(w_grp).alias("last_pos_bal"),
         F.when(F.col("grp") == 0, 1).otherwise(0).alias("before_first"),
     )
+
+
+@register(
+    "win_reset_running_sum",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         CASE WHEN o_totalprice >= 400000 THEN 1 ELSE 0 END AS big
+  FROM orders
+), seg AS (
+  SELECT *,
+         COALESCE(SUM(big) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS seg_id
+  FROM o
+)
+SELECT o_custkey, o_orderkey, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(SUM(price) OVER (PARTITION BY o_custkey, seg_id
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM seg
+""",
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-reset running sum (gaps-and-islands cumulative): per
+    customer, spend accumulates order-by-order and RESETS after any
+    order of >= 400k — the 'running total since last milestone' shape
+    behind loyalty-tier meters, error-budget counters, and
+    since-last-compaction byte counters.  No engine has a native
+    RESET frame; the portable recipe is two stacked windows: the
+    strictly-preceding count of reset markers is constant within a
+    segment (so it IS the segment id), then an ordinary cumulative sum
+    partitioned by (customer, segment).
+
+    Shape: both windows share the o_custkey partitioning, so Catalyst
+    plans ONE exchange and two in-partition sorts (the second adds
+    seg_id to the partition key but the data is already hash-placed by
+    customer — no second shuffle).  At 100 TB this is a single
+    shuffle of the fact keyed by customer; segment boundaries never
+    cross partitions by construction.  Sums run over exact DECIMAL
+    casts (fold-order-proof), surfaced as DOUBLE at the end."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.when(F.col("o_totalprice") >= 400000, 1).otherwise(0).alias("big"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = o.withColumn(
+        "seg_id", F.coalesce(F.sum("big").over(w_prev), F.lit(0)).cast("bigint")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey", "seg_id")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "o_custkey",
+        "o_orderkey",
+        "seg_id",
+        F.sum("price").over(w_run).cast("double").alias("running_spend"),
+    )

@@ -893,3 +893,74 @@ def cdc_dedup_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").isNotNull() & (F.col("dist") > _DEDUP_WINDOW)
         ).alias("n_missed"),
     )
+
+
+@register(
+    "cdc_compaction_ratio",
+    oracle=f"""
+WITH cl AS ({_DECODE_SQL.strip()}),
+last AS (
+  SELECT tbl, pk, op FROM cl
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, pk ORDER BY seq DESC) = 1
+),
+per_tbl AS (
+  SELECT tbl,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT pk) AS n_pks,
+         COUNT(*) FILTER (op = 'delete') AS n_deletes
+  FROM cl GROUP BY tbl
+),
+live AS (
+  SELECT tbl, COUNT(*) FILTER (op != 'delete') AS live_rows
+  FROM last GROUP BY tbl
+)
+SELECT p.tbl, n_events, n_pks, live_rows,
+       ROUND(n_events * 1.0 / n_pks, 6) AS write_amplification,
+       ROUND(n_deletes * 1.0 / n_events, 6) AS delete_frac
+FROM per_tbl p JOIN live USING (tbl)
+""",
+)
+def cdc_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning metrics per replicated table: raw changelog
+    volume vs distinct primary keys (write amplification — how many
+    versions a background merge must collapse per surviving row),
+    live rows after FINAL compaction, and the delete fraction.  These
+    are the numbers a ReplacingMergeTree operator watches to schedule
+    merges and size part TTLs; a table at 50x amplification merges on
+    a different cadence than one at 1.05x.
+
+    Shape: one pass computes per-table counts (map-side combined);
+    the live-row count needs last-op-per-pk, i.e. the standard
+    compaction window keyed (tbl, pk) — the SAME single shuffle every
+    cdc_apply_* key pays, here feeding a count instead of a
+    materialization.  At 100 TB both legs prune to touched partitions
+    when the changelog is date-partitioned.  All outputs are exact
+    integers except the two ratios, single rounded divisions."""
+    cl = _changelog(spark, sf_dir)
+    w = Window.partitionBy("tbl", "pk").orderBy(F.desc("seq"))
+    last = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("tbl")
+        .agg(F.count_if(F.col("op") != "delete").alias("live_rows"))
+    )
+    per_tbl = cl.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("pk").alias("n_pks"),
+        F.count_if(F.col("op") == "delete").alias("n_deletes"),
+    )
+    return (
+        per_tbl.join(last, "tbl")
+        .select(
+            "tbl",
+            "n_events",
+            "n_pks",
+            "live_rows",
+            F.round(F.col("n_events") * 1.0 / F.col("n_pks"), 6).alias(
+                "write_amplification"
+            ),
+            F.round(F.col("n_deletes") * 1.0 / F.col("n_events"), 6).alias(
+                "delete_frac"
+            ),
+        )
+    )

@@ -1012,3 +1012,68 @@ def test_entropy_rate_vocab_bounded(plans):
     p = plans("text_entropy_rate", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_reset_running_sum_single_exchange(plans):
+    # both stacked windows (segment id, then running sum) are keyed by
+    # customer; Catalyst plans ONE hash exchange and re-sorts in place.
+    p = plans("win_reset_running_sum", "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_histogram_quantile_single_fact_scan(plans):
+    # the fact is scanned once into a map-combined bin histogram; all
+    # window/interpolation work happens on the ~100-row bin table.
+    p = plans("agg_histogram_quantile", "simple")
+    assert p.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_pmi_topk_and_no_cartesian(plans):
+    # PMI joins run on vocab-sized count tables (equi joins only) and
+    # the final top-20 is a per-partition-heap TakeOrderedAndProject,
+    # never a global sort.
+    p = plans("text_collocations_pmi", "simple")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_url_dedup_map_only_plus_one_exchange(plans):
+    # canonicalization is pure per-row regex; the dedup is one
+    # map-side-combined groupBy on the canonical key.
+    p = plans("docs_url_dedup", "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_compaction_ratio_no_python_no_cartesian(plans):
+    p = plans("cdc_compaction_ratio", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_bloom_prefilter_injects_runtime_filter(spark, sf_dir):
+    # with the application-side size threshold lowered to bench scale,
+    # InjectRuntimeFilter must build a bloom from the filtered dim keys
+    # and push might_contain into the fact side pre-shuffle.
+    # InjectRuntimeFilter deliberately skips broadcast-SIZED creation
+    # sides (a broadcast hash table already filters), so the broadcast
+    # threshold is disabled too — mimicking the at-scale case where the
+    # filtered dim exceeds it.
+    qs = e.queries()
+    conf = spark.conf
+    key_app = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    key_bc = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bc = conf.get(key_app), conf.get(key_bc)
+    try:
+        conf.set(key_app, "0")
+        conf.set(key_bc, "-1")
+        p = _plan(qs["join_bloom_prefilter"](spark, sf_dir), "simple")
+        assert "bloom_filter_agg" in p or "might_contain" in p, p
+    finally:
+        conf.set(key_app, old_app)
+        conf.set(key_bc, old_bc)
