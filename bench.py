@@ -316,6 +316,11 @@ EXTRA = [
     "docs_url_dedup",
     "cdc_compaction_ratio",
     "join_bloom_prefilter",
+    # --- round 4, nineteenth wave.
+    "text_bm25_search",
+    "sim_hybrid_rrf",
+    "events_sliding_batch",
+    "orders_basket_lift",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1418,3 +1418,116 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# BM25 over the documents fixture: shared between text_bm25_search (the
+# ranked-list key) and sim_hybrid_rrf (rank fusion with vector search).
+# Query terms are fixed so results are deterministic and SQL-expressible.
+_BM25_TERMS = ("data", "fast", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ('data', 'fast', 'query')
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT tf.doc_id, tf.w,
+         ROUND(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / stats.avgdl)),
+               6) AS c
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       COALESCE(MAX(CASE WHEN w = 'data'  THEN c END), 0)
+     + COALESCE(MAX(CASE WHEN w = 'fast'  THEN c END), 0)
+     + COALESCE(MAX(CASE WHEN w = 'query' THEN c END), 0) AS score
+FROM contrib GROUP BY doc_id
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every document matching any fixed query term
+    — Okapi BM25 with k1=1.2, b=0.75.  Per-term contributions are
+    rounded to 6dp then added in fixed term order (never SUM-aggregated)
+    so the total is fold-order-deterministic in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
+    )
+    t = d.select("doc_id", toks.alias("t"))
+    dl = t.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = tf.join(F.broadcast(df), "w").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    ).select(
+        "doc_id", "w", F.round(idf * F.col("tf") / denom, 6).alias("c")
+    )
+    def term(w: str):
+        return F.coalesce(
+            F.max(F.when(F.col("w") == w, F.col("c"))), F.lit(0.0)
+        )
+    score = term("data") + term("fast") + term("query")
+    return contrib.groupBy("doc_id").agg(score.alias("score"))
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH scores AS ({_BM25_SCORES_SQL.strip()})
+SELECT doc_id, score FROM scores
+QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 10
+""",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 full-text retrieval: the top-10 documents for a fixed
+    3-term query — the lexical half of every RAG / retrieval stack and
+    the ClickHouse/Elasticsearch-class scoring function re-expressed as
+    three aggregate passes.  tf is per (doc, term), df and corpus
+    stats (N, avgdl) are term- and corpus-level constants that ride
+    1-row / 3-row broadcasts; per-term contributions are rounded to
+    6dp BEFORE the fixed-order sum so both engines rank identical
+    scores (the PQ-key convention for multi-term totals).
+
+    Shape: the corpus is tokenized ONCE; everything after the
+    (doc, term) tf groupBy is bounded by posting-list size (docs
+    containing a query term), not corpus size.  The final top-10 is
+    TakeOrderedAndProject over the scored posting lists.  At 100 TB
+    the posting lists ARE the retrieval index — materialize the tf
+    table partitioned by term and this query never touches raw text."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1229,3 +1229,93 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cos(F.col("cvec_a"), F.col("cvec_b")), 6).alias("half_cosine"),
     )
     return j.withColumn("drifted", F.col("half_cosine") < 0.98)
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def _rrf_oracle() -> str:
+    from .text import _BM25_SCORES_SQL
+
+    return f"""
+WITH bm25 AS ({_BM25_SCORES_SQL.strip()}),
+trank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
+  FROM bm25
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM v WHERE vec_id = 0),
+cos AS (
+  SELECT v.vec_id,
+         ROUND(list_cosine_similarity(v.vec, q.vec), 6) AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id != 0
+),
+vrank AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rv
+  FROM cos
+),
+fused AS (
+  SELECT COALESCE(t.doc_id, u.vec_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + t.rt), 0)
+               + COALESCE(1.0 / ({_RRF_K} + u.rv), 0), 6) AS rrf
+  FROM trank t FULL OUTER JOIN vrank u ON t.doc_id = u.vec_id
+)
+SELECT doc_id, rrf FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 10
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical ranking
+    (Okapi BM25 over the documents fixture, text_bm25_search's scorer)
+    and the dense ranking (cosine against the vec_id-0 query embedding)
+    are fused as sum of 1/(60+rank) — the standard zero-tuning way to
+    combine heterogeneous retrievers, robust to their incomparable
+    score scales because only RANKS cross the fusion boundary.
+
+    Shape: each leg is its own bounded pipeline — BM25 ranks only
+    docs on the query terms' posting lists; the dense leg is one
+    broadcast-query corpus pass (sim_cosine_topk's shape).  Ranking
+    windows run over SCORED-CANDIDATE tables (posting-list / top-probe
+    sized at production; the full corpus only at fixture scale), the
+    fusion is a doc-keyed full outer join of two rank lists, and the
+    final top-10 is TakeOrderedAndProject.  Determinism: both legs
+    round scores to 6dp BEFORE ranking with id tiebreaks; reciprocal
+    ranks are exact integer-denominator divisions summed in fixed
+    leg order and rounded."""
+    from .text import _bm25_scores
+
+    trank = _bm25_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rt"),
+    )
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == 0).select(F.col("vec").alias("q_vec"))
+    vrank = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(_cos(F.col("vec"), F.col("q_vec")), 6).alias("cos")
+        )
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .alias("rv"),
+        )
+    )
+    fused = (
+        trank.join(vrank, trank.doc_id == vrank.vec_id, "full_outer")
+        .select(
+            F.coalesce(trank.doc_id, vrank.vec_id).alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rt")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rv")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -1730,3 +1730,87 @@ def orders_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_gap_days"),
         F.expr("CAST(COALESCE(MAX(gap_d), 0) AS BIGINT)").alias("max_gap_days"),
     )
+
+
+@register(
+    "orders_basket_lift",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+bc AS (SELECT p_brand, COUNT(*) AS c FROM baskets GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, c_ab,
+       ROUND(n.n_orders * 1.0 * c_ab / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN bc ca ON ca.p_brand = pairs.brand_a
+JOIN bc cb ON cb.p_brand = pairs.brand_b
+CROSS JOIN n
+WHERE c_ab >= 5
+QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(n.n_orders * 1.0 * c_ab
+                                          / (ca.c * cb.c), 6) DESC,
+                           brand_a, brand_b) <= 15
+""",
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the top-15 part-brand pairs by
+    lift (P(a,b) / P(a)P(b), min support 5 co-baskets) — the
+    co-occurrence statistic behind 'frequently bought together',
+    recommendation candidates, and bundling analytics.  Lift > 1 means
+    the pair co-occurs above independence.
+
+    Shape: one fact⋈broadcast(part) pass reduces to DISTINCT
+    (order, brand) — the basket table, bounded by orders x
+    brands-per-order, never raw line items.  The pair join is an
+    ORDER-KEYED self-join (a.p_brand < b.p_brand halves the output);
+    its fan-out per order is C(brands_in_order, 2), bounded by the
+    basket width (~7 lines/order), NOT quadratic in the table — the
+    same per-key bounded self-join every association miner runs.
+    Brand marginals and the order count are vocabulary-sized
+    broadcasts.  Lift is one rounded expression over exact integer
+    counts, rounded BEFORE the top-k ranking with a total (brand_a,
+    brand_b) tiebreak."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    bc = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    lift = F.round(
+        F.col("n_orders") * 1.0 * F.col("c_ab") / (F.col("ca") * F.col("cb")), 6
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select("brand_a", "brand_b", "c_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(15)
+    )

@@ -975,3 +975,50 @@ def events_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("n_then_purchase", F.lit(0)).alias("n_then_purchase"),
         )
     )
+
+
+@register(
+    "events_sliding_batch",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS w_start
+  FROM events
+)
+SELECT w_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM e GROUP BY w_start
+""",
+)
+def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation, batch twin of stream_sliding:
+    1-hour windows advancing every 30 minutes, so each event lands in
+    exactly length/slide = 2 windows — the overlapping-rollup behind
+    'events in the last hour, refreshed every half hour' dashboards.
+    Spark's native F.window(ts, '1 hour', '30 minutes') does the
+    2-way row replication inside the Expand operator; the oracle
+    replicates explicitly (each event belongs to its own 30-min
+    bucket's window and the one starting 30 min earlier).
+
+    Shape: Expand(2x) -> map-side-combined groupBy(window) — one
+    shuffle of per-window partials, fan-out bounded by the
+    length/slide ratio (2 here; a 24h window sliding hourly would be
+    24x, which is why production slides coarsely or keeps per-slide
+    partials and merges).  Exact decimal sums; distinct-user counts
+    are exact (Expand adds the window key before the distinct)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "n_users", "sum_value")
+    )

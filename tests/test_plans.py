@@ -1077,3 +1077,39 @@ def test_bloom_prefilter_injects_runtime_filter(spark, sf_dir):
     finally:
         conf.set(key_app, old_app)
         conf.set(key_bc, old_bc)
+
+
+def test_bm25_single_tokenize_no_cartesian(plans):
+    # df/corpus stats ride broadcasts; the only joins are equi on
+    # doc_id / term; final top-10 is a per-partition heap.
+    p = plans("text_bm25_search", "simple")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_hybrid_rrf_broadcast_query_vector(plans):
+    # the dense leg broadcasts the 1-row query vector (never shuffles
+    # the corpus against it); fusion is a doc-keyed outer join.
+    p = plans("sim_hybrid_rrf", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sliding_batch_expand_bounded_fanout(plans):
+    # Spark's native sliding window replicates rows inside Expand
+    # (fan-out = length/slide = 2), then ONE map-combined groupBy.
+    p = plans("events_sliding_batch", "simple")
+    assert "Expand" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_basket_lift_broadcast_dims_no_cartesian(plans):
+    # part, the marginals, and the order count are broadcasts; the
+    # pair self-join is keyed by order (bounded per-key fan-out).
+    p = plans("orders_basket_lift", "simple")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
