@@ -321,6 +321,9 @@ EXTRA = [
     "sim_hybrid_rrf",
     "events_sliding_batch",
     "orders_basket_lift",
+    # --- round 4, twentieth wave.
+    "fn_geo",
+    "win_time_range_frame",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -719,3 +719,68 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("third_or_null"),
     )
+
+
+@register(
+    "fn_geo",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 17000) / 100.0 - 85.0  AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+box AS (
+  SELECT * FROM pts
+  WHERE lat BETWEEN -40 AND 40 AND lon BETWEEN -120 AND 0
+)
+SELECT c_custkey, lat, lon,
+       CAST(FLOOR(lat / 5) AS BIGINT) AS cell_lat,
+       CAST(FLOOR(lon / 5) AS BIGINT) AS cell_lon,
+       ROUND(2 * 6371.0 * ASIN(SQRT(
+           POWER(SIN(RADIANS(lat - 40.7128) / 2), 2)
+           + COS(RADIANS(40.7128)) * COS(RADIANS(lat))
+             * POWER(SIN(RADIANS(lon - (-74.006)) / 2), 2))), 6)
+         AS dist_nyc_km
+FROM box
+""",
+)
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo function family (ClickHouse greatCircleDistance /
+    geohashEncode / pointInPolygon-bbox parity): deterministic
+    lat/lon synthesized from the customer fixture, then bounding-box
+    filtering, 5-degree grid-cell assignment (the geohash-class
+    spatial bucketing that turns radius queries into cell equi
+    joins), and haversine great-circle distance to a fixed point.
+
+    Everything is per-row expression work (map-only, zero shuffle);
+    the trig pipeline follows fn_math's transcendental convention —
+    identical operation order in both engines, ROUND(...,6) at the
+    end to absorb libm last-ulp drift.  Coordinate synthesis is
+    exact integer modulo / 100.0 — bit-identical inputs on both
+    sides.  At 100 TB the grid-cell column is the partition key a
+    spatial layout would cluster by; the bbox filter pushes to the
+    scan as two range predicates."""
+    c = table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    box = pts.filter(
+        F.col("lat").between(-40, 40) & F.col("lon").between(-120, 0)
+    )
+    dphi = F.radians(F.col("lat") - 40.7128) / 2
+    dlam = F.radians(F.col("lon") - (-74.006)) / 2
+    hav = (
+        F.pow(F.sin(dphi), 2)
+        + F.cos(F.radians(F.lit(40.7128)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlam), 2)
+    )
+    return box.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 5).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 5).cast("bigint").alias("cell_lon"),
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_nyc_km"),
+    )

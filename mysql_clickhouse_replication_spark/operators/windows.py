@@ -326,3 +326,50 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_id",
         F.sum("price").over(w_run).cast("double").alias("running_spend"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the trailing-one-hour
+    event count and value sum at every event — the 'activity in the
+    last hour, evaluated per event' window behind rate limiting,
+    rolling exposure caps, and velocity features.  ROWS frames
+    (win_frame_rows) count a fixed number of rows; RANGE-over-time
+    frames cover a fixed TIME span, so bursty users get wide frames
+    and sparse users narrow ones.
+
+    Spark's rangeBetween needs a numeric ordering key, so ts is
+    cast to EXACT epoch microseconds on BOTH engines (unix_micros /
+    DuckDB epoch_us) — whole-second keys would silently truncate
+    and shift frame membership for sub-second timestamps (caught by
+    the sf0.1 gate run); engines with native INTERVAL frames
+    compile to the same sliding two-pointer pass.  Shape: ONE
+    shuffle keyed by user + one in-partition sort; both aggregates
+    share the frame.  Exact decimal sums inside the frame."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000 * 1000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )

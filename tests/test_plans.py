@@ -1113,3 +1113,20 @@ def test_basket_lift_broadcast_dims_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_geo_map_only_with_pushed_bbox(plans):
+    # the bbox is two range predicates pushed to the scan; everything
+    # else is per-row expression work — zero shuffle.
+    p = plans("fn_geo", "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_time_range_frame_single_exchange(plans):
+    # one user-keyed shuffle; both trailing-hour aggregates share the
+    # RANGE frame window.
+    p = plans("win_time_range_frame", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p
