@@ -1368,11 +1368,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort).  Determinism: counts are exact integers; the probability
     ratio is three IEEE divisions in fixed order, LN'd and rounded to
     6dp BEFORE ranking (the sim_* convention), tiebreak on bigram."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
-    )
-    t = d.select(toks.alias("t"))
+    t = _tokenized(spark, sf_dir)
     ucnt = (
         t.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -1418,6 +1414,30 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# (session id, sf_dir) -> cached tokenized corpus (doc_id, t).  The
+# regex tokenize is the expensive shared prefix of the BM25 / PMI
+# pipelines, whose plans branch 3-5 ways off it (tf, dl, corpus stats /
+# unigrams, bigrams, totals); without the cache every branch re-scans
+# and re-tokenizes the corpus.  Production twin: the materialized
+# token/posting-list table these keys' docstrings describe.  Cached,
+# not localCheckpoint-ed: the frame is one narrow projection, so
+# recompute-on-eviction is safe and lineage depth is constant.
+_TOKENS_MEMO: dict = {}
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _TOKENS_MEMO.get(key)
+    if hit is None:
+        d = table(spark, sf_dir, "documents")
+        toks = F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
+        )
+        hit = d.select("doc_id", toks.alias("t")).cache()
+        _TOKENS_MEMO[key] = hit
+    return hit
 
 
 # BM25 over the documents fixture: shared between text_bm25_search (the
@@ -1466,11 +1486,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Okapi BM25 with k1=1.2, b=0.75.  Per-term contributions are
     rounded to 6dp then added in fixed term order (never SUM-aggregated)
     so the total is fold-order-deterministic in both engines."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
-    )
-    t = d.select("doc_id", toks.alias("t"))
+    t = _tokenized(spark, sf_dir)
     dl = t.select("doc_id", F.size("t").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
