@@ -324,6 +324,9 @@ EXTRA = [
     # --- round 4, twentieth wave.
     "fn_geo",
     "win_time_range_frame",
+    # --- round 4, twenty-first wave.
+    "events_funnel_unordered",
+    "docs_substring_dedup",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1276,3 +1276,74 @@ def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+_SSD_K = 50  # exact-substring shingle length (chars)
+_SSD_STRIDE = 25  # window stride; catches any shared run >= K + STRIDE - 1
+
+
+@register(
+    "docs_substring_dedup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(text) - {_SSD_K} + 2, 2), {_SSD_STRIDE}),
+           i -> substr(text, i, {_SSD_K}))) AS shingle
+  FROM documents WHERE len(text) >= {_SSD_K}
+),
+owners AS (
+  SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY shingle
+),
+hits AS (
+  SELECT DISTINCT s.doc_id, o.owner
+  FROM sh s JOIN owners o USING (shingle)
+  WHERE s.doc_id > o.owner
+)
+SELECT doc_id,
+       MIN(owner) AS dup_of,
+       COUNT(*) AS n_earlier_sources
+FROM hits GROUP BY doc_id
+""",
+)
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination dedup (the Lee et al. 2022
+    'Deduplicating Training Data' shape): a document is flagged when
+    it shares a VERBATIM character run with any earlier document —
+    the suffix-array criterion approximated scalably with overlapping
+    50-char shingles at stride 25, which catch every shared run of
+    >= 74 chars regardless of alignment.  Jaccard-family dedup
+    (dedup_ngram_jaccard) finds SIMILAR documents; this finds copied
+    PASSAGES inside otherwise-different documents — the leak that
+    actually poisons eval sets.
+
+    Shape: shingle explode (fan-out len/stride per doc) -> groupBy
+    shingle keeps the MIN doc_id as owner (one map-combined shuffle
+    on the shingle key) -> join back (same key, shared partitioning)
+    emits (later doc, owner) hits -> per-doc rollup.  At 100 TB the
+    shingle would be xxhash64-ed to 8 bytes before the shuffle
+    (collision-checked on the verify pass); raw 50-char keys are kept
+    here so the oracle is character-exact.  All-integer output."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SSD_K
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_SSD_K} + 1, 1),"
+                f" {_SSD_STRIDE}), i -> substring(text, i, {_SSD_K}))"
+            )
+        ).alias("shingle"),
+    )
+    owners = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    hits = (
+        sh.join(owners, "shingle")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select("doc_id", "owner")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.min("owner").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_earlier_sources"),
+    )

@@ -1022,3 +1022,66 @@ def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "n_events", "n_users", "sum_value")
     )
+
+
+@register(
+    "events_funnel_unordered",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_has_view,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                  THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_buy IS NOT NULL THEN 1 END) AS n_all3_unordered,
+       COUNT(CASE WHEN t_view < t_click AND t_click < t_buy
+                  THEN 1 END) AS n_all3_ordered
+FROM per_user
+""",
+)
+def events_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership funnel vs sequence funnel, side by side: how
+    many users did ALL of view/click/purchase in ANY order, and how
+    many did them in the canonical first-occurrence order — the two
+    numbers whose GAP tells a product team whether step ordering (not
+    step completion) is what loses users.  events_funnel computes the
+    windowed sequential conversion; this key is its order-free upper
+    bound plus the strict-order count, from ONE pass.
+
+    Shape: a single user-keyed aggregation carrying the three
+    first-occurrence timestamps as conditional MINs (no joins, no
+    window — set-membership funnels don't need event ordering within
+    the group), then a 1-row global rollup.  Strictly cheaper than
+    any sequential funnel at 100 TB: one shuffle keyed by user, state
+    = 3 timestamps per user.  All-integer outputs; timestamp
+    comparisons are exact."""
+    ev = table(spark, sf_dir, "events")
+    def first_ts(t: str, alias: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(alias)
+    pu = ev.groupBy("user_id").agg(
+        first_ts("view", "t_view"),
+        first_ts("click", "t_click"),
+        first_ts("purchase", "t_buy"),
+    )
+    both = F.col("t_view").isNotNull() & F.col("t_click").isNotNull()
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_has_view"),
+        F.count(F.when(both, 1)).alias("n_view_click"),
+        F.count(F.when(both & F.col("t_buy").isNotNull(), 1)).alias(
+            "n_all3_unordered"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            )
+        ).alias("n_all3_ordered"),
+    )

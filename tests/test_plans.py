@@ -1130,3 +1130,21 @@ def test_time_range_frame_single_exchange(plans):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_funnel_unordered_single_user_shuffle(plans):
+    # set-membership funnel: one user-keyed agg + 1-row rollup; no
+    # joins, no windows, no ordering machinery.
+    p = plans("events_funnel_unordered", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_substring_dedup_shingle_keyed_join(plans):
+    # the owner groupBy and the join-back share the shingle key; no
+    # cartesian pair enumeration anywhere.
+    p = plans("docs_substring_dedup", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
