@@ -327,6 +327,8 @@ EXTRA = [
     # --- round 4, twenty-first wave.
     "events_funnel_unordered",
     "docs_substring_dedup",
+    # --- round 4, twenty-second wave.
+    "agg_bitmap_distinct",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

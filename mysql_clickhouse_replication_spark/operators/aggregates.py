@@ -893,3 +893,69 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.round(F.min(est), 6).alias("quantile_est"))
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via roaring-style bitmap states
+    (ClickHouse groupBitmap / groupBitmapOr parity): the
+    re-aggregatable EXACT complement of agg_hll_mergeable's
+    approximate sketches.  Per (event_type, shard) the user-id set is
+    compressed into fixed-width bitmap buckets
+    (bitmap_construct_agg over bitmap_bit_position, bucketed by
+    bitmap_bucket_number); shard states merge with bitmap_or_agg
+    WITHOUT rescanning raw data — how a rollup table stores exact
+    per-day audiences that still union across days — and the same
+    bucket-level states merge once more into the 'ALL' row, proving
+    the re-aggregation path inside the key itself.  The oracle is
+    plain COUNT(DISTINCT): bitmaps are exact, so the equality is
+    hash-checked, not approximate.
+
+    Shape: map-side bitmap_construct per (type, shard, bucket) —
+    the shuffle carries BITMAPS (<=4KB per bucket), never user ids;
+    then two bitmap_or_agg merge levels whose input is bounded by
+    |types| x |buckets|.  At 100 TB this is the only exact-distinct
+    shape that works: state size is bounded by id-space/8 bytes per
+    group regardless of row count, and states persist for
+    incremental daily rollups."""
+    ev = table(spark, sf_dir, "events")
+    states = (
+        ev.selectExpr(
+            "event_type",
+            "user_id % 4 AS shard",
+            "bitmap_bucket_number(user_id) AS bucket",
+            "user_id",
+        )
+        .groupBy("event_type", "shard", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+    )
+    merged = states.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    per_type = merged.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_distinct_users")
+    )
+    all_row = (
+        merged.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(
+            F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias(
+                "n_distinct_users"
+            )
+        )
+        .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
+    )
+    return per_type.unionByName(all_row)

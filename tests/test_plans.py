@@ -1148,3 +1148,13 @@ def test_substring_dedup_shingle_keyed_join(plans):
     p = plans("docs_substring_dedup", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bitmap_distinct_states_cross_the_wire(plans):
+    # the shuffle carries bitmap states (construct_agg partials), never
+    # raw user ids; merge levels are bitmap_or_agg over bounded state.
+    p = plans("agg_bitmap_distinct", "simple")
+    assert "bitmap_construct_agg" in p
+    assert "bitmap_or_agg" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
