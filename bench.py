@@ -329,6 +329,7 @@ EXTRA = [
     "docs_substring_dedup",
     # --- round 4, twenty-second wave.
     "agg_bitmap_distinct",
+    "events_watermark_lateness",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

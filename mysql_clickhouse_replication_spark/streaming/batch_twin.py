@@ -1085,3 +1085,72 @@ def events_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_all3_ordered"),
     )
+
+
+_LATENESS_D_US = 2 * 3600 * 1000 * 1000  # allowed lateness: 2 hours
+
+
+@register(
+    "events_watermark_lateness",
+    oracle=f"""
+WITH clocked AS (
+  SELECT event_type, ts,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN wm_us - epoch_us(ts) > {_LATENESS_D_US}
+                  THEN 1 END) AS n_dropped,
+       ROUND(COUNT(CASE WHEN wm_us - epoch_us(ts) > {_LATENESS_D_US}
+                        THEN 1 END) * 1.0 / COUNT(*), 6) AS drop_frac,
+       CAST(CEIL(MAX(COALESCE(wm_us - epoch_us(ts), 0)) / 60000000.0)
+            AS BIGINT) AS max_lateness_min
+FROM clocked GROUP BY event_type
+""",
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: replay the stream in ARRIVAL order
+    (event_id) and measure, per event type, how many events a
+    2-hour-watermark streaming job would DROP — an event is late by
+    (watermark - event_time) where the watermark is the running max
+    event-time over everything that arrived strictly before it.  This
+    is the number an operator needs BEFORE choosing
+    withWatermark('2 hours'): the observable cost of bounding state,
+    measured on real arrival disorder, plus the max lateness (the
+    delay that would have lost nothing).  Batch twin of the
+    dropDuplicatesWithinWatermark / windowed-agg eviction rule.
+
+    Shape: ONE global arrival-order running-max window — the honest
+    cost of replaying a serial clock (a binlog IS serial); production
+    runs it per partition-clock (tbl or shard key) exactly as
+    cdc_order_violations does, which turns it into a keyed window.
+    Microsecond-exact integer lateness; the only doubles are two
+    rounded ratios."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    clocked = ev.select(
+        "event_type",
+        us.alias("ts_us"),
+        F.max(us).over(w).alias("wm_us"),
+    )
+    late = F.col("wm_us") - F.col("ts_us") > _LATENESS_D_US
+    return clocked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, 1)).alias("n_dropped"),
+        F.round(
+            F.count(F.when(late, 1)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("drop_frac"),
+        F.ceil(
+            F.max(F.coalesce(F.col("wm_us") - F.col("ts_us"), F.lit(0)))
+            / 60000000.0
+        )
+        .cast("bigint")
+        .alias("max_lateness_min"),
+    )

@@ -1158,3 +1158,12 @@ def test_bitmap_distinct_states_cross_the_wire(plans):
     assert "bitmap_or_agg" in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_watermark_lateness_single_clock_window(plans):
+    # one arrival-order running-max window (the serial replay clock),
+    # then a map-combined per-type rollup; no joins.
+    p = plans("events_watermark_lateness", "simple")
+    assert p.count("Window") == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
