@@ -152,3 +152,86 @@ def test_chunking_doc_shorter_than_stride(spark, short_docs_dir):
     assert rows[1].n_tokens == 1 and rows[1].chunk_text == "one"
     assert rows[4].n_tokens == 4 and rows[4].chunk_text == "a b c d"
     assert all(r.chunk_start == 1 for r in rows.values())
+
+
+@pytest.fixture(scope="module")
+def copied_passage_dir(tmp_path_factory):
+    """Synthetic corpus for the exact-substring guarantee: doc 2 embeds
+    a verbatim 80-char passage from doc 1 inside otherwise-different
+    text; doc 3 shares nothing 50-char-aligned with either."""
+    d = tmp_path_factory.mktemp("copied_passage")
+    passage = ("the quick brown fox jumps over the lazy dog while the "
+               "cat watches from the warm windowsill")[:80]
+    doc1 = "intro words before anything " + passage + " and a closing remark"
+    doc2 = ("a completely different opening paragraph here " + passage
+            + " with its own unrelated ending text")
+    doc3 = ("x" * 40 + "y" * 40 + "z" * 40)
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [doc1, doc2, doc3],
+            "lang": ["en"] * 3,
+            "source": ["srcA", "srcB", "srcC"],
+            "n_chars": [len(doc1), len(doc2), len(doc3)],
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_substring_dedup_catches_copied_passage(spark, copied_passage_dir):
+    """The stride-25/k-50 shingle guarantee: any shared verbatim run of
+    >= 74 chars MUST be caught regardless of alignment (the two copies
+    sit at different offsets); disjoint docs must never be flagged."""
+    qs = e.queries()
+    rows = {
+        r["doc_id"]: r
+        for r in qs["docs_substring_dedup"](spark, copied_passage_dir).collect()
+    }
+    assert 2 in rows and rows[2]["dup_of"] == 1
+    assert 3 not in rows
+    assert 1 not in rows  # the earliest copy is the survivor, never flagged
+
+
+@pytest.fixture(scope="module")
+def bm25_corpus_dir(tmp_path_factory):
+    """Equal-length docs with monotone query-term density."""
+    d = tmp_path_factory.mktemp("bm25_corpus")
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    mk = lambda hits: ("data query " * hits + filler + " ") * 1
+    docs = {
+        1: "data query fast data query fast " + filler,
+        2: "data query fast " + filler + " " + filler[:16],
+        3: filler + " " + filler,
+    }
+    tbl = pa.table(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in docs.values()],
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_bm25_rank_monotone_in_term_density(spark, bm25_corpus_dir):
+    """More query-term mass at comparable length must rank higher; a
+    doc with zero query terms must not appear at all."""
+    qs = e.queries()
+    out = qs["text_bm25_search"](spark, bm25_corpus_dir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids.index(1) < ids.index(2)
+    assert 3 not in ids
+
+
+def test_funnel_unordered_bounds_ordered(spark, sf_dir):
+    """Set-membership completion is an upper bound on sequenced
+    completion, and both are bounded by the user population."""
+    qs = e.queries()
+    r = qs["events_funnel_unordered"](spark, sf_dir).collect()[0]
+    assert r["n_all3_ordered"] <= r["n_all3_unordered"]
+    assert r["n_all3_unordered"] <= r["n_view_click"] <= r["n_has_view"]
+    assert r["n_has_view"] <= r["n_users"]
