@@ -199,3 +199,75 @@ def test_packing_conserves_tokens_and_orders_packs(
         assert [p.pack_id for p in packs] == sorted(p.pack_id for p in packs)
         for a, b in zip(packs, packs[1:]):
             assert a.last_doc <= b.first_doc  # no doc-range interleave
+
+
+# ---- bitmap-distinct algebra --------------------------------------------
+
+_ids = st.lists(
+    st.integers(min_value=0, max_value=100000), min_size=1, max_size=40
+)
+
+
+@given(ids=_ids)
+@settings(**_SETTINGS)
+def test_bitmap_distinct_equals_exact(spark, ids):
+    """The bitmap bucket/position/construct/or/count chain is EXACT for
+    arbitrary id multisets — the invariant agg_bitmap_distinct rests
+    on (sketchy inputs: duplicates, bucket-boundary ids, singletons)."""
+    df = spark.createDataFrame([(i,) for i in ids], "uid long")
+    got = (
+        df.selectExpr("bitmap_bucket_number(uid) AS b", "uid")
+        .groupBy("b")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+        .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == len(set(ids))
+
+
+# ---- winnowing guarantee -------------------------------------------------
+
+_alpha = st.text(alphabet="abcd", min_size=80, max_size=200)
+
+
+@given(
+    passage=st.text(alphabet="abcd", min_size=74, max_size=90),
+    pre1=st.text(alphabet="wxyz", min_size=0, max_size=60),
+    pre2=st.text(alphabet="wxyz", min_size=0, max_size=60),
+    tail=_alpha,
+)
+@settings(**_SETTINGS)
+def test_winnowing_catches_planted_passage_any_offset(
+    spark, tmp_path_factory, passage, pre1, pre2, tail
+):
+    """The >=74-char guarantee under adversarial inputs: a planted
+    verbatim passage at ARBITRARY (different) offsets must always be
+    flagged — the property the stride-shingle v1 violated.  The 4-char
+    alphabets force rolling-hash collisions, stressing the tiebreak
+    agreement between the numpy argmin and the SQL struct-min."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_clickhouse_replication_spark import QUERIES, load_all
+
+    load_all()
+    doc1 = pre1 + passage + tail
+    doc2 = pre2 + "".join(reversed(tail)) + passage
+    d = tmp_path_factory.mktemp("winnow_prop")
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [doc1, doc2],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [len(doc1), len(doc2)],
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    rows = {
+        r["doc_id"]: r["dup_of"]
+        for r in QUERIES["docs_substring_dedup"](spark, str(d)).collect()
+    }
+    assert rows.get(2) == 1
