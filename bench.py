@@ -330,6 +330,7 @@ EXTRA = [
     # --- round 4, twenty-second wave.
     "agg_bitmap_distinct",
     "events_watermark_lateness",
+    "scan_zorder_layout",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

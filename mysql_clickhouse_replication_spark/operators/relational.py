@@ -645,3 +645,82 @@ def reshape_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_n"),
         F.col("purchase_sum"),
     )
+
+
+@register(
+    "scan_zorder_layout",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       COUNT(DISTINCT o_custkey % 256) AS n_cust_buckets
+FROM orders
+WHERE o_custkey % 256 BETWEEN 64 AND 79
+  AND (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 BETWEEN 48 AND 53
+""",
+)
+def scan_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-column layout — the 2-D
+    generalization of scan_sorted_layout_prune and the technique
+    behind Delta/Iceberg OPTIMIZE ZORDER: one sort column cannot
+    serve BOTH a customer-bucket predicate and a month predicate, but
+    sorting by the bit-interleave of (customer bucket, month index)
+    clusters rows so every parquet row group spans a small RECTANGLE
+    of the 2-D key space and a box query prunes on min/max stats in
+    BOTH dimensions at once.
+
+    The landed table STORES the two bucket columns (cb = custkey mod
+    256, ym = month index) and the query filters on them directly —
+    derived-expression predicates (x % 256) are not pushable to
+    parquet, so the buckets must be materialized for stats pruning to
+    see them; true of every z-order implementation and the reason
+    OPTIMIZE ZORDER operates on concrete columns.  The z-value is
+    pure bit arithmetic (shiftright/&/shiftleft, JVM codegen),
+    write-time only.  The oracle runs the same box on the RAW table
+    via the defining expressions — layout cannot change the answer,
+    which is what the gate verifies.
+
+    Measured at sf0.1 (150k orders, 16 files, 16-bucket x 6-month
+    box): an UNSORTED layout's scan emits all 150,000 rows to the
+    filter; the z-layout emits 17,126 — 8.8x less (asserted with the
+    executed-plan scan metric in tests/test_plans.py).  A 1-D
+    date-sorted layout measures 18,064 here — parquet PAGE-level
+    column indexes approximate 2-D pruning when pages are tiny — but
+    that convergence is a bench-scale artifact: at production
+    row-group/page sizes the unsorted dimension's pages each span the
+    whole bucket domain and 1-D degrades toward the unsorted case,
+    which is exactly when the interleave pays."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        (F.col("o_custkey") % 256).cast("int").alias("cb"),
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("ym"),
+    )
+    z = F.lit(0)
+    for b in range(8):  # interleave 8 bits of each dimension
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("cb"), b).bitwiseAND(1), 2 * b + 1)
+            + F.shiftleft(F.shiftright(F.col("ym"), b).bitwiseAND(1), 2 * b)
+        )
+    sink = scratch_path("zorder_orders", os.path.basename(sf_dir))
+    (
+        src.withColumn("z", z)
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(sink)
+    )
+    rb = spark.read.parquet(sink)
+    f = rb.filter(F.col("cb").between(64, 79) & F.col("ym").between(48, 53))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("cb").alias("n_cust_buckets"),
+    )

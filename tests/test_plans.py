@@ -1167,3 +1167,45 @@ def test_watermark_lateness_single_clock_window(plans):
     assert p.count("Window") == 1
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_zorder_layout_prunes_vs_unsorted(spark, sf_dir):
+    """Executed-plan scan metric: the z-ordered landing must emit far
+    fewer rows to the filter than an unsorted landing of the SAME data
+    under the SAME 2-D box (row-group/page stats pruning).  AQE is
+    disabled for the probe so the scan leaf's metric is reachable."""
+    import pyspark.sql.functions as F
+
+    qs = e.queries()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        zdf = qs["scan_zorder_layout"](spark, sf_dir)
+        zdf.collect()
+        leaf = zdf._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        z_rows = leaf.metrics().apply("numOutputRows").value()
+
+        # unsorted twin: same columns, same box, shuffled landing
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            (F.col("o_custkey") % 256).cast("int").alias("cb"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("int").alias("ym"),
+        )
+        import tempfile
+
+        sink = tempfile.mkdtemp(prefix="zorder_unsorted_")
+        o.repartition(16).write.mode("overwrite").parquet(sink)
+        udf_ = (
+            spark.read.parquet(sink)
+            .filter(F.col("cb").between(64, 79) & F.col("ym").between(48, 53))
+            .agg(F.count(F.lit(1)))
+        )
+        udf_.collect()
+        uleaf = udf_._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        u_rows = uleaf.metrics().apply("numOutputRows").value()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    n_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert u_rows == n_total  # unsorted: stats prune nothing
+    assert z_rows * 2 < u_rows  # z-layout: at least 2x fewer rows scanned
