@@ -331,6 +331,9 @@ EXTRA = [
     "agg_bitmap_distinct",
     "events_watermark_lateness",
     "scan_zorder_layout",
+    # --- round 4, twenty-third wave.
+    "events_time_weighted_avg",
+    "orders_revenue_concentration",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

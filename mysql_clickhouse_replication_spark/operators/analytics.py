@@ -1814,3 +1814,127 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(15)
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS t0,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS t1
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (t1 - t0)) AS BIGINT)
+         AS weight_cents_us,
+       CAST(SUM(t1 - t0) AS BIGINT) AS span_us,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT) * (t1 - t0))
+             / (SUM(t1 - t0) * 100.0), 6) AS twavg
+FROM seg WHERE t1 IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the ClickHouse avgWeighted-over-
+    hold-intervals / TimescaleDB time_weight pattern): each observed
+    value HOLDS until the next observation, so the mean must weight by
+    hold duration, not by sample count — the correct average for
+    prices, gauge metrics, and sensor states sampled at irregular
+    intervals, where the arithmetic mean over-weights bursty periods.
+
+    Shape: one user-keyed LEAD window builds (value, hold-interval)
+    segments, then a map-combined per-user rollup — window and
+    aggregate share the single user_id exchange.  Determinism: values
+    quantized to exact integer cents, intervals are exact epoch
+    microseconds, so the weighted sum is pure BIGINT arithmetic
+    (cents x us < 2^63 at any realistic span) and only the final
+    ratio is a rounded division."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    seg = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        us.alias("t0"),
+        F.lead(us).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dur = F.col("t1") - F.col("t0")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("cents") * dur).cast("bigint").alias("weight_cents_us"),
+        F.sum(dur).cast("bigint").alias("span_us"),
+        F.round(
+            F.sum(F.col("cents") * dur) / (F.sum(dur) * 100.0), 6
+        ).alias("twavg"),
+    )
+
+
+@register(
+    "orders_revenue_concentration",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM per_cust
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS decile_rev,
+       ROUND(CAST(SUM(rev) AS DOUBLE)
+             / CAST((SELECT SUM(rev) FROM per_cust) AS DOUBLE), 6)
+         AS rev_share
+FROM ranked GROUP BY decile
+""",
+)
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto / 80-20) curve: customers ranked
+    by lifetime revenue, split into deciles, each decile's share of
+    total revenue — the one-query answer to 'how top-heavy is our
+    revenue', the concentration read behind account-tiering and
+    whale-risk monitoring.
+
+    Shape: the fact reduces to one row per customer FIRST (map-
+    combined groupBy — the window never sees raw orders), then an
+    NTILE ranking over the per-customer rollup and a 10-row decile
+    aggregate; the total enters as a 1-row broadcast.  The global
+    NTILE window is single-partition by nature but its input is
+    |customers|, already aggregated — at 100 TB rank against
+    percentile boundaries from approx_percentile instead (the
+    analytics_rfm production swap).  Exact decimal revenue
+    everywhere; the share is one rounded division, tiebreak on
+    custkey makes decile assignment total."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(D12)).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select("rev", F.ntile(10).over(w).alias("decile"))
+    total = per_cust.agg(F.sum("rev").alias("total_rev"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("decile_rev"),
+            F.sum("rev").alias("_rev_exact"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev",
+            F.round(
+                F.col("_rev_exact").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+    )

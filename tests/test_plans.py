@@ -1209,3 +1209,23 @@ def test_zorder_layout_prunes_vs_unsorted(spark, sf_dir):
     n_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert u_rows == n_total  # unsorted: stats prune nothing
     assert z_rows * 2 < u_rows  # z-layout: at least 2x fewer rows scanned
+
+
+def test_time_weighted_avg_shared_user_exchange(plans):
+    # the LEAD window and the per-user rollup share one user_id
+    # exchange; the weighted sum is integer arithmetic, no joins.
+    p = plans("events_time_weighted_avg", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_revenue_concentration_windows_aggregated_input(plans):
+    # NTILE runs over the per-customer rollup, never raw orders: the
+    # single fact scan feeds a partial+final groupBy BEFORE any window.
+    p = plans("orders_revenue_concentration", "simple")
+    assert "Window" in p
+    assert "BatchEvalPython" not in p
+    # fact scanned at most twice (rollup + total legs)
+    assert p.count("FileScan parquet") <= 2
