@@ -334,6 +334,7 @@ EXTRA = [
     # --- round 4, twenty-third wave.
     "events_time_weighted_avg",
     "orders_revenue_concentration",
+    "cdc_minimal_image_reconstruct",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

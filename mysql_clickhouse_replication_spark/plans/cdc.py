@@ -964,3 +964,98 @@ def cdc_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_minimal_image_reconstruct",
+    oracle=f"""
+WITH cl AS ({_DECODE_SQL.strip()}),
+sparse AS (
+  SELECT op, tbl, pk, seq,
+         CASE WHEN op = 'insert' OR seq % 3 = 0 THEN value END AS value,
+         CASE WHEN op = 'insert' OR seq % 5 = 0 THEN prop_k END AS prop_k
+  FROM cl
+),
+rec AS (
+  SELECT tbl, pk,
+         MAX(seq) AS last_seq,
+         arg_max(op, seq) AS last_op,
+         MAX(CASE WHEN value IS NOT NULL
+                  THEN {{'s': seq, 'v': value}} END).v AS value,
+         MAX(CASE WHEN prop_k IS NOT NULL
+                  THEN {{'s': seq, 'v': prop_k}} END).v AS prop_k,
+         COUNT(*) AS n_events,
+         COUNT(value) AS n_value_images,
+         COUNT(prop_k) AS n_prop_images
+  FROM sparse GROUP BY tbl, pk
+)
+SELECT tbl, pk, last_seq, value, prop_k,
+       n_events, n_value_images, n_prop_images
+FROM rec WHERE last_op != 'delete'
+""",
+)
+def cdc_minimal_image_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row reconstruction from MINIMAL row images — the real
+    binlog_row_image=MINIMAL problem: update events carry ONLY the
+    changed columns (plus the pk), so the replica cannot upsert whole
+    rows; it must fold, per (pk, column), the LATEST NON-NULL image —
+    per-column LOCF at compaction time.  Simulated sparsity: value
+    present on inserts and every 3rd event, prop_k on inserts and
+    every 5th; the reconstructed state joins them at possibly
+    DIFFERENT source sequence numbers, which is exactly what makes
+    MINIMAL-image replication subtle.  Deleted pks drop after
+    reconstruction (last-op wins), and per-column image counts are
+    emitted so an operator can see column-level sparsity.
+
+    Shape: ONE map-combined aggregate keyed (tbl, pk) — each column's
+    latest image is MAX over (seq, value) structs built only from
+    non-null images (struct max orders by seq first; both engines
+    compare lexicographically), so reconstruction needs no window, no
+    join, and no per-column passes: strictly cheaper than the
+    row_number compaction when rows are wide.  At 100 TB this is the
+    same single shuffle every cdc_apply_* key pays."""
+    cl = _changelog(spark, sf_dir)
+    sparse = cl.select(
+        "op",
+        "tbl",
+        "pk",
+        "seq",
+        F.when(
+            (F.col("op") == "insert") | (F.col("seq") % 3 == 0), F.col("value")
+        ).alias("value"),
+        F.when(
+            (F.col("op") == "insert") | (F.col("seq") % 5 == 0), F.col("prop_k")
+        ).alias("prop_k"),
+    )
+
+    def latest(col: str):
+        return (
+            F.max(
+                F.when(
+                    F.col(col).isNotNull(),
+                    F.struct(F.col("seq").alias("s"), F.col(col).alias("v")),
+                )
+            )
+            .getField("v")
+            .alias(col)
+        )
+
+    rec = sparse.groupBy("tbl", "pk").agg(
+        F.max("seq").alias("last_seq"),
+        F.max_by("op", "seq").alias("last_op"),
+        latest("value"),
+        latest("prop_k"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_value_images"),
+        F.count("prop_k").alias("n_prop_images"),
+    )
+    return rec.filter(F.col("last_op") != "delete").select(
+        "tbl",
+        "pk",
+        "last_seq",
+        "value",
+        "prop_k",
+        "n_events",
+        "n_value_images",
+        "n_prop_images",
+    )

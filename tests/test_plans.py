@@ -1229,3 +1229,13 @@ def test_revenue_concentration_windows_aggregated_input(plans):
     assert "BatchEvalPython" not in p
     # fact scanned at most twice (rollup + total legs)
     assert p.count("FileScan parquet") <= 2
+
+
+def test_minimal_image_reconstruct_single_agg_no_window(plans):
+    # per-column latest-image folding happens inside ONE map-combined
+    # (tbl, pk) aggregate — no window, no join, no per-column passes.
+    p = plans("cdc_minimal_image_reconstruct", "simple")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
