@@ -335,6 +335,9 @@ EXTRA = [
     "events_time_weighted_avg",
     "orders_revenue_concentration",
     "cdc_minimal_image_reconstruct",
+    # --- round 4, twenty-fourth wave.
+    "events_changepoint_cusum",
+    "cdc_tombstone_gc",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

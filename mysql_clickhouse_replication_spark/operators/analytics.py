@@ -1938,3 +1938,80 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY d
+),
+stats AS (
+  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n_days
+  FROM daily
+),
+cusum AS (
+  SELECT d, n,
+         ROUND(SUM(n - mu) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s
+  FROM daily CROSS JOIN stats
+)
+SELECT d AS changepoint_day,
+       s AS cusum_at_peak,
+       (SELECT ROUND(MAX(ABS(s)), 6) FROM cusum) AS max_abs_cusum,
+       (SELECT n_days FROM stats) AS n_days
+FROM cusum
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, d) = 1
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-volume series:
+    the cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely regime-change day — the
+    classic offline CUSUM estimator behind deploy-impact detection,
+    seasonality breaks, and data-pipeline regression alerts, and the
+    changePoint-style analytic ClickHouse ships as a window family.
+
+    Shape: the raw stream reduces to ONE row per day first (map-
+    combined), the mean rides a 1-row broadcast, and the cumulative
+    window runs over the |days|-sized daily table — bounded input, so
+    the single-partition ordered window is safe at any corpus size
+    (the events_anomaly_zscore argument).  Determinism: daily counts
+    are exact integers; mu is one division; each cusum value is
+    rounded BEFORE the argmax ranking with a day tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    # |days|-sized and consumed by three branches (stats, cusum, peak):
+    # cached so the raw stream is scanned once, not once per branch
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "d",
+            "n",
+            "n_days",
+            F.round(F.sum(F.col("n") - F.col("mu")).over(w_cum), 6).alias("s"),
+        )
+    )
+    peak = Window.orderBy(F.desc(F.abs(F.col("s"))), F.asc("d"))
+    mx = cusum.agg(F.round(F.max(F.abs(F.col("s"))), 6).alias("max_abs_cusum"))
+    return (
+        cusum.withColumn("rn", F.row_number().over(peak))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.col("s").alias("cusum_at_peak"),
+            "max_abs_cusum",
+            "n_days",
+        )
+    )

@@ -1059,3 +1059,109 @@ def cdc_minimal_image_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_value_images",
         "n_prop_images",
     )
+
+
+_GC_HORIZON = 500  # tombstones older than this many seq units are purged
+
+
+@register(
+    "cdc_tombstone_gc",
+    oracle=f"""
+WITH cl AS ({_DECODE_SQL.strip()}),
+horizon AS (SELECT MAX(seq) - {_GC_HORIZON} AS cutoff FROM cl),
+last AS (
+  SELECT tbl, pk, op, seq FROM cl
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, pk ORDER BY seq DESC) = 1
+),
+exact AS (
+  SELECT tbl, COUNT(*) FILTER (op != 'delete') AS live_exact,
+         COUNT(*) FILTER (op = 'delete') AS tombstones_total
+  FROM last GROUP BY tbl
+),
+gc AS (
+  SELECT l.tbl,
+         COUNT(*) FILTER (l.op = 'delete' AND l.seq <= h.cutoff)
+           AS tombstones_purged,
+         COUNT(*) FILTER (l.op = 'delete' AND l.seq > h.cutoff)
+           AS tombstones_retained
+  FROM last l CROSS JOIN horizon h GROUP BY l.tbl
+),
+resurrect AS (
+  SELECT c.tbl, COUNT(DISTINCT c.pk) AS resurrection_risk_pks
+  FROM cl c
+  JOIN last l ON c.tbl = l.tbl AND c.pk = l.pk
+  CROSS JOIN horizon h
+  WHERE l.op = 'delete' AND l.seq <= h.cutoff
+    AND c.op != 'delete' AND c.seq < l.seq
+  GROUP BY c.tbl
+)
+SELECT e.tbl, live_exact, tombstones_total, tombstones_purged,
+       tombstones_retained,
+       COALESCE(resurrection_risk_pks, 0) AS resurrection_risk_pks
+FROM exact e
+JOIN gc USING (tbl)
+LEFT JOIN resurrect USING (tbl)
+""",
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage-collection planning — the delete-retention
+    problem every log-compacted replica has (Kafka log.cleaner delete
+    retention, Cassandra gc_grace_seconds, ClickHouse is_deleted +
+    clean_deleted_rows): a tombstone must be RETAINED long enough for
+    every consumer/merge to see it; purge it too early and any
+    still-unmerged earlier version of the pk RESURRECTS.  Per table:
+    exact live rows, total tombstones, tombstones the seq-horizon GC
+    would purge vs retain, and the number of purged-tombstone pks
+    that still have earlier non-delete versions in the unmerged log —
+    the resurrection-risk count an operator sizes the horizon by.
+
+    Shape: ONE (tbl, pk)-keyed compaction window feeds three bounded
+    rollups (the per-pk last-op table is the shared intermediate);
+    the risk leg joins the changelog back to the PURGED-tombstONE set
+    only — a key-pruned semi-join-shaped probe, not a second full
+    compaction; the horizon is a 1-row broadcast.  All-integer
+    outputs."""
+    cl = _changelog(spark, sf_dir)
+    horizon = cl.agg((F.max("seq") - _GC_HORIZON).alias("cutoff"))
+    w = Window.partitionBy("tbl", "pk").orderBy(F.desc("seq"))
+    last = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tbl", "pk", "op", "seq")
+    )
+    exact = last.groupBy("tbl").agg(
+        F.count_if(F.col("op") != "delete").alias("live_exact"),
+        F.count_if(F.col("op") == "delete").alias("tombstones_total"),
+    )
+    lastc = last.crossJoin(F.broadcast(horizon))
+    gc = lastc.groupBy("tbl").agg(
+        F.count_if(
+            (F.col("op") == "delete") & (F.col("seq") <= F.col("cutoff"))
+        ).alias("tombstones_purged"),
+        F.count_if(
+            (F.col("op") == "delete") & (F.col("seq") > F.col("cutoff"))
+        ).alias("tombstones_retained"),
+    )
+    purged = lastc.filter(
+        (F.col("op") == "delete") & (F.col("seq") <= F.col("cutoff"))
+    ).select("tbl", "pk", F.col("seq").alias("del_seq"))
+    resurrect = (
+        cl.join(purged, ["tbl", "pk"])
+        .filter((F.col("op") != "delete") & (F.col("seq") < F.col("del_seq")))
+        .groupBy("tbl")
+        .agg(F.countDistinct("pk").alias("resurrection_risk_pks"))
+    )
+    return (
+        exact.join(gc, "tbl")
+        .join(resurrect, "tbl", "left")
+        .select(
+            "tbl",
+            "live_exact",
+            "tombstones_total",
+            "tombstones_purged",
+            "tombstones_retained",
+            F.coalesce(F.col("resurrection_risk_pks"), F.lit(0)).alias(
+                "resurrection_risk_pks"
+            ),
+        )
+    )

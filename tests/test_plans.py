@@ -1239,3 +1239,21 @@ def test_minimal_image_reconstruct_single_agg_no_window(plans):
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_cusum_windows_daily_table_only(plans):
+    # the stream reduces to per-day rows before any window, and the
+    # daily table is cached so its three consumers (stats, cusum,
+    # peak) share ONE materialization of the raw-stream scan.
+    p = plans("events_changepoint_cusum", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_tombstone_gc_no_cartesian_one_compaction(plans):
+    # one (tbl, pk) compaction window; the resurrection probe is a
+    # key-equi join against the purged set, never a pair enumeration.
+    p = plans("cdc_tombstone_gc", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
