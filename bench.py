@@ -338,6 +338,7 @@ EXTRA = [
     # --- round 4, twenty-fourth wave.
     "events_changepoint_cusum",
     "cdc_tombstone_gc",
+    "fn_fuzzy_match",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

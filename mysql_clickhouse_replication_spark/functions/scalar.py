@@ -17,7 +17,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -783,4 +783,66 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lat") / 5).cast("bigint").alias("cell_lat"),
         F.floor(F.col("lon") / 5).cast("bigint").alias("cell_lon"),
         F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_nyc_km"),
+    )
+
+
+@register(
+    "fn_fuzzy_match",
+    oracle="""
+WITH pairs AS (
+  SELECT p_partkey,
+         p_name AS a,
+         LEAD(p_name) OVER (ORDER BY p_partkey) AS b
+  FROM part WHERE p_partkey % 10 = 0
+)
+SELECT p_partkey, a, b,
+       levenshtein(a, b) AS lev,
+       ROUND(1.0 - levenshtein(a, b)
+             / CAST(greatest(len(a), len(b)) AS DOUBLE), 6) AS sim_ratio,
+       CASE WHEN levenshtein(a, b) <= 10 THEN 1 ELSE 0 END AS is_match,
+       levenshtein(split_part(a, ' ', 1), split_part(b, ' ', 1))
+         AS first_token_lev
+FROM pairs WHERE b IS NOT NULL
+""",
+)
+def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit-distance record linkage — the
+    primitive behind CDC dirty-key reconciliation, product-name
+    dedup, and entity resolution): Levenshtein distance, a
+    length-normalized similarity ratio, a threshold match flag, and
+    a first-token blocking distance, over adjacent part-name pairs
+    (LEAD pairing keeps the key linear — candidate GENERATION at
+    scale belongs to the blocking/LSH keys, this one is the scoring
+    family).  levenshtein() is native JVM / native DuckDB with the
+    same textbook definition, so distances hash-match exactly; the
+    only double is the ratio, one rounded division.
+
+    Shape: one ordered LEAD window over a 10%-sampled dimension, then
+    pure per-row expression scoring — at 100 TB the same scoring runs
+    over LSH/blocking candidate pairs (dedup_minhash's output shape)
+    instead of neighbors."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", F.col("p_name").alias("a"))
+    )
+    w = Window.orderBy("p_partkey")
+    pairs = p.select(
+        "p_partkey", "a", F.lead("a").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    lev = F.levenshtein("a", "b")
+    return pairs.select(
+        "p_partkey",
+        "a",
+        "b",
+        lev.alias("lev"),
+        F.round(
+            1.0 - lev / F.greatest(F.length("a"), F.length("b")).cast("double"),
+            6,
+        ).alias("sim_ratio"),
+        F.when(lev <= 10, 1).otherwise(0).alias("is_match"),
+        F.levenshtein(
+            F.split_part(F.col("a"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)),
+        ).alias("first_token_lev"),
     )
