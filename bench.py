@@ -339,6 +339,7 @@ EXTRA = [
     "events_changepoint_cusum",
     "cdc_tombstone_gc",
     "fn_fuzzy_match",
+    "join_spatial_grid",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -858,3 +858,98 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 17000) / 100.0 - 85.0  AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+zones AS (
+  SELECT z AS zone_id,
+         -80.0 + z * 15 AS lat_lo, -80.0 + z * 15 + 20 AS lat_hi,
+         -160.0 + z * 35 AS lon_lo, -160.0 + z * 35 + 50 AS lon_hi
+  FROM (SELECT unnest(range(0, 8)) AS z)
+)
+SELECT zone_id,
+       COUNT(*) AS n_points,
+       COUNT(DISTINCT CAST(FLOOR(lat / 5) AS BIGINT) * 1000
+             + CAST(FLOOR(lon / 5) AS BIGINT)) AS n_cells,
+       MIN(c_custkey) AS first_cust
+FROM pts JOIN zones
+  ON lat >= lat_lo AND lat < lat_hi AND lon >= lon_lo AND lon < lon_hi
+GROUP BY zone_id
+""",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join — the scalable point-in-region
+    shape (PostGIS ST_Contains + GIST re-expressed for a shuffle
+    engine): assigning points to zones with a raw theta join is a
+    nested-loop over |points| x |zones|; instead each zone is
+    EXPLODED into the fixed 5-degree grid cells its bbox covers
+    (bounded: area/cell-size cells per zone), points carry their own
+    cell id, and the join becomes a broadcast HASH join on the cell
+    key followed by the exact bbox check on the survivors — candidate
+    pairs are cell-local, never all-pairs.  The same fn_geo
+    coordinate synthesis and grid constant keep the two geo keys
+    consistent.
+
+    The oracle runs the NAIVE theta join — the grid decomposition is
+    a pure candidate filter (cells covering a zone are a superset of
+    its points), so the hash-join plan must reproduce the
+    nested-loop result bit-for-bit, which is what the gate checks.
+    At 100 TB: points shuffle nowhere (zone-cells broadcast), the
+    per-cell fan-out is the only amplification, and the exact check
+    is per-row expression work — the standard spatial-join recipe
+    (grid/kd bucketing + refine)."""
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    ).withColumns(
+        {
+            "cl": F.floor(F.col("lat") / 5).cast("bigint"),
+            "cn": F.floor(F.col("lon") / 5).cast("bigint"),
+        }
+    )
+    zones = spark.range(8).select(
+        F.col("id").cast("int").alias("zone_id"),
+        (-80.0 + F.col("id") * 15).alias("lat_lo"),
+        (-80.0 + F.col("id") * 15 + 20).alias("lat_hi"),
+        (-160.0 + F.col("id") * 35).alias("lon_lo"),
+        (-160.0 + F.col("id") * 35 + 50).alias("lon_hi"),
+    )
+    zone_cells = zones.select(
+        "*",
+        F.explode(
+            F.expr(
+                "sequence(CAST(floor(lat_lo / 5) AS BIGINT),"
+                " CAST(floor((lat_hi - 0.000001) / 5) AS BIGINT))"
+            )
+        ).alias("cl"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                "sequence(CAST(floor(lon_lo / 5) AS BIGINT),"
+                " CAST(floor((lon_hi - 0.000001) / 5) AS BIGINT))"
+            )
+        ).alias("cn"),
+    )
+    cand = pts.join(F.broadcast(zone_cells), ["cl", "cn"])
+    exact = cand.filter(
+        (F.col("lat") >= F.col("lat_lo"))
+        & (F.col("lat") < F.col("lat_hi"))
+        & (F.col("lon") >= F.col("lon_lo"))
+        & (F.col("lon") < F.col("lon_hi"))
+    )
+    return exact.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct(F.col("cl") * 1000 + F.col("cn")).alias("n_cells"),
+        F.min("c_custkey").alias("first_cust"),
+    )

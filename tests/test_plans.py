@@ -1257,3 +1257,14 @@ def test_tombstone_gc_no_cartesian_one_compaction(plans):
     p = plans("cdc_tombstone_gc", "simple")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_spatial_grid_is_hash_join_not_nested_loop(plans):
+    # the zone-cell decomposition turns point-in-bbox into a broadcast
+    # HASH join on the cell key — never a BroadcastNestedLoopJoin over
+    # |points| x |zones|.
+    p = plans("join_spatial_grid", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
