@@ -340,6 +340,9 @@ EXTRA = [
     "cdc_tombstone_gc",
     "fn_fuzzy_match",
     "join_spatial_grid",
+    # --- round 4, twenty-fifth wave.
+    "events_growth_accounting",
+    "agg_hll_overlap_estimate",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -2015,3 +2015,155 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+marked AS (
+  SELECT user_id, w,
+         LAG(w)  OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+         LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+  FROM act
+),
+classified AS (
+  SELECT w,
+         CASE WHEN prev_w IS NULL THEN 'new'
+              WHEN prev_w = w - INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM marked
+),
+churn AS (
+  SELECT w + INTERVAL 7 DAY AS w, 'churned' AS status
+  FROM marked m
+  WHERE (next_w IS NULL OR next_w > w + INTERVAL 7 DAY)
+    AND w + INTERVAL 7 DAY <= (SELECT MAX(w) FROM act)
+)
+SELECT w AS week, status, COUNT(*) AS n_users
+FROM (SELECT * FROM classified UNION ALL SELECT * FROM churn)
+GROUP BY week, status
+""",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the MAU-bookkeeping identity, weekly grain):
+    every active user-week is NEW (first activity ever), RETAINED
+    (also active the week before) or RESURRECTED (returning after a
+    gap), and users active in week w but not w+1 emit a CHURNED row
+    in w+1 — so active(w) = new + retained + resurrected and
+    active(w) - active(w+1) = churned(w+1) - (new + resurrected)(w+1),
+    the exact ledger every growth team reconciles its dashboards
+    against.
+
+    Shape: the stream reduces to DISTINCT (user, week) first — the
+    window input is activity cells, not raw events; one user-keyed
+    window computes lag AND lead off the same sort; churn rows are a
+    filtered projection of the same frame (no second scan) bounded by
+    the horizon (a 1-row broadcast).  All-integer output; week
+    boundaries are engine-identical ISO date_trunc."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    horizon = act.agg(F.max("w").alias("max_w"))
+    win = Window.partitionBy("user_id").orderBy("w")
+    # activity-cell-sized and consumed by BOTH the classification and
+    # the churn branch of the union: cached so the distinct + window
+    # run once, not once per branch
+    marked = act.select(
+        "user_id",
+        "w",
+        F.lag("w").over(win).alias("prev_w"),
+        F.lead("w").over(win).alias("next_w"),
+    ).cache()
+    wk = F.expr("INTERVAL 7 DAY")
+    classified = marked.select(
+        "w",
+        F.when(F.col("prev_w").isNull(), "new")
+        .when(F.col("prev_w") == F.col("w") - wk, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    churn = (
+        marked.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + wk))
+            & (F.col("w") + wk <= F.col("max_w"))
+        )
+        .select((F.col("w") + wk).alias("w"), F.lit("churned").alias("status"))
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy(F.col("w").alias("week"), "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "agg_hll_overlap_estimate",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+x AS (
+  SELECT (SELECT COUNT(*) FROM a) AS n_a,
+         (SELECT COUNT(*) FROM b) AS n_b,
+         (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+           AS exact_overlap
+)
+SELECT n_a, n_b, exact_overlap, TRUE AS est_within_15pct FROM x
+""",
+)
+def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches by
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| - |A∪B| where all three
+    cardinalities come from HLL sketches (hll_sketch_agg +
+    hll_union + hll_sketch_estimate) — the overlap question answered
+    WITHOUT re-scanning raw data when only per-segment sketch rollups
+    are stored, the sketch algebra every audience platform runs.
+    Union via sketch merge is exact HLL composition; the subtraction
+    inherits both sketches' error, which is why the key also emits
+    the exact overlap and pins the estimate within a 15% + 32-user
+    tolerance (deterministic for a fixed input set — HLL is
+    order-insensitive), the agg_approx_distinct oracle pattern.
+
+    Shape: each side is one map-combined sketch build (fixed-size
+    state per partition, no distinct shuffle); union/estimate are
+    1-row operations on a crossJoin of two broadcast scalars.  The
+    exact twin pays the distinct shuffles the sketches avoid."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk_a"),
+        F.countDistinct("user_id").alias("n_a"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk_b"),
+        F.countDistinct("user_id").alias("n_b"),
+    )
+    both = a.crossJoin(F.broadcast(b))
+    exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est = (
+        F.col("n_a")
+        + F.col("n_b")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    return (
+        both.crossJoin(F.broadcast(exact))
+        .select(
+            "n_a",
+            "n_b",
+            "exact_overlap",
+            (
+                F.abs(est - F.col("exact_overlap"))
+                <= 0.15 * F.col("exact_overlap") + 32
+            ).alias("est_within_15pct"),
+        )
+    )

@@ -1268,3 +1268,21 @@ def test_spatial_grid_is_hash_join_not_nested_loop(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_growth_accounting_windows_activity_cells(plans):
+    # lag and lead share one user-keyed sort over DISTINCT (user,
+    # week) cells; churn rows are a projection of the same frame.
+    p = plans("events_growth_accounting", "simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_hll_overlap_sketches_not_distinct_shuffles(plans):
+    # the estimate path is sketch aggregates merged as 1-row scalars;
+    # only the exact twin pays distinct shuffles.
+    p = plans("agg_hll_overlap_estimate", "simple")
+    assert "hll_sketch_agg" in p
+    assert "hll_union" in p
+    assert "BatchEvalPython" not in p
