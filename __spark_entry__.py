@@ -112,10 +112,10 @@ def _ordered_keys() -> list[str]:
     extras beyond position 50, plus keys added in round 4) to the front
     -- replace the return below with  g_r04[50:] + g_r04[:50] + g_r03 +
     proven  (keeping _RED_R03 inside the proven region if r04 records
-    them green).  Counts after the round-4 build (286 keys total,
-    g_r04 = 183): r04's window proves 50 (driver-green total 148),
-    leaving 138 unproven -- r05's overflow rotation proves the next
-    50, r06 the next 50, r07 the remaining ~38: full driver coverage
+    them green).  Counts after the round-4 build (287 keys total,
+    g_r04 = 184): r04's window proves 50 (driver-green total 148),
+    leaving 139 unproven -- r05's overflow rotation proves the next
+    50, r06 the next 50, r07 the remaining ~39: full driver coverage
     by r07."""
     seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
     extras = [k for k in QUERIES if k not in seen]

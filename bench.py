@@ -343,6 +343,7 @@ EXTRA = [
     # --- round 4, twenty-fifth wave.
     "events_growth_accounting",
     "agg_hll_overlap_estimate",
+    "fn_business_days",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -846,3 +846,77 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("b"), F.lit(" "), F.lit(1)),
         ).alias("first_token_lev"),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+WITH spans AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(o_orderdate AS DATE) AS d0,
+         CAST(l_shipdate AS DATE) AS d1,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS cal_days,
+         isodow(o_orderdate) - 1 AS wd
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 50 = 0
+)
+SELECT l_orderkey, l_linenumber, d0, d1, cal_days,
+       CAST(cal_days // 7 * 5
+            + len(list_filter(range(1, 8),
+                              k -> k <= cal_days % 7 AND (wd + k) % 7 < 5))
+            AS BIGINT)
+         AS business_days,
+       CAST(cal_days // 7 * 5
+            + len(list_filter(range(1, 8),
+                              k -> k <= cal_days % 7 AND (wd + k) % 7 < 5))
+            AS BIGINT) <= 60
+         AS within_sla
+FROM spans
+""",
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic (the date-dimension workhorse every
+    SLA, settlement, and fulfillment metric needs): weekday-only day
+    counts between order and ship dates, closed-form — full weeks
+    contribute 5 each, the remainder walks at most 6 weekday slots
+    via a bounded array filter, so the expression is exact integer
+    arithmetic on datediff + ISO weekday in BOTH engines (identical
+    formula, no calendar UDF, no generate-series-per-row blowup).
+    Weekday convention pinned to ISO Monday=0 on both sides (Spark
+    weekday(), DuckDB isodow()-1 — Spark's dayofweek() is
+    Sunday-based and deliberately avoided).
+
+    Shape: a fact⋈fact equi join sampled to 2% of orders, then pure
+    per-row expression work.  At 100 TB holidays join in as a
+    broadcast calendar-dim lookup subtracted from this closed form —
+    the standard date-dimension pattern."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.col("l_shipdate").cast("date").alias("d1"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("cal_days"),
+        F.weekday(F.col("o_orderdate")).alias("wd"),
+    )
+    # sequence(1, rem) DESCENDS for rem=0 in Spark (the short-doc trap
+    # from text_topn_ngrams) — a fixed ascending sequence(1, 7) with the
+    # bound folded into the filter predicate is rem-safe in both engines
+    bd = F.expr(
+        "CAST(CAST(cal_days / 7 AS BIGINT) * 5"
+        " + size(filter(sequence(1, 7),"
+        " k -> k <= cal_days % 7 AND (wd + k) % 7 < 5)) AS BIGINT)"
+    )
+    return spans.select(
+        "l_orderkey",
+        "l_linenumber",
+        "d0",
+        "d1",
+        "cal_days",
+        bd.alias("business_days"),
+        (bd <= 60).alias("within_sla"),
+    )
