@@ -1282,13 +1282,12 @@ _SSD_K = 50  # exact-substring shingle length (chars)
 _SSD_G = 8  # anchor gram length
 _SSD_W = 25  # winnowing window (consecutive gram positions per selection)
 
-# Polynomial gram hash computed with PLAIN integer arithmetic so both
-# engines produce bit-identical values: h = fold(a*31 + ascii(char)).
-# Max value 31^7 * 126 < 2^53 — exact in BIGINT on both sides.
-_SSD_SPARK_H = "CAST(ascii(substring(g, 1, 1)) AS BIGINT)"
+# Polynomial gram hash for the ORACLE, plain integer arithmetic; the
+# Spark side computes the identical fold in numpy inside the winnow
+# mapInPandas stage (8 shifted int64 folds).  Max value 31^7 * 126
+# < 2^53 — exact in BIGINT on both sides.
 _SSD_DUCK_H = "CAST(ascii(substr(g, 1, 1)) AS BIGINT)"
 for _j in range(2, _SSD_G + 1):
-    _SSD_SPARK_H = f"({_SSD_SPARK_H}) * 31 + ascii(substring(g, {_j}, 1))"
     _SSD_DUCK_H = f"({_SSD_DUCK_H}) * 31 + ascii(substr(g, {_j}, 1))"
 
 

@@ -721,13 +721,26 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic lat/lon synthesis shared by fn_geo and
+# operators/joins.join_spatial_grid — ONE definition (plus the SQL twin
+# below) so the two geo keys can never desynchronize.
+GEO_POINTS_SQL = """(c_custkey * 9973 % 17000) / 100.0 - 85.0  AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon"""
+
+
+def geo_lat_lon() -> tuple:
+    """(lat, lon) Column pair of the synthesized customer coordinates."""
+    lat = (F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0
+    return lat, lon
+
+
 @register(
     "fn_geo",
-    oracle="""
+    oracle=f"""
 WITH pts AS (
   SELECT c_custkey,
-         (c_custkey * 9973 % 17000) / 100.0 - 85.0  AS lat,
-         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+         {GEO_POINTS_SQL}
   FROM customer
 ),
 box AS (
@@ -762,8 +775,7 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial layout would cluster by; the bbox filter pushes to the
     scan as two range predicates."""
     c = table(spark, sf_dir, "customer")
-    lat = (F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0
-    lon = (F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0
+    lat, lon = geo_lat_lon()
     pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
     box = pts.filter(
         F.col("lat").between(-40, 40) & F.col("lon").between(-120, 0)
@@ -857,32 +869,38 @@ WITH spans AS (
          CAST(l_shipdate AS DATE) AS d1,
          datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
            AS cal_days,
-         isodow(o_orderdate) - 1 AS wd
+         CASE WHEN CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+              THEN isodow(o_orderdate) - 1
+              ELSE isodow(l_shipdate) - 1 END AS wd_lo,
+         abs(datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE))) AS n_abs
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 50 = 0
+),
+bd AS (
+  SELECT *,
+         CAST(CASE WHEN cal_days >= 0 THEN 1 ELSE -1 END
+              * (n_abs // 7 * 5
+                 + len(list_filter(range(1, 8),
+                       k -> k <= n_abs % 7 AND (wd_lo + k) % 7 < 5)))
+              AS BIGINT) AS business_days
+  FROM spans
 )
-SELECT l_orderkey, l_linenumber, d0, d1, cal_days,
-       CAST(cal_days // 7 * 5
-            + len(list_filter(range(1, 8),
-                              k -> k <= cal_days % 7 AND (wd + k) % 7 < 5))
-            AS BIGINT)
-         AS business_days,
-       CAST(cal_days // 7 * 5
-            + len(list_filter(range(1, 8),
-                              k -> k <= cal_days % 7 AND (wd + k) % 7 < 5))
-            AS BIGINT) <= 60
-         AS within_sla
-FROM spans
+SELECT l_orderkey, l_linenumber, d0, d1, cal_days, business_days,
+       cal_days >= 0 AND business_days <= 60 AS within_sla
+FROM bd
 """,
 )
 def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Business-day arithmetic (the date-dimension workhorse every
-    SLA, settlement, and fulfillment metric needs): weekday-only day
-    counts between order and ship dates, closed-form — full weeks
-    contribute 5 each, the remainder walks at most 6 weekday slots
-    via a bounded array filter, so the expression is exact integer
-    arithmetic on datediff + ISO weekday in BOTH engines (identical
-    formula, no calendar UDF, no generate-series-per-row blowup).
+    SLA, settlement, and fulfillment metric needs): SIGNED
+    weekday-only day counts between order and ship dates (the fixture
+    emits reversed spans, so the walk starts at the EARLIER date's
+    weekday and negates), closed-form — full weeks contribute 5 each,
+    the remainder walks at most 6 weekday slots via a bounded array
+    filter: exact integer arithmetic on datediff + ISO weekday in
+    BOTH engines, brute-force-checked over every (weekday, signed
+    span) pair in tests (no calendar UDF, no per-row series blowup).
     Weekday convention pinned to ISO Monday=0 on both sides (Spark
     weekday(), DuckDB isodow()-1 — Spark's dayofweek() is
     Sunday-based and deliberately avoided).
@@ -901,15 +919,25 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("cal_days"),
-        F.weekday(F.col("o_orderdate")).alias("wd"),
-    )
+        # the fixture's ship dates are NOT ordered after order dates, so
+        # the count must be SIGNED: walk from the EARLIER date's weekday
+        # and negate for reversed spans (review finding — the unsigned
+        # form returned -100-with-truncation-artifacts for -103 spans)
+        F.when(
+            F.col("l_shipdate").cast("date") >= F.col("o_orderdate").cast("date"),
+            F.weekday(F.col("o_orderdate")),
+        )
+        .otherwise(F.weekday(F.col("l_shipdate")))
+        .alias("wd_lo"),
+    ).withColumn("n_abs", F.abs(F.col("cal_days")))
     # sequence(1, rem) DESCENDS for rem=0 in Spark (the short-doc trap
     # from text_topn_ngrams) — a fixed ascending sequence(1, 7) with the
     # bound folded into the filter predicate is rem-safe in both engines
     bd = F.expr(
-        "CAST(CAST(cal_days / 7 AS BIGINT) * 5"
+        "CAST((CASE WHEN cal_days >= 0 THEN 1 ELSE -1 END)"
+        " * (CAST(n_abs / 7 AS BIGINT) * 5"
         " + size(filter(sequence(1, 7),"
-        " k -> k <= cal_days % 7 AND (wd + k) % 7 < 5)) AS BIGINT)"
+        " k -> k <= n_abs % 7 AND (wd_lo + k) % 7 < 5))) AS BIGINT)"
     )
     return spans.select(
         "l_orderkey",
@@ -918,5 +946,5 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         "cal_days",
         bd.alias("business_days"),
-        (bd <= 60).alias("within_sla"),
+        ((F.col("cal_days") >= 0) & (bd <= 60)).alias("within_sla"),
     )

@@ -1424,7 +1424,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token/posting-list table these keys' docstrings describe.  Cached,
 # not localCheckpoint-ed: the frame is one narrow projection, so
 # recompute-on-eviction is safe and lineage depth is constant.
+# Bounded FIFO (review finding): a long-lived driver running many
+# sf_dirs/sessions must not pin every tokenized corpus forever, so
+# insertion beyond the cap unpersists and drops the oldest entry.
 _TOKENS_MEMO: dict = {}
+_TOKENS_MEMO_CAP = 4
 
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,6 +1440,12 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +"
         )
         hit = d.select("doc_id", toks.alias("t")).cache()
+        while len(_TOKENS_MEMO) >= _TOKENS_MEMO_CAP:
+            old = _TOKENS_MEMO.pop(next(iter(_TOKENS_MEMO)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session may already be stopped
         _TOKENS_MEMO[key] = hit
     return hit
 

@@ -837,7 +837,7 @@ WITH h AS (
   FROM h
 ), q AS (SELECT unnest(CAST([0.50, 0.90, 0.99] AS DOUBLE[])) AS q)
 SELECT q,
-       ROUND(MIN(CASE WHEN cum >= q * total THEN
+       ROUND(MIN(CASE WHEN cum >= q * total AND cum - cnt < q * total THEN
          bin * 10000 + 10000 * (q * total - (cum - cnt)) / cnt END), 6)
          AS quantile_est
 FROM c CROSS JOIN q
@@ -881,12 +881,15 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = spark.range(1).select(
         F.explode(F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))).alias("q")
     )
+    # interpolate ONLY in the unique containing bin (cum_prev < target
+    # <= cum): later qualifying bins carry large NEGATIVE interpolation
+    # terms that would hijack an unguarded MIN (review finding; the
+    # unguarded form returned 190416 for the 253606 fixture median)
+    target = F.col("q") * F.col("total")
     est = F.when(
-        F.col("cum") >= F.col("q") * F.col("total"),
+        (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target),
         F.col("bin") * 10000
-        + 10000
-        * (F.col("q") * F.col("total") - (F.col("cum") - F.col("cnt")))
-        / F.col("cnt"),
+        + 10000 * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
     )
     return (
         c.crossJoin(F.broadcast(qs))

@@ -860,15 +860,20 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_spatial_grid",
-    oracle="""
+def _spatial_oracle() -> str:
+    from ..functions.scalar import GEO_POINTS_SQL
+
+    return f"""
 WITH pts AS (
   SELECT c_custkey,
-         (c_custkey * 9973 % 17000) / 100.0 - 85.0  AS lat,
-         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+         {GEO_POINTS_SQL}
   FROM customer
 ),
+{_SPATIAL_TAIL}
+"""
+
+
+_SPATIAL_TAIL = """
 zones AS (
   SELECT z AS zone_id,
          -80.0 + z * 15 AS lat_lo, -80.0 + z * 15 + 20 AS lat_hi,
@@ -882,9 +887,10 @@ SELECT zone_id,
        MIN(c_custkey) AS first_cust
 FROM pts JOIN zones
   ON lat >= lat_lo AND lat < lat_hi AND lon >= lon_lo AND lon < lon_hi
-GROUP BY zone_id
-""",
-)
+GROUP BY zone_id"""
+
+
+@register("join_spatial_grid", oracle=_spatial_oracle())
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial join — the scalable point-in-region
     shape (PostGIS ST_Contains + GIST re-expressed for a shuffle
@@ -906,11 +912,14 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell fan-out is the only amplification, and the exact check
     is per-row expression work — the standard spatial-join recipe
     (grid/kd bucketing + refine)."""
+    from ..functions.scalar import geo_lat_lon
+
     c = table(spark, sf_dir, "customer")
+    lat, lon = geo_lat_lon()
     pts = c.select(
         "c_custkey",
-        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
-        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        lat.alias("lat"),
+        lon.alias("lon"),
     ).withColumns(
         {
             "cl": F.floor(F.col("lat") / 5).cast("bigint"),
