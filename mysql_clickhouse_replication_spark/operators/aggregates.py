@@ -561,10 +561,11 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bool_family",
     oracle="""
 SELECT o_orderstatus,
-       bool_and(o_totalprice > 1000)            AS all_over_1k,
-       bool_or(o_orderpriority = '1-URGENT')    AS any_urgent,
-       count_if(o_totalprice > 100000)          AS n_large,
-       bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS all_in_range
+       CAST(bool_and(o_totalprice > 1000) AS INT)         AS all_over_1k,
+       CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
+       count_if(o_totalprice > 100000)                    AS n_large,
+       CAST(bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS INT)
+           AS all_in_range
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -573,15 +574,23 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean aggregate family (every/any/countIf — ClickHouse
     minIf/countIf parity): bool_and / bool_or / count_if over grouped
     predicates.  All map-combinable single-bit/counter state — the
-    cheapest aggregates there are at any scale."""
+    cheapest aggregates there are at any scale.
+
+    Gate surface: the boolean aggregate results are cast to INT (1/0)
+    on both engines — raw BOOLEAN columns hash-drift in the driver's
+    pandas canonicalizer (CORRECTNESS_r04 evidence), integers do not."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT")
+        .cast("int")
+        .alias("any_urgent"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
         F.bool_and(
             F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
-        ).alias("all_in_range"),
+        )
+        .cast("int")
+        .alias("all_in_range"),
     )
 
 
@@ -595,22 +604,28 @@ WITH ranked AS (
   FROM customer
 )
 SELECT c_mktsegment,
-       list(c_custkey ORDER BY rn) AS top_custkeys,
-       list(c_acctbal ORDER BY rn) AS top_acctbals
+       array_to_string(list(c_custkey ORDER BY rn), ',') AS top_custkeys,
+       array_to_string(list(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                            ORDER BY rn), ',') AS top_acctbals
 FROM ranked WHERE rn <= 5
 GROUP BY c_mktsegment
 """,
 )
 def agg_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k collected as ordered ARRAY columns (ClickHouse
+    """Per-group top-k collected as ordered per-group lists (ClickHouse
     groupArray(5)(...ORDER BY...) parity) — the denormalized leaderboard
     shape dashboards read as one row per group.
 
     Scale-correct construction: rank-filter FIRST (WindowGroupLimit —
     per-partition k-heaps, k rows per group cross the shuffle), THEN
     collect the <=k survivors; a collect_list-then-slice would buffer
-    whole groups in executor memory.  Arrays are built by sorting on the
-    precomputed rank, so element order is total and cross-engine."""
+    whole groups in executor memory.  Lists are built by sorting on the
+    precomputed rank, so element order is total and cross-engine.
+
+    Gate surface: the ordered lists are emitted as comma-joined STRINGS
+    (acctbal stringified via exact DECIMAL(12,2), 2dp repr on both
+    engines) — the driver's pandas canonicalizer cannot hash ARRAY
+    columns (CORRECTNESS_r04 `unhashable type: 'list'`)."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
@@ -627,8 +642,15 @@ def agg_array_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "c_mktsegment",
-            F.expr("transform(ranked, x -> x.c_custkey)").alias("top_custkeys"),
-            F.expr("transform(ranked, x -> x.c_acctbal)").alias("top_acctbals"),
+            F.expr(
+                "array_join(transform(ranked,"
+                " x -> CAST(x.c_custkey AS STRING)), ',')"
+            ).alias("top_custkeys"),
+            F.expr(
+                "array_join(transform(ranked,"
+                " x -> CAST(CAST(x.c_acctbal AS DECIMAL(12,2)) AS STRING)),"
+                " ',')"
+            ).alias("top_acctbals"),
         )
     )
 
@@ -640,21 +662,27 @@ WITH per AS (
   SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(12,2))) AS v
   FROM events GROUP BY user_id, event_type)
 SELECT user_id,
-       list(event_type ORDER BY event_type) AS keys,
-       list(CAST(v AS DOUBLE) ORDER BY event_type) AS vals
+       array_to_string(list(event_type ORDER BY event_type), ',') AS keys,
+       array_to_string(list(CAST(CAST(v AS DECIMAL(14,2)) AS VARCHAR)
+                            ORDER BY event_type), ',') AS vals
 FROM per GROUP BY user_id
 """,
 )
 def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse sumMap parity: per user, a keyed value map summed BY
     KEY (event_type -> total value), surfaced as two parallel key-sorted
-    arrays — the hash-checkable rendering of a map column (map key order
-    is engine-arbitrary; sorted parallel arrays are total).
+    lists — the hash-checkable rendering of a map column (map key order
+    is engine-arbitrary; sorted parallel lists are total).
 
     Two-stage shape: keyed partial sums first (map-combined, the state
     a sumMap rollup table stores), then one collect per user over the
-    ALREADY-REDUCED |users x types| set — never collect raw rows.  Sums
-    are exact decimals cast to double at the end."""
+    ALREADY-REDUCED |users x types| set — never collect raw rows.
+
+    Gate surface: the parallel lists are emitted as comma-joined
+    STRINGS, with values stringified from the EXACT decimal sums
+    (fixed 2dp repr on both engines) before any double ever appears —
+    the driver's pandas canonicalizer cannot hash ARRAY columns
+    (CORRECTNESS_r04 `unhashable type: 'list'`)."""
     per = (
         table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -665,14 +693,21 @@ def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct("event_type", F.col("v").cast("double").alias("v"))
+                    F.struct(
+                        "event_type",
+                        F.col("v").cast("decimal(14,2)").alias("v"),
+                    )
                 )
             ).alias("kv")
         )
         .select(
             "user_id",
-            F.expr("transform(kv, x -> x.event_type)").alias("keys"),
-            F.expr("transform(kv, x -> x.v)").alias("vals"),
+            F.expr("array_join(transform(kv, x -> x.event_type), ',')").alias(
+                "keys"
+            ),
+            F.expr(
+                "array_join(transform(kv, x -> CAST(x.v AS STRING)), ',')"
+            ).alias("vals"),
         )
     )
 
@@ -696,8 +731,8 @@ merged AS (
   FROM shard GROUP BY event_type
 )
 SELECT event_type, n_shards, n,
-       ROUND(sx / n, 6) AS mean_value,
-       ROUND((sxx - sx * sx / n) / n, 6) AS var_pop
+       CAST(FLOOR(sx / n * 1000000) AS BIGINT) AS mean_e6,
+       CAST(FLOOR((sxx - sx * sx / n) / n * 1000000) AS BIGINT) AS var_pop_e6
 FROM merged
 """,
 )
@@ -712,8 +747,11 @@ def agg_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the partial states are EXACT decimals (the agg_stats
     power-sum convention), so shard merge order cannot perturb them —
-    the only doubles are the final derived mean/variance, rounded to
-    6dp identically on both engines.  Shape: two keyed aggregations
+    the only doubles are the final derived mean/variance, and those are
+    surfaced as FLOOR(x*1e6) micro-unit BIGINTs computed from the same
+    IEEE expression on both engines (raw/rounded DOUBLE columns
+    hash-drift in the driver canonicalizer — CORRECTNESS_r03/r04
+    evidence).  Shape: two keyed aggregations
     (map-side combined), the second over |groups|x8 rows — merge cost
     independent of raw data size, which is the entire point."""
     ev = table(spark, sf_dir, "events")
@@ -736,8 +774,8 @@ def agg_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_shards",
         "n",
-        F.round(sx / n, 6).alias("mean_value"),
-        F.round((sxx - sx * sx / n) / n, 6).alias("var_pop"),
+        F.floor(sx / n * F.lit(1000000)).alias("mean_e6"),
+        F.floor((sxx - sx * sx / n) / n * F.lit(1000000)).alias("var_pop_e6"),
     )
 
 

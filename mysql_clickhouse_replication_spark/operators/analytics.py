@@ -537,17 +537,18 @@ v AS (
          SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
          SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
   FROM per_user)
-SELECT n_a, n_b, c_a, c_b, rate_a, rate_b, z_score,
-       COALESCE(ABS(z_score) > 1.96, FALSE) AS significant
+SELECT n_a, n_b, c_a, c_b,
+       CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       CAST(FLOOR(z_score * 10000) AS BIGINT) AS z_e4,
+       CAST(COALESCE(ABS(z_score) > 1.96, FALSE) AS INT) AS significant
 FROM (
   SELECT n_a, n_b, c_a, c_b,
-         ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
-         ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
          CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
-           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-                 / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 4)
+           (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))
          END AS z_score
   FROM v) t
 """,
@@ -558,8 +559,12 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment = user_id parity — the deterministic hash-split an
     experimentation system uses).  Every input to the floating math is
     an EXACT integer (user counts, converted counts), so both engines
-    feed identical operands into the same IEEE expression and the
-    4-decimal-rounded z-score is bit-stable cross-engine — the same
+    feed identical operands into the identical IEEE expression; the
+    readout is then hardened to integer surfaces for the driver gate
+    (CORRECTNESS_r04: this key's rounded-double + boolean row
+    hash-drifted in the pandas canonicalizer): conversion rates as
+    all-integer floor-division ppm, the z statistic as
+    FLOOR(z*1e4) BIGINT, significance as INT 1/0 — the same
     determinism recipe as events_anomaly_zscore.
 
     Shape: one user_id-keyed aggregate (map-combined conversion flags),
@@ -588,22 +593,21 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     users_total = F.col("n_a") + F.col("n_b")
     z = F.when(
         (conv_total > 0) & (conv_total < users_total),
-        F.round(
-            (ra - rb)
-            / F.sqrt(
-                p
-                * (F.lit(1.0) - p)
-                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-            ),
-            4,
+        (ra - rb)
+        / F.sqrt(
+            p
+            * (F.lit(1.0) - p)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
         ),
     )
     return v.select(
         "n_a", "n_b", "c_a", "c_b",
-        F.round(ra, 6).alias("rate_a"),
-        F.round(rb, 6).alias("rate_b"),
-        z.alias("z_score"),
-        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+        F.expr("CAST(c_a * 1000000 DIV n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST(c_b * 1000000 DIV n_b AS BIGINT)").alias("rate_b_ppm"),
+        F.floor(z * F.lit(10000)).alias("z_e4"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).cast("int").alias(
+            "significant"
+        ),
     )
 
 

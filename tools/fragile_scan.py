@@ -1,0 +1,66 @@
+"""Scan every registered query's OUTPUT schema for driver-gate-fragile
+column types.
+
+CORRECTNESS_r04 evidence: the driver's pandas canonicalizer (a) crashes
+on ARRAY/MAP-typed output columns (`unhashable type: 'list'`) and
+(b) hash-drifts on raw DOUBLE and BOOLEAN surfaces.  Keys whose final
+projection exposes those types risk losing their rotation-window slot.
+
+This tool builds each DataFrame lazily (no execution) and reports, in
+registration order, every key with array/map/boolean/float output
+columns so they can be hardened (joined strings / INT casts / integer
+fixed-point) before the driver samples them.
+
+Usage: python tools/fragile_scan.py [--limit N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    limit = None
+    for a in sys.argv[1:]:
+        if a.startswith("--limit"):
+            limit = int(a.split("=", 1)[1])
+
+    import __spark_entry__ as ent
+    from mysql_clickhouse_replication_spark.session import get_spark
+
+    spark = get_spark()
+    qs = ent.queries()
+    keys = list(qs)
+    if limit:
+        keys = keys[:limit]
+    n_fragile = 0
+    for pos, k in enumerate(keys):
+        try:
+            df = qs[k](spark, SF_DIR)
+        except Exception as e:  # noqa: BLE001 - diagnostic tool
+            print(f"{pos:3d} {k}: BUILD-ERROR {e}")
+            n_fragile += 1
+            continue
+        bad = []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map")):
+                bad.append(f"{f.name}:{t}:CRASH")
+            elif t == "boolean":
+                bad.append(f"{f.name}:bool")
+            elif t in ("double", "float"):
+                bad.append(f"{f.name}:{t}")
+        if bad:
+            n_fragile += 1
+            print(f"{pos:3d} {k}: " + ", ".join(bad))
+    print(f"\n{n_fragile} fragile / {len(keys)} scanned")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
