@@ -11,20 +11,23 @@ this module only adapts the registry to the driver's interface.
 Registration-order rotation
 ---------------------------
 The driver's correctness gate records only the FIRST 50 keys of the
-``queries()`` dict (CORRECTNESS_r01 == all 29 then-registered keys,
-CORRECTNESS_r02 == exactly ``list(QUERIES)[:50]``).  Every key is
-verified locally (tools/verify_local.py, VERIFY_LOCAL_r3.json), but
-driver-recorded proof rotates through the registry in 50-key windows:
+``queries()`` dict.  Every key is verified locally every round
+(tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
+proof rotates through the registry in 50-key windows:
 
-* round 2 proved the relational core (scans, filters, joins, aggs,
-  TPC-H shapes, set_union*, pivot) -- the ``_PROVEN_R02`` list below.
-* round 3 (this file) front-loads ``_R03_WINDOW``: the 16 cdc_* keys,
-  windows, sorts/top-k, set_intersect/except, the dedup_*/sim_*
-  families, the text_* core, and the events/sessionize batch twins.
-* round 4 must front-load ``_R04_NEXT`` (scalar fn_* families,
-  multimodal, format roundtrips, remaining streaming keys) plus any
-  key added after round 3 -- swap ``_R03_WINDOW`` and ``_R04_NEXT``
-  in ``_ordered_keys`` and nothing else.
+* rounds 1-4 proved 142 keys green (the ``_DRIVER_GREEN`` list below,
+  extracted from CORRECTNESS_r01..r04) -- those now go LAST.
+* round 4 recorded 6 hash/canonicalizer failures (``_RED_R04``) whose
+  output surfaces were hardened this round (ARRAY -> joined strings,
+  ROUND-doubles -> integer fixed-point, BOOLEAN -> INT); they lead the
+  r05 window so the driver re-records them first.
+* ``_R05_NEW`` front-loads keys first registered in round 5 so they
+  get a driver row immediately.
+* everything else (139 never-sampled keys) follows in registration
+  order; the r05 window covers the first ~40 of them.  Round 6: move
+  the keys CORRECTNESS_r05 proves green into ``_DRIVER_GREEN`` and
+  keep this exact structure -- the next 50 unproven keys surface
+  automatically.  Full driver coverage lands around r07/r08.
 """
 
 from __future__ import annotations
@@ -35,99 +38,75 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Keys with green CORRECTNESS_r02 rows (driver-proven at sf0.01) -- go last.
-_PROVEN_R02 = [
-    "agg_groupby_multi", "agg_hash_global", "agg_count_distinct",
-    "agg_approx_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",
-    "agg_percentiles", "agg_stats", "agg_minmax_by", "agg_collect",
-    "agg_conditional", "agg_distinct_rows", "tpch_q3_shape", "tpch_q6_shape",
-    "tpch_q10_shape", "tpch_q4_shape", "tpch_q12_shape", "tpch_q14_shape",
-    "agg_skew_salted", "agg_approx_percentiles", "tpch_q5_shape",
-    "tpch_q18_shape", "tpch_q19_shape", "join_inner_equi", "join_multiway",
-    "join_broadcast", "join_left_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_cross", "join_theta_range", "join_asof",
-    "join_interval_overlap", "join_skew_salted", "join_bucketed_colocated",
-    "scan_parquet", "scan_projection_pushdown", "scan_partition_filter",
-    "project_compute", "filter_conjunctive", "filter_in_between_like",
-    "filter_null_semantics", "case_when", "sample_hash_based",
-    "reshape_pivot", "reshape_unpivot", "set_union_all", "set_union_distinct",
+# Keys with a green driver row in CORRECTNESS_r01..r04 (142) -- go last.
+_DRIVER_GREEN = [
+    "agg_approx_distinct", "agg_approx_percentiles", "agg_bitmap_distinct",
+    "agg_collect", "agg_conditional", "agg_count_distinct",
+    "agg_countmin_prefilter", "agg_cube", "agg_distinct_rows",
+    "agg_groupby_multi", "agg_grouping_sets", "agg_hash_global",
+    "agg_heavy_hitters", "agg_histogram_quantile", "agg_hll_mergeable",
+    "agg_linreg", "agg_minmax_by", "agg_mode", "agg_percentiles",
+    "agg_rollup", "agg_skew_salted", "agg_stats", "agg_weighted_avg",
+    "agg_weighted_percentile", "analytics_rfm", "case_when",
+    "cdc_apply_delete", "cdc_apply_upsert", "cdc_batch_window",
+    "cdc_checkpoint", "cdc_decode", "cdc_dedup_exact", "cdc_filter_tables",
+    "cdc_incremental_agg", "cdc_merge_into", "cdc_scd2_history",
+    "cdc_schema_evolution", "cdc_sink", "cdc_snapshot",
+    "cdc_snapshot_increment", "cdc_stream_source", "cdc_type_cast",
+    "dedup_cluster", "dedup_embedding", "dedup_exact_text", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "events_attribution",
+    "events_audience_overlap", "events_cohort_ltv", "events_funnel",
+    "events_funnel_strict", "events_record_highs", "events_retention",
+    "events_rolling_distinct", "events_seasonality", "events_sequence_match",
+    "events_streaks", "filter_conjunctive", "filter_in_between_like",
+    "filter_null_semantics", "fn_array", "fn_bitwise", "fn_date", "fn_hash",
+    "fn_json", "fn_map", "fn_math", "fn_string", "fn_url", "fn_variant",
+    "join_anti", "join_asof", "join_broadcast", "join_bucketed_colocated",
+    "join_cross", "join_dynamic_partition_prune", "join_full_outer",
+    "join_inner_equi", "join_interval_overlap", "join_left_outer",
+    "join_multiway", "join_semi", "join_skew_salted", "join_theta_range",
+    "limit_offset", "multimodal_decode", "multimodal_framesample",
+    "multimodal_join", "project_compute", "reshape_pivot", "reshape_unpivot",
+    "sample_hash_based", "scan_parquet", "scan_partition_filter",
+    "scan_projection_pushdown", "sessionize_batch", "set_except",
+    "set_intersect", "set_union_all", "set_union_distinct", "sim_ann_lsh",
+    "sim_cosine_topk", "sim_knn_classify", "sim_range_search",
+    "sort_multi_key", "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
+    "stream_session", "stream_sliding", "stream_stateful",
+    "stream_static_join", "stream_triggers", "stream_tumbling",
+    "text_fingerprint", "text_langid", "text_lm_score", "text_pii_scrub",
+    "text_quality", "text_tfidf_terms", "text_token_count", "topk_global",
+    "topk_per_group", "tpch_q10_shape", "tpch_q12_shape", "tpch_q14_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "tpch_q3_shape", "tpch_q4_shape",
+    "tpch_q5_shape", "tpch_q6_shape", "vector_group_rank", "win_analytic",
+    "win_frame_range", "win_frame_rows", "win_percent", "win_ranking",
 ]
 
-# Round-3 driver window: the 50 highest-value keys without a driver row.
-_R03_WINDOW = [
-    # 2.A CDC -- the reference's identity.
-    "cdc_snapshot", "cdc_decode", "cdc_filter_tables", "cdc_apply_upsert",
-    "cdc_apply_delete", "cdc_dedup_exact", "cdc_batch_window",
-    "cdc_type_cast", "cdc_scd2_history", "cdc_incremental_agg",
-    "cdc_schema_evolution", "cdc_snapshot_increment", "cdc_merge_into",
-    "cdc_stream_source", "cdc_sink", "cdc_checkpoint",
-    # 2.F windows.
-    "win_ranking", "win_analytic", "win_frame_rows", "win_frame_range",
-    "win_percent",
-    # 2.G sorts / top-k.
-    "sort_multi_key", "topk_global", "topk_per_group", "limit_offset",
-    # 2.H remaining set ops.
-    "set_intersect", "set_except",
-    # 2.K dedup + similarity (LLM-pipeline core).
-    "dedup_exact_text", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_cluster", "dedup_embedding",
-    "sim_cosine_topk", "sim_ann_lsh", "sim_knn_classify", "sim_range_search",
-    # 2.K text analysis core.
-    "text_stats", "text_tfidf_terms", "text_token_count", "text_quality",
-    "text_langid", "text_fingerprint", "text_pii_scrub", "text_lm_score",
-    # 2.J / 2.L event analytics batch twins.
-    "stream_tumbling", "stream_session", "sessionize_batch", "events_funnel",
-    "events_retention",
+# Round-4 driver-red rows (gate-canonicalizer hash drift / ARRAY crash),
+# output surfaces hardened in round 5 -- re-recorded first.
+_RED_R04 = [
+    "text_stats", "agg_bool_family", "agg_mergeable_moments",
+    "events_ab_ztest", "agg_array_topk", "agg_map_sum",
 ]
 
-# Round-4 window: the rest of the untested set.  Any key registered after
-# round 3 is appended here automatically by _ordered_keys().
-_R04_NEXT = [
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map", "fn_json",
-    "fn_hash", "fn_url", "fn_bitwise", "fn_variant",
-    "multimodal_join", "multimodal_decode", "multimodal_framesample",
-    "vector_group_rank",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "stream_sliding", "stream_dedup", "stream_stateful", "stream_triggers",
-    "stream_output_modes", "stream_static_join",
+# Keys first registered in round 5 -- front-loaded into the r05 window.
+_R05_NEW = [
+    "cdc_ddl_route", "cdc_type_edges",
 ]
-
-
-# Round-3 red rows (driver hash-fail from gate-vs-local canonicalization
-# drift), hardened this round (integer-cents / ROUND(...,6) surfaces) --
-# prepended to the r04 window so the driver re-records them first.
-_RED_R03 = ["cdc_type_cast", "text_stats"]
 
 
 def _ordered_keys() -> list[str]:
-    """All registered keys: the two hardened r03 red keys first, then the
-    r04 group (the _R04_NEXT list plus every key registered after the
-    round-3 rotation was written -- the r03 second/third/fourth waves --
-    plus any NEW key, which auto-appends at the back of the group), then
-    the r03 window (driver-green in r03), proven-r02 last.
-
-    The driver's gate records the first 50 keys, so CORRECTNESS_r04
-    lands on: 2 hardened red keys + 23 _R04_NEXT + the first 25
-    auto-appended extras.  Round 5: rotate the r04-group OVERFLOW (the
-    extras beyond position 50, plus keys added in round 4) to the front
-    -- replace the return below with  g_r04[50:] + g_r04[:50] + g_r03 +
-    proven  (keeping _RED_R03 inside the proven region if r04 records
-    them green).  Counts after the round-4 build (287 keys total,
-    g_r04 = 184): r04's window proves 50 (driver-green total 148),
-    leaving 139 unproven -- r05's overflow rotation proves the next
-    50, r06 the next 50, r07 the remaining ~39: full driver coverage
-    by r07."""
-    seen = set(_R03_WINDOW) | set(_R04_NEXT) | set(_PROVEN_R02)
-    extras = [k for k in QUERIES if k not in seen]
-    g_r03 = [k for k in _R03_WINDOW if k in QUERIES and k not in _RED_R03]
-    g_r04 = (
-        [k for k in _RED_R03 if k in QUERIES]
-        + [k for k in _R04_NEXT if k in QUERIES]
-        + extras
+    """Hardened r04-red keys, then round-5 additions, then every
+    never-driver-sampled key in registration order, driver-green last."""
+    front = set(_RED_R04) | set(_R05_NEW) | set(_DRIVER_GREEN)
+    unproven = [k for k in QUERIES if k not in front]
+    return (
+        [k for k in _RED_R04 if k in QUERIES]
+        + [k for k in _R05_NEW if k in QUERIES]
+        + unproven
+        + [k for k in _DRIVER_GREEN if k in QUERIES]
     )
-    proven = [k for k in _PROVEN_R02 if k in QUERIES]
-    # Round 4 swap executed: r04 group (red keys prepended) now leads.
-    return g_r04 + g_r03 + proven
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -354,8 +354,8 @@ SELECT user_id,
        o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
        CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
            || CAST(o3 AS VARCHAR) || '.0/24' AS subnet24,
-       (o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 < 32)
-           OR (o1 = 192 AND o2 = 168) AS is_private
+       CAST((o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 < 32)
+           OR (o1 = 192 AND o2 = 168) AS INT) AS is_private
 FROM ips
 """,
 )
@@ -406,7 +406,9 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o1") == 10)
             | ((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") < 32))
             | ((F.col("o1") == 192) & (F.col("o2") == 168))
-        ).alias("is_private"),
+        )
+        .cast("int")
+        .alias("is_private"),
     )
 
 
@@ -417,7 +419,8 @@ SELECT c_custkey,
        to_base64(c_name::BLOB) AS name_b64,
        hex(c_name::BLOB) AS name_hex,
        from_base64(to_base64(c_name::BLOB))::VARCHAR AS roundtrip,
-       from_base64(to_base64(c_name::BLOB))::VARCHAR = c_name AS roundtrip_ok,
+       CAST(from_base64(to_base64(c_name::BLOB))::VARCHAR = c_name AS INT)
+           AS roundtrip_ok,
        length(to_base64(c_name::BLOB)) AS b64_len
 FROM customer WHERE c_custkey % 5 = 0
 """,
@@ -436,9 +439,9 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(b).alias("name_b64"),
         F.hex(b).alias("name_hex"),
         F.unbase64(F.base64(b)).cast("string").alias("roundtrip"),
-        (F.unbase64(F.base64(b)).cast("string") == F.col("c_name")).alias(
-            "roundtrip_ok"
-        ),
+        (F.unbase64(F.base64(b)).cast("string") == F.col("c_name"))
+        .cast("int")
+        .alias("roundtrip_ok"),
         F.length(F.base64(b)).alias("b64_len"),
     )
 
@@ -453,8 +456,8 @@ SELECT o_orderkey,
          AS s_price,
        struct_pack(outer_k := struct_pack(k := o_orderkey)).outer_k.k
          AS nested_k,
-       (struct_pack(a := o_orderstatus, b := o_orderpriority)
-          = struct_pack(a := 'F', b := '1-URGENT')) AS is_urgent_f,
+       CAST(struct_pack(a := o_orderstatus, b := o_orderpriority)
+          = struct_pack(a := 'F', b := '1-URGENT') AS INT) AS is_urgent_f,
        [struct_pack(k := o_orderkey, p := o_orderpriority)][1].p
          AS arr_struct_p
 FROM orders
@@ -493,7 +496,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("status").alias("s_status"),
         s.getField("price").alias("s_price"),
         nested.getField("outer_k").getField("k").alias("nested_k"),
-        (ab == lit_ab).alias("is_urgent_f"),
+        (ab == lit_ab).cast("int").alias("is_urgent_f"),
         F.element_at(arr, 1).getField("p").alias("arr_struct_p"),
     )
 
@@ -508,8 +511,10 @@ SELECT c_custkey,
             THEN 'was_building' ELSE 'kept' END              AS nvl2_twin,
        COALESCE(CASE WHEN c_acctbal < 0 THEN NULL
                      ELSE c_acctbal END, 0.0)                AS pos_or_zero,
-       (c_acctbal IS NOT DISTINCT FROM c_acctbal)            AS self_ndistinct,
-       (NULLIF(c_nationkey, 0) IS DISTINCT FROM c_nationkey) AS zeroed_distinct
+       CAST(c_acctbal IS NOT DISTINCT FROM c_acctbal AS INT)
+         AS self_ndistinct,
+       CAST(NULLIF(c_nationkey, 0) IS DISTINCT FROM c_nationkey AS INT)
+         AS zeroed_distinct
 FROM customer
 WHERE c_custkey % 10 = 0
 """,
@@ -535,8 +540,8 @@ def fn_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
             F.lit(0.0),
         ).alias("pos_or_zero"),
-        F.expr("c_acctbal <=> c_acctbal").alias("self_ndistinct"),
-        F.expr("NOT (nullif(c_nationkey, 0) <=> c_nationkey)").alias(
+        F.expr("CAST(c_acctbal <=> c_acctbal AS INT)").alias("self_ndistinct"),
+        F.expr("CAST(NOT (nullif(c_nationkey, 0) <=> c_nationkey) AS INT)").alias(
             "zeroed_distinct"
         ),
     )
@@ -682,9 +687,9 @@ SELECT o_orderkey,
        TRY_CAST(o_orderpriority AS DATE) AS bad_date,
        TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS price_rt,
        TRY_CAST(o_totalprice * 1e15 AS INTEGER) AS overflow_int,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2))
-            / NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0) AS DOUBLE)
-         AS third_or_null
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            // NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0) AS BIGINT)
+         AS third_cents_or_null
 FROM orders
 """,
 )
@@ -712,12 +717,10 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "TRY_CAST(CAST(o_totalprice AS STRING) AS DECIMAL(12,2))"
         ).alias("price_rt"),
         F.expr("TRY_CAST(o_totalprice * 1e15 AS INTEGER)").alias("overflow_int"),
-        (
-            F.col("o_totalprice").cast("decimal(12,2)")
-            / F.nullif(F.expr("CAST(o_orderkey % 3 AS INTEGER)"), F.lit(0))
-        )
-        .cast("double")
-        .alias("third_or_null"),
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " DIV NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0) AS BIGINT)"
+        ).alias("third_cents_or_null"),
     )
 
 
@@ -747,14 +750,16 @@ box AS (
   SELECT * FROM pts
   WHERE lat BETWEEN -40 AND 40 AND lon BETWEEN -120 AND 0
 )
-SELECT c_custkey, lat, lon,
+SELECT c_custkey,
+       CAST(c_custkey * 9973 % 17000 - 8500 AS BIGINT)  AS lat_e2,
+       CAST(c_custkey * 7919 % 36000 - 18000 AS BIGINT) AS lon_e2,
        CAST(FLOOR(lat / 5) AS BIGINT) AS cell_lat,
        CAST(FLOOR(lon / 5) AS BIGINT) AS cell_lon,
-       ROUND(2 * 6371.0 * ASIN(SQRT(
+       CAST(FLOOR(2 * 6371.0 * ASIN(SQRT(
            POWER(SIN(RADIANS(lat - 40.7128) / 2), 2)
            + COS(RADIANS(40.7128)) * COS(RADIANS(lat))
-             * POWER(SIN(RADIANS(lon - (-74.006)) / 2), 2))), 6)
-         AS dist_nyc_km
+             * POWER(SIN(RADIANS(lon - (-74.006)) / 2), 2))) * 1000)
+         AS BIGINT) AS dist_nyc_m
 FROM box
 """,
 )
@@ -768,8 +773,10 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is per-row expression work (map-only, zero shuffle);
     the trig pipeline follows fn_math's transcendental convention —
-    identical operation order in both engines, ROUND(...,6) at the
-    end to absorb libm last-ulp drift.  Coordinate synthesis is
+    identical operation order in both engines, surfaced as
+    FLOOR(km*1000) integer meters (absorbs libm last-ulp drift AND
+    keeps the gate surface float-free); coordinates surface as exact
+    integer centi-degrees.  Coordinate synthesis is
     exact integer modulo / 100.0 — bit-identical inputs on both
     sides.  At 100 TB the grid-cell column is the partition key a
     spatial layout would cluster by; the bbox filter pushes to the
@@ -790,11 +797,17 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return box.select(
         "c_custkey",
-        "lat",
-        "lon",
+        (F.col("c_custkey") * 9973 % 17000 - 8500)
+        .cast("bigint")
+        .alias("lat_e2"),
+        (F.col("c_custkey") * 7919 % 36000 - 18000)
+        .cast("bigint")
+        .alias("lon_e2"),
         F.floor(F.col("lat") / 5).cast("bigint").alias("cell_lat"),
         F.floor(F.col("lon") / 5).cast("bigint").alias("cell_lon"),
-        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_nyc_km"),
+        F.floor(2 * 6371.0 * F.asin(F.sqrt(hav)) * 1000)
+        .cast("bigint")
+        .alias("dist_nyc_m"),
     )
 
 
@@ -809,8 +822,8 @@ WITH pairs AS (
 )
 SELECT p_partkey, a, b,
        levenshtein(a, b) AS lev,
-       ROUND(1.0 - levenshtein(a, b)
-             / CAST(greatest(len(a), len(b)) AS DOUBLE), 6) AS sim_ratio,
+       CAST((greatest(len(a), len(b)) - levenshtein(a, b)) * 1000000
+            // greatest(len(a), len(b)) AS BIGINT) AS sim_ratio_ppm,
        CASE WHEN levenshtein(a, b) <= 10 THEN 1 ELSE 0 END AS is_match,
        levenshtein(split_part(a, ' ', 1), split_part(b, ' ', 1))
          AS first_token_lev
@@ -827,7 +840,8 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale belongs to the blocking/LSH keys, this one is the scoring
     family).  levenshtein() is native JVM / native DuckDB with the
     same textbook definition, so distances hash-match exactly; the
-    only double is the ratio, one rounded division.
+    normalized similarity is all-integer ppm (floor division on exact
+    lengths/distances — no float surface).
 
     Shape: one ordered LEAD window over a 10%-sampled dimension, then
     pure per-row expression scoring — at 100 TB the same scoring runs
@@ -848,10 +862,10 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "b",
         lev.alias("lev"),
-        F.round(
-            1.0 - lev / F.greatest(F.length("a"), F.length("b")).cast("double"),
-            6,
-        ).alias("sim_ratio"),
+        F.expr(
+            "CAST((greatest(length(a), length(b)) - levenshtein(a, b))"
+            " * 1000000 DIV greatest(length(a), length(b)) AS BIGINT)"
+        ).alias("sim_ratio_ppm"),
         F.when(lev <= 10, 1).otherwise(0).alias("is_match"),
         F.levenshtein(
             F.split_part(F.col("a"), F.lit(" "), F.lit(1)),
@@ -887,7 +901,7 @@ bd AS (
   FROM spans
 )
 SELECT l_orderkey, l_linenumber, d0, d1, cal_days, business_days,
-       cal_days >= 0 AND business_days <= 60 AS within_sla
+       CAST(cal_days >= 0 AND business_days <= 60 AS INT) AS within_sla
 FROM bd
 """,
 )
@@ -946,5 +960,5 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         "cal_days",
         bd.alias("business_days"),
-        ((F.col("cal_days") >= 0) & (bd <= 60)).alias("within_sla"),
+        ((F.col("cal_days") >= 0) & (bd <= 60)).cast("int").alias("within_sla"),
     )

@@ -1112,7 +1112,7 @@ daily AS (
 SELECT daily.d, event_type, n,
        CAST(n * 1000000 // day_total AS BIGINT) AS share_ppm,
        threshold_ppm,
-       (n * 1000000 // day_total > threshold_ppm) AS breach
+       CAST(n * 1000000 // day_total > threshold_ppm AS INT) AS breach
 FROM daily
 JOIN tot ON daily.d = tot.d
 JOIN rules ON event_type = r_type
@@ -1146,7 +1146,9 @@ def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.expr("CAST(n * 1000000 DIV day_total AS BIGINT)").alias("share_ppm"),
             "threshold_ppm",
-            F.expr("n * 1000000 DIV day_total > threshold_ppm").alias("breach"),
+            F.expr(
+                "CAST(n * 1000000 DIV day_total > threshold_ppm AS INT)"
+            ).alias("breach"),
         )
     )
 
@@ -1463,8 +1465,8 @@ WITH w AS (
   FROM w
 )
 SELECT event_type, wk, n, sum_value, prev_n,
-       ROUND(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)
-         AS wow_change
+       CAST(FLOOR(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)
+                  * 1000000) AS BIGINT) AS wow_change_e6
 FROM l
 """,
 )
@@ -1475,12 +1477,14 @@ def agg_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its trend line (agg_linreg fits the slope; this reads the
     step-by-step movement).
 
-    Determinism detail: the change is a ROUNDED DOUBLE ratio, NOT an
-    integer floor division — deltas go negative, and Spark's DIV
-    truncates toward zero where DuckDB's // floors, so the usual ppm
-    construction would diverge on every down week; the double divide is
-    the identical IEEE op in both engines.  Scale: one map-combined
-    weekly agg, one lag window over |types| x |weeks| rows."""
+    Determinism detail: deltas go negative, and Spark's integer DIV
+    truncates toward zero where DuckDB's // floors — so the usual
+    all-integer ppm construction would diverge on every down week.
+    Instead the ratio is ONE identical IEEE divide on exact integers,
+    surfaced as FLOOR(x*1e6) micro-units (FLOOR rounds toward -inf in
+    BOTH engines, and both floor the same double).  Scale: one
+    map-combined weekly agg, one lag window over |types| x |weeks|
+    rows."""
     ev = table(spark, sf_dir, "events")
     w = ev.groupBy(
         "event_type", F.date_trunc("week", "ts").cast("date").alias("wk")
@@ -1502,11 +1506,11 @@ def agg_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
         "prev_n",
-        F.round(
+        F.floor(
             (F.col("n") - F.col("prev_n")).cast("double")
-            / F.col("prev_n").cast("double"),
-            6,
-        ).alias("wow_change"),
+            / F.col("prev_n").cast("double")
+            * F.lit(1000000)
+        ).alias("wow_change_e6"),
     )
 
 
@@ -1524,9 +1528,10 @@ WITH daily AS (
 )
 SELECT d, n, n_err,
        CAST(n_err * 1000000 // n AS BIGINT) AS error_ppm,
-       ROUND(CAST(n_err * 1000000 // n AS DOUBLE)
-             / {1_000_000 - _SLO_SUCCESS_PPM}, 6) AS burn_rate,
-       (n_err * 1000000 // n > {1_000_000 - _SLO_SUCCESS_PPM}) AS burning
+       CAST((n_err * 1000000 // n) * 1000000
+            // {1_000_000 - _SLO_SUCCESS_PPM} AS BIGINT) AS burn_rate_e6,
+       CAST(n_err * 1000000 // n > {1_000_000 - _SLO_SUCCESS_PPM} AS INT)
+         AS burning
 FROM daily
 """,
 )
@@ -1538,8 +1543,9 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiwindow burn alerts) plus the boolean burning flag.
 
     Determinism: error share is integer ppm; the burn multiplier is
-    that exact integer divided by the constant budget — one identical
-    IEEE divide, rounded 6dp.  Scale: one map-combined daily
+    that exact integer floor-divided by the constant budget in e6
+    micro-units, and the flag is INT 1/0 — no float or boolean ever
+    reaches the output surface.  Scale: one map-combined daily
     conditional aggregate; output |days| rows."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
@@ -1552,11 +1558,12 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_err",
         F.expr("CAST(n_err * 1000000 DIV n AS BIGINT)").alias("error_ppm"),
-        F.round(
-            F.expr("CAST(n_err * 1000000 DIV n AS DOUBLE)") / F.lit(float(budget)),
-            6,
-        ).alias("burn_rate"),
-        F.expr(f"n_err * 1000000 DIV n > {budget}").alias("burning"),
+        F.expr(
+            f"CAST((n_err * 1000000 DIV n) * 1000000 DIV {budget} AS BIGINT)"
+        ).alias("burn_rate_e6"),
+        F.expr(f"CAST(n_err * 1000000 DIV n > {budget} AS INT)").alias(
+            "burning"
+        ),
     )
 
 
@@ -1577,7 +1584,7 @@ WITH w AS (
 SELECT user_id,
        MAX(n_in_window) AS peak_rate,
        COUNT(*) FILTER (n_in_window > {_RATE_LIMIT}) AS n_over_limit,
-       (MAX(n_in_window) > {_RATE_LIMIT}) AS flagged
+       CAST(MAX(n_in_window) > {_RATE_LIMIT} AS INT) AS flagged
 FROM w GROUP BY user_id
 """,
 )
@@ -1609,7 +1616,7 @@ def events_rate_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("user_id").agg(
         F.max("n_in_window").alias("peak_rate"),
         F.count_if(F.col("n_in_window") > _RATE_LIMIT).alias("n_over_limit"),
-        (F.max("n_in_window") > _RATE_LIMIT).alias("flagged"),
+        (F.max("n_in_window") > _RATE_LIMIT).cast("int").alias("flagged"),
     )
 
 
@@ -1631,10 +1638,11 @@ WITH g AS (
 )
 SELECT user_id, n_gaps,
        CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
-       ROUND((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
-              / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0, 6) AS cv2,
-       ((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
-         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0 < 0.1)
+       CAST(FLOOR(((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+              / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0) * 1000000)
+         AS BIGINT) AS cv2_e6,
+       CAST((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0 < 0.1 AS INT)
          AS too_regular
 FROM s WHERE n_gaps >= 20
 """,
@@ -1647,10 +1655,11 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is too regular to be human.  Complements events_rate_limit_scan:
     volume catches loud bots, regularity catches polite ones.
 
-    Determinism: CV² = n·Σg²/(Σg)² − 1 from EXACT integer microsecond
+    Determinism: CV² = n·Σg²/(Σg)² − 1 from EXACT integer second-level
     gap power sums (the mergeable-moments state again), derived with one
-    identical float expression tree, rounded 6dp; the threshold
-    comparison happens on the rounded-identical value.  Scale: one
+    identical float expression tree and surfaced as FLOOR(x*1e6)
+    micro-units; the threshold flag is INT 1/0 on the same double.
+    Scale: one
     user-keyed lag window + a map-combined moments aggregate; minimum
     20 gaps guards the estimator."""
     ev = table(spark, sf_dir, "events")
@@ -1681,8 +1690,8 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_gaps",
             F.expr("CAST(sg DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
-            F.round(cv2, 6).alias("cv2"),
-            (cv2 < 0.1).alias("too_regular"),
+            F.floor(cv2 * F.lit(1000000)).alias("cv2_e6"),
+            (cv2 < 0.1).cast("int").alias("too_regular"),
         )
     )
 
@@ -1752,14 +1761,15 @@ pairs AS (
   GROUP BY a.p_brand, b.p_brand
 )
 SELECT brand_a, brand_b, c_ab,
-       ROUND(n.n_orders * 1.0 * c_ab / (ca.c * cb.c), 6) AS lift
+       CAST(n.n_orders * c_ab * 1000000 // (ca.c * cb.c) AS BIGINT)
+         AS lift_e6
 FROM pairs
 JOIN bc ca ON ca.p_brand = pairs.brand_a
 JOIN bc cb ON cb.p_brand = pairs.brand_b
 CROSS JOIN n
 WHERE c_ab >= 5
-QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(n.n_orders * 1.0 * c_ab
-                                          / (ca.c * cb.c), 6) DESC,
+QUALIFY ROW_NUMBER() OVER (ORDER BY n.n_orders * c_ab * 1000000
+                                    // (ca.c * cb.c) DESC,
                            brand_a, brand_b) <= 15
 """,
 )
@@ -1778,8 +1788,8 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket width (~7 lines/order), NOT quadratic in the table — the
     same per-key bounded self-join every association miner runs.
     Brand marginals and the order count are vocabulary-sized
-    broadcasts.  Lift is one rounded expression over exact integer
-    counts, rounded BEFORE the top-k ranking with a total (brand_a,
+    broadcasts.  Lift is ALL-INTEGER e6 fixed point (floor division on
+    exact counts — no float surface), ranked with a total (brand_a,
     brand_b) tiebreak."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -1807,15 +1817,13 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
     cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
-    lift = F.round(
-        F.col("n_orders") * 1.0 * F.col("c_ab") / (F.col("ca") * F.col("cb")), 6
-    )
+    lift = F.expr("CAST(n_orders * c_ab * 1000000 DIV (ca * cb) AS BIGINT)")
     return (
         pairs.join(F.broadcast(ca), "brand_a")
         .join(F.broadcast(cb), "brand_b")
         .crossJoin(F.broadcast(n))
-        .select("brand_a", "brand_b", "c_ab", lift.alias("lift"))
-        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .select("brand_a", "brand_b", "c_ab", lift.alias("lift_e6"))
+        .orderBy(F.desc("lift_e6"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(15)
     )
 
@@ -1835,8 +1843,10 @@ SELECT user_id,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (t1 - t0)) AS BIGINT)
          AS weight_cents_us,
        CAST(SUM(t1 - t0) AS BIGINT) AS span_us,
-       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT) * (t1 - t0))
-             / (SUM(t1 - t0) * 100.0), 6) AS twavg
+       CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (t1 - t0))
+                       AS DOUBLE)
+             / (CAST(SUM(t1 - t0) AS DOUBLE) * 100.0) * 1000000) AS BIGINT)
+         AS twavg_e6
 FROM seg WHERE t1 IS NOT NULL
 GROUP BY user_id
 """,
@@ -1854,8 +1864,8 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate share the single user_id exchange.  Determinism: values
     quantized to exact integer cents, intervals are exact epoch
     microseconds, so the weighted sum is pure BIGINT arithmetic
-    (cents x us < 2^63 at any realistic span) and only the final
-    ratio is a rounded division."""
+    (cents x us < 2^63 at any realistic span) and the final ratio is
+    ONE identical IEEE divide surfaced as FLOOR(x*1e6) micro-units."""
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
@@ -1871,9 +1881,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("cents") * dur).cast("bigint").alias("weight_cents_us"),
         F.sum(dur).cast("bigint").alias("span_us"),
-        F.round(
-            F.sum(F.col("cents") * dur) / (F.sum(dur) * 100.0), 6
-        ).alias("twavg"),
+        F.floor(
+            F.sum(F.col("cents") * dur).cast("double")
+            / (F.sum(dur).cast("double") * F.lit(100.0))
+            * F.lit(1000000)
+        ).alias("twavg_e6"),
     )
 
 
@@ -1952,21 +1964,22 @@ WITH daily AS (
   FROM events GROUP BY d
 ),
 stats AS (
-  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n_days
+  SELECT CAST(SUM(n) AS BIGINT) AS s_total, COUNT(*) AS n_days
   FROM daily
 ),
 cusum AS (
-  SELECT d, n,
-         ROUND(SUM(n - mu) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s
+  SELECT d, n, n_days,
+         CAST(SUM(n_days * n - s_total) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sc
   FROM daily CROSS JOIN stats
 )
 SELECT d AS changepoint_day,
-       s AS cusum_at_peak,
-       (SELECT ROUND(MAX(ABS(s)), 6) FROM cusum) AS max_abs_cusum,
-       (SELECT n_days FROM stats) AS n_days
+       sc AS cusum_at_peak_scaled,
+       (SELECT CAST(MAX(ABS(sc)) AS BIGINT) FROM cusum) AS max_abs_cusum_scaled,
+       n_days
 FROM cusum
-QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, d) = 1
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(sc) DESC, d) = 1
 """,
 )
 def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,9 +1994,11 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), the mean rides a 1-row broadcast, and the cumulative
     window runs over the |days|-sized daily table — bounded input, so
     the single-partition ordered window is safe at any corpus size
-    (the events_anomaly_zscore argument).  Determinism: daily counts
-    are exact integers; mu is one division; each cusum value is
-    rounded BEFORE the argmax ranking with a day tiebreak."""
+    (the events_anomaly_zscore argument).  Determinism: ALL-INTEGER —
+    the deviation (n - mu) is scaled by n_days so each term is the
+    exact integer n_days*n - total (CUSUM values scale by the constant
+    n_days, which argmax/ABS ranking is invariant to); no float is
+    ever computed, the argmax day tiebreak is total."""
     ev = table(spark, sf_dir, "events")
     # |days|-sized and consumed by three branches (stats, cusum, peak):
     # cached so the raw stream is scanned once, not once per branch
@@ -1993,7 +2008,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     stats = daily.agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum("n").cast("bigint").alias("s_total"),
         F.count(F.lit(1)).alias("n_days"),
     )
     w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -2003,19 +2018,24 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "n",
             "n_days",
-            F.round(F.sum(F.col("n") - F.col("mu")).over(w_cum), 6).alias("s"),
+            F.sum(F.col("n_days") * F.col("n") - F.col("s_total"))
+            .over(w_cum)
+            .cast("bigint")
+            .alias("sc"),
         )
     )
-    peak = Window.orderBy(F.desc(F.abs(F.col("s"))), F.asc("d"))
-    mx = cusum.agg(F.round(F.max(F.abs(F.col("s"))), 6).alias("max_abs_cusum"))
+    peak = Window.orderBy(F.desc(F.abs(F.col("sc"))), F.asc("d"))
+    mx = cusum.agg(
+        F.max(F.abs(F.col("sc"))).cast("bigint").alias("max_abs_cusum_scaled")
+    )
     return (
         cusum.withColumn("rn", F.row_number().over(peak))
         .filter(F.col("rn") == 1)
         .crossJoin(F.broadcast(mx))
         .select(
             F.col("d").alias("changepoint_day"),
-            F.col("s").alias("cusum_at_peak"),
-            "max_abs_cusum",
+            F.col("sc").alias("cusum_at_peak_scaled"),
+            "max_abs_cusum_scaled",
             "n_days",
         )
     )
@@ -2116,7 +2136,7 @@ x AS (
          (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
            AS exact_overlap
 )
-SELECT n_a, n_b, exact_overlap, TRUE AS est_within_15pct FROM x
+SELECT n_a, n_b, exact_overlap, 1 AS est_within_15pct FROM x
 """,
 )
 def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2168,6 +2188,8 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(est - F.col("exact_overlap"))
                 <= 0.15 * F.col("exact_overlap") + 32
-            ).alias("est_within_15pct"),
+            )
+            .cast("int")
+            .alias("est_within_15pct"),
         )
     )

@@ -512,9 +512,11 @@ WITH all_rev AS (
     AND o_orderdate <  TIMESTAMP '1998-01-01'
 )
 SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                           ELSE CAST(0 AS DECIMAL(13,4)) END)
-                  / SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(FLOOR(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                     ELSE CAST(0 AS DECIMAL(13,4)) END)
+                            * 10000 AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(SUM(volume) * 10000 AS BIGINT) AS DOUBLE)
+                  * 1000000) AS BIGINT) AS mkt_share_ppm,
        CAST(SUM(volume) AS DOUBLE) AS total_volume
 FROM all_rev GROUP BY o_year
 """,
@@ -524,10 +526,11 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ASIA customers, what fraction came from NATION_3 suppliers, per
     order year. Adds the conditional-share aggregate (one pass: CASE
     inside SUM over the same rows — never two scans joined back) on top
-    of Q7's double-nation star. The share divide happens on the EXACT
-    decimal sums and is cast/rounded once at the end, so both engines
-    divide identical rationals. Region/part filters prune via broadcast
-    joins before any fact row widens."""
+    of Q7's double-nation star. The share is surfaced as ppm computed
+    from the two EXACT decimal sums lifted to integer 1e-4 units (scale
+    4 -> *10000 is exact) and divided in ONE identical IEEE op, floored
+    — cross-engine decimal-division scale rules never run.  Region/part
+    filters prune via broadcast joins before any fact row widens."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -566,6 +569,10 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
     )
     return rows.groupBy("o_year").agg(
-        F.round((nation_vol / F.sum("volume")).cast("double"), 6).alias("mkt_share"),
+        F.floor(
+            (nation_vol * F.lit(10000)).cast("bigint").cast("double")
+            / (F.sum("volume") * F.lit(10000)).cast("bigint").cast("double")
+            * F.lit(1000000)
+        ).alias("mkt_share_ppm"),
         F.sum("volume").cast("double").alias("total_volume"),
     )

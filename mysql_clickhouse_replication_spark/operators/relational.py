@@ -470,8 +470,8 @@ WITH c AS (
 )
 SELECT n_keys, total_rows, max_cnt, p50_cnt, p99_cnt, top_key,
        CAST(top_cnt * 1000000 // total_rows AS BIGINT) AS top_share_ppm,
-       ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
-             / CAST(total_rows AS DOUBLE), 4) AS skew_ratio
+       CAST(max_cnt * n_keys * 10000 // total_rows AS BIGINT)
+         AS skew_ratio_e4
 FROM stats, pct, top1
 """,
 )
@@ -489,8 +489,8 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT over keys, so the single-partition window that kills
     global-percentile plans never sees more than the histogram.
     Percentiles are exact smallest-value-reaching-quantile picks over
-    integer cumulative counts (no interpolation drift); the only double
-    is the final rounded ratio of exact integers.  The top-1 probe is a
+    integer cumulative counts (no interpolation drift); the skew ratio
+    is all-integer e4 fixed point.  The top-1 probe is a
     TakeOrderedAndProject (limit 1), and the three 1-row frames meet in
     broadcast cross joins."""
     li = table(spark, sf_dir, "lineitem")
@@ -532,12 +532,9 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(top_cnt * 1000000 DIV total_rows AS BIGINT)").alias(
                 "top_share_ppm"
             ),
-            F.round(
-                F.col("max_cnt").cast("double")
-                * F.col("n_keys").cast("double")
-                / F.col("total_rows").cast("double"),
-                4,
-            ).alias("skew_ratio"),
+            F.expr(
+                "CAST(max_cnt * n_keys * 10000 DIV total_rows AS BIGINT)"
+            ).alias("skew_ratio_e4"),
         )
     )
 
