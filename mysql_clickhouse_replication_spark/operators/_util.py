@@ -56,3 +56,120 @@ def sql_dsum(expr: str, alias: str, typ: str = "DECIMAL(12,2)") -> str:
 
 def sql_davg(expr: str, alias: str, typ: str = "DECIMAL(12,2)") -> str:
     return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Banded (two-level) global-order windows.
+#
+# A global ordered Window (Window.orderBy with no partitionBy) forces
+# Exchange SinglePartition — ONE reducer sorts and scans the whole frame,
+# the classic scale-killer.  When the global order has a leading component
+# whose value can be computed PER ROW (a day, a value band, a block id),
+# the same exact result decomposes into:
+#
+#   stage 1: a hash-partitioned window PER BAND (parallel, distributed);
+#   stage 2: per-band summaries (counts / totals / maxes) prefix-combined
+#            on a |bands|-row frame — the only single-partition window
+#            left, over bands, not rows;
+#   stage 3: a broadcast join of band offsets back onto the rows.
+#
+# `band` MUST be monotone non-decreasing along the intended global order
+# (i.e. the global order IS (band, *order_cols)).  Each helper returns the
+# input plus the result column; internal columns are dropped.
+# ---------------------------------------------------------------------------
+
+
+def banded_row_number(df, band: Column, order_cols: list, alias: str):
+    """Exact global ROW_NUMBER() OVER (ORDER BY band, *order_cols),
+    computed with no full-frame single-partition sort."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_band", band)
+    wloc = Window.partitionBy("_band").orderBy(*order_cols)
+    loc = d.withColumn("_lrn", F.row_number().over(wloc))
+    woff = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        loc.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_band",
+            F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_boff"),
+        )
+    )
+    return (
+        loc.join(F.broadcast(off), "_band")
+        .withColumn(alias, F.col("_boff") + F.col("_lrn"))
+        .drop("_band", "_lrn", "_boff")
+    )
+
+
+def banded_running_sum(df, band: Column, order_cols: list, value: Column, alias: str):
+    """Exact global SUM(value) OVER (ORDER BY band, *order_cols ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW) — two-level prefix sum."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_band", band)
+    wloc = (
+        Window.partitionBy("_band")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = d.withColumn("_lrs", F.sum(value).over(wloc))
+    woff = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("_band")
+        .agg(F.sum(value).alias("_bt"))
+        .select(
+            "_band",
+            F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_boff"),
+        )
+    )
+    return (
+        loc.join(F.broadcast(off), "_band")
+        .withColumn(alias, F.col("_boff") + F.col("_lrs"))
+        .drop("_band", "_lrs", "_boff")
+    )
+
+
+def banded_running_max_excl(
+    df, band: Column, order_cols: list, value: Column, alias: str
+):
+    """Exact global MAX(value) OVER (ORDER BY band, *order_cols ROWS
+    UNBOUNDED PRECEDING..1 PRECEDING) — the exclusive running max
+    (serial watermark clock), two-level: per-band exclusive max plus
+    the inclusive max of all PRIOR bands."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_band", band).withColumn("_v", value)
+    wloc = (
+        Window.partitionBy("_band")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = d.withColumn("_lmx", F.max("_v").over(wloc))
+    woff = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("_band")
+        .agg(F.max("_v").alias("_bm"))
+        .select("_band", F.max("_bm").over(woff).alias("_pmx"))
+    )
+    return (
+        loc.join(F.broadcast(off), "_band")
+        .withColumn(alias, F.greatest(F.col("_lmx"), F.col("_pmx")))
+        .drop("_band", "_v", "_lmx", "_pmx")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """NTILE(k) from an exact global 1-based rank and the frame size n —
+    the front-loaded-remainder piecewise closed form (first n%k buckets
+    take n//k+1 rows): lets a distributed banded_row_number replace the
+    single-reducer NTILE window with bit-identical output."""
+    q = (n / k).cast("bigint")  # floor for non-negative n
+    r = n - q * k
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return F.when(rank <= big, ((rank - 1) / (q + 1)).cast("bigint") + 1).otherwise(
+        r + ((rank - big - 1) / q).cast("bigint") + 1
+    )

@@ -942,12 +942,16 @@ def test_vocab_growth_single_ledger_pass(plans):
     assert "BatchEvalPython" not in p
 
 
-def test_coverage_ranges_islands_over_received_set(plans):
-    # distinct received ids -> one ordered islands window -> range agg;
-    # no join, no python.
+def test_coverage_ranges_distributed_islands(plans):
+    # range starts/ends come from distributed ANTI self-joins on the id
+    # key — the data-sized work carries NO ordered window; the only
+    # row_number windows pair up the |ranges|-sized start/end frames.
     p = plans("cdc_seq_coverage_ranges", "simple")
-    assert "Join" not in p
+    assert p.count("LeftAnti") == 2
     assert "BatchEvalPython" not in p
+    # the only single-partition stages are the two |ranges|-frame
+    # row_number windows that zip starts with ends
+    assert p.count("Exchange SinglePartition") <= 2
 
 
 def test_try_cast_pure_projection(plans):
@@ -1160,12 +1164,14 @@ def test_bitmap_distinct_states_cross_the_wire(plans):
     assert "BatchEvalPython" not in p
 
 
-def test_watermark_lateness_single_clock_window(plans):
-    # one arrival-order running-max window (the serial replay clock),
-    # then a map-combined per-type rollup; no joins.
+def test_watermark_lateness_banded_clock(plans):
+    # the serial replay clock is the TWO-LEVEL exclusive running max:
+    # the event-sized window is hash-partitioned by the _band block,
+    # the single-partition window runs only over |bands| summary rows,
+    # and band clocks come back via a broadcast join.
     p = plans("events_watermark_lateness", "simple")
-    assert p.count("Window") == 1
-    assert "Join" not in p
+    assert "hashpartitioning(_band" in p
+    assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
 
 
@@ -1221,14 +1227,32 @@ def test_time_weighted_avg_shared_user_exchange(plans):
     assert "BatchEvalPython" not in p
 
 
-def test_revenue_concentration_windows_aggregated_input(plans):
-    # NTILE runs over the per-customer rollup, never raw orders: the
-    # single fact scan feeds a partial+final groupBy BEFORE any window.
+def test_revenue_concentration_banded_rank_no_ntile(plans):
+    # the decile comes from the distributed banded rank + the NTILE
+    # closed form — no single-reducer NTILE window; the customer-sized
+    # ranking window is hash-partitioned by the revenue band.
     p = plans("orders_revenue_concentration", "simple")
-    assert "Window" in p
+    assert "ntile" not in p
+    assert "hashpartitioning(_band" in p
     assert "BatchEvalPython" not in p
-    # fact scanned at most twice (rollup + total legs)
-    assert p.count("FileScan parquet") <= 2
+
+
+def test_rfm_banded_ranks_no_ntile(plans):
+    # all three quartile scores come from distributed banded ranks (the
+    # r4 perf-weak swap): no ntile window anywhere; every customer-sized
+    # ranking window is hash-partitioned by its metric band.
+    p = plans("analytics_rfm", "simple")
+    assert "ntile" not in p
+    assert p.count("hashpartitioning(_band") >= 3
+    assert "BatchEvalPython" not in p
+
+
+def test_peak_concurrency_banded_prefix_sum(plans):
+    # the sweep's running sum is the two-level banded prefix sum: the
+    # boundary-row window hash-partitions by calendar-day band.
+    p = plans("events_peak_concurrency", "simple")
+    assert "hashpartitioning(_band" in p
+    assert "BatchEvalPython" not in p
 
 
 def test_minimal_image_reconstruct_single_agg_no_window(plans):
