@@ -1,0 +1,327 @@
+"""DDL propagation & hostile type-edge fidelity — round-5 additions to
+the CDC surface (VERDICT r4 "What's missing" items 2 and 3).
+
+A real MySQL->ClickHouse replicator does not only stream row events: the
+binlog interleaves QueryEvents carrying DDL statements, and the
+replicator must CLASSIFY each one (propagate / ignore / stop-and-ask)
+and rewrite propagatable column DDL through the MySQL->ClickHouse type
+map before applying it to the sink ([P:high] for the tool class —
+schema drift is the #1 operational failure of naive replicators).  And
+the row decoder must survive MySQL's hostile type corners: unsigned
+BIGINT values past the signed range, zero-dates (``0000-00-00``, legal
+in MySQL, invalid everywhere else), and ENUM/SET columns that arrive as
+indexes/bitmasks, not strings.
+
+Both halves are pure expression work (regexp classification + CASE
+maps), so they gate through the standard DuckDB oracle; the DDL stream
+is synthesized deterministically from the events fixture the same way
+plans/cdc.py synthesizes its row changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import table
+
+# MySQL type token -> ClickHouse type (SURVEY.md section 1.2 map; the
+# spellings below are the six the synthesized DDL stream emits).
+_TYPE_MAP = [
+    ("TINYINT(1)", "UInt8"),
+    ("INT UNSIGNED", "UInt32"),
+    ("BIGINT", "Int64"),
+    ("VARCHAR(255)", "String"),
+    ("DATETIME(6)", "DateTime64(6)"),
+    ("DECIMAL(12,2)", "Decimal(12,2)"),
+]
+
+# Deterministic DDL-stream synthesis (SQL twin of the Spark build below;
+# every 23rd changelog event carries a DDL statement instead of a row).
+_DDL_STREAM_SQL = """
+SELECT event_id AS seq,
+       CASE event_id % 5
+         WHEN 0 THEN 'ALTER TABLE t' || CAST(user_id % 4 AS VARCHAR)
+                     || ' ADD COLUMN c' || CAST(user_id % 10 AS VARCHAR)
+                     || ' ' || mt
+         WHEN 1 THEN 'ALTER TABLE t' || CAST(user_id % 4 AS VARCHAR)
+                     || ' DROP COLUMN c' || CAST(user_id % 10 AS VARCHAR)
+         WHEN 2 THEN 'ALTER TABLE t' || CAST(user_id % 4 AS VARCHAR)
+                     || ' MODIFY COLUMN c' || CAST(user_id % 10 AS VARCHAR)
+                     || ' ' || mt
+         WHEN 3 THEN 'ALTER TABLE t' || CAST(user_id % 4 AS VARCHAR)
+                     || ' ADD INDEX idx_c' || CAST(user_id % 10 AS VARCHAR)
+                     || ' (c' || CAST(user_id % 10 AS VARCHAR) || ')'
+         ELSE 'DROP TABLE t' || CAST(user_id % 4 AS VARCHAR)
+       END AS stmt
+FROM (
+  SELECT event_id, user_id,
+         CASE user_id % 6
+           WHEN 0 THEN 'TINYINT(1)'    WHEN 1 THEN 'INT UNSIGNED'
+           WHEN 2 THEN 'BIGINT'        WHEN 3 THEN 'VARCHAR(255)'
+           WHEN 4 THEN 'DATETIME(6)'   ELSE 'DECIMAL(12,2)'
+         END AS mt
+  FROM events WHERE event_id % 23 = 0
+)
+"""
+
+_CH_TYPE_CASE = """CASE mysql_type
+         WHEN 'TINYINT(1)' THEN 'UInt8'
+         WHEN 'INT UNSIGNED' THEN 'UInt32'
+         WHEN 'BIGINT' THEN 'Int64'
+         WHEN 'VARCHAR(255)' THEN 'String'
+         WHEN 'DATETIME(6)' THEN 'DateTime64(6)'
+         WHEN 'DECIMAL(12,2)' THEN 'Decimal(12,2)'
+       END"""
+
+
+@register(
+    "cdc_ddl_route",
+    oracle=f"""
+WITH ddl AS ({_DDL_STREAM_SQL}),
+parsed AS (
+  SELECT seq, stmt,
+         CASE WHEN stmt LIKE 'DROP TABLE %' THEN 'drop_table'
+              WHEN stmt LIKE '% ADD INDEX %' THEN 'add_index'
+              WHEN stmt LIKE '% ADD COLUMN %' THEN 'add_column'
+              WHEN stmt LIKE '% DROP COLUMN %' THEN 'drop_column'
+              WHEN stmt LIKE '% MODIFY COLUMN %' THEN 'modify_column'
+         END AS ddl_kind,
+         regexp_extract(stmt, '(?:ALTER|DROP) TABLE (\\w+)', 1) AS tbl,
+         NULLIF(regexp_extract(stmt,
+                '(?:ADD|DROP|MODIFY) COLUMN (\\w+)', 1), '') AS col_name,
+         NULLIF(regexp_extract(stmt,
+                '(?:ADD|MODIFY) COLUMN \\w+ (.+)$', 1), '') AS mysql_type
+  FROM ddl
+)
+SELECT seq, tbl, ddl_kind, col_name, mysql_type,
+       {_CH_TYPE_CASE} AS ch_type,
+       CASE ddl_kind
+         WHEN 'add_column' THEN 'apply'
+         WHEN 'drop_column' THEN 'apply'
+         WHEN 'modify_column' THEN 'apply'
+         WHEN 'add_index' THEN 'skip'
+         ELSE 'manual'
+       END AS action,
+       CASE ddl_kind
+         WHEN 'add_column' THEN 'ALTER TABLE ' || tbl || ' ADD COLUMN '
+              || col_name || ' ' || {_CH_TYPE_CASE}
+         WHEN 'drop_column' THEN 'ALTER TABLE ' || tbl || ' DROP COLUMN '
+              || col_name
+         WHEN 'modify_column' THEN 'ALTER TABLE ' || tbl
+              || ' MODIFY COLUMN ' || col_name || ' ' || {_CH_TYPE_CASE}
+       END AS sink_sql
+FROM parsed
+""",
+)
+def cdc_ddl_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL routing — the QueryEvent half of binlog replication: classify
+    each DDL statement in the changelog, parse out (table, column,
+    MySQL type) with the same regexes a statement router uses, rewrite
+    the type through the section-1.2 MySQL->ClickHouse map, and emit
+    the routing decision plus the ready-to-apply sink DDL:
+
+    * ADD/DROP/MODIFY COLUMN -> ``apply`` with the rewritten ClickHouse
+      ALTER (column DDL propagates mechanically);
+    * ADD INDEX -> ``skip`` (ClickHouse has no MySQL-style secondary
+      indexes; the ORDER BY key is fixed at table creation);
+    * DROP TABLE -> ``manual`` (destructive — a replicator stops and
+      asks rather than dropping a sink table on its own).
+
+    The DDL stream is synthesized deterministically from the events
+    fixture (every 23rd event carries a statement) so the parse is
+    exercised on real strings, not pre-split columns.  Pure map-side
+    regexp/CASE expression work — no shuffle at all; at 100 TB this
+    rides the decode scan for free."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    mt = (
+        F.when(F.col("user_id") % 6 == 0, "TINYINT(1)")
+        .when(F.col("user_id") % 6 == 1, "INT UNSIGNED")
+        .when(F.col("user_id") % 6 == 2, "BIGINT")
+        .when(F.col("user_id") % 6 == 3, "VARCHAR(255)")
+        .when(F.col("user_id") % 6 == 4, "DATETIME(6)")
+        .otherwise("DECIMAL(12,2)")
+    )
+    t = F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+    c = F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string"))
+    stmt = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("ALTER TABLE "), t, F.lit(" ADD COLUMN "), c,
+                     F.lit(" "), mt),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("ALTER TABLE "), t, F.lit(" DROP COLUMN "), c),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("ALTER TABLE "), t, F.lit(" MODIFY COLUMN "), c,
+                     F.lit(" "), mt),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(F.lit("ALTER TABLE "), t, F.lit(" ADD INDEX idx_"), c,
+                     F.lit(" ("), c, F.lit(")")),
+        )
+        .otherwise(F.concat(F.lit("DROP TABLE "), t))
+    )
+    ddl = ev.select(F.col("event_id").alias("seq"), stmt.alias("stmt"))
+    kind = (
+        F.when(F.col("stmt").like("DROP TABLE %"), "drop_table")
+        .when(F.col("stmt").like("% ADD INDEX %"), "add_index")
+        .when(F.col("stmt").like("% ADD COLUMN %"), "add_column")
+        .when(F.col("stmt").like("% DROP COLUMN %"), "drop_column")
+        .when(F.col("stmt").like("% MODIFY COLUMN %"), "modify_column")
+    )
+    parsed = ddl.select(
+        "seq",
+        kind.alias("ddl_kind"),
+        F.regexp_extract("stmt", r"(?:ALTER|DROP) TABLE (\w+)", 1).alias("tbl"),
+        F.nullif(
+            F.regexp_extract("stmt", r"(?:ADD|DROP|MODIFY) COLUMN (\w+)", 1),
+            F.lit(""),
+        ).alias("col_name"),
+        F.nullif(
+            F.regexp_extract("stmt", r"(?:ADD|MODIFY) COLUMN \w+ (.+)$", 1),
+            F.lit(""),
+        ).alias("mysql_type"),
+    )
+    ch = None
+    for m, chx in _TYPE_MAP:
+        ch = (
+            F.when(F.col("mysql_type") == m, chx)
+            if ch is None
+            else ch.when(F.col("mysql_type") == m, chx)
+        )
+    action = (
+        F.when(
+            F.col("ddl_kind").isin("add_column", "drop_column", "modify_column"),
+            "apply",
+        )
+        .when(F.col("ddl_kind") == "add_index", "skip")
+        .otherwise("manual")
+    )
+    sink = (
+        F.when(
+            F.col("ddl_kind") == "add_column",
+            F.concat(F.lit("ALTER TABLE "), F.col("tbl"),
+                     F.lit(" ADD COLUMN "), F.col("col_name"), F.lit(" "), ch),
+        )
+        .when(
+            F.col("ddl_kind") == "drop_column",
+            F.concat(F.lit("ALTER TABLE "), F.col("tbl"),
+                     F.lit(" DROP COLUMN "), F.col("col_name")),
+        )
+        .when(
+            F.col("ddl_kind") == "modify_column",
+            F.concat(F.lit("ALTER TABLE "), F.col("tbl"),
+                     F.lit(" MODIFY COLUMN "), F.col("col_name"),
+                     F.lit(" "), ch),
+        )
+    )
+    return parsed.select(
+        "seq", "tbl", "ddl_kind", "col_name", "mysql_type",
+        ch.alias("ch_type"),
+        action.alias("action"),
+        sink.alias("sink_sql"),
+    )
+
+
+_U64_MAX = "18446744073709551615"  # MySQL BIGINT UNSIGNED max
+
+
+@register(
+    "cdc_type_edges",
+    oracle=f"""
+WITH hostile AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST('{_U64_MAX}' AS HUGEINT) - o_orderkey
+              ELSE CAST(o_orderkey AS HUGEINT) END AS u64_val,
+         CASE WHEN o_orderkey % 5 = 0 THEN '0000-00-00'
+              ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+         END AS d_raw,
+         CAST(o_orderkey % 4 AS INTEGER) AS enum_idx,
+         CAST(o_orderkey % 8 AS INTEGER) AS set_mask
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(u64_val AS VARCHAR) AS u64_str,
+       TRY_CAST(CAST(u64_val AS VARCHAR) AS BIGINT) AS i64_or_null,
+       CAST(TRY_CAST(CAST(u64_val AS VARCHAR) AS BIGINT) IS NULL AS INT)
+         AS u64_overflow,
+       d_raw,
+       TRY_CAST(NULLIF(d_raw, '0000-00-00') AS DATE) AS d_decoded,
+       CAST(d_raw = '0000-00-00' AS INT) AS was_zero_date,
+       CASE enum_idx WHEN 1 THEN 'small' WHEN 2 THEN 'medium'
+                     WHEN 3 THEN 'large' ELSE '' END AS enum_decoded,
+       concat_ws(',',
+         CASE WHEN set_mask % 2 = 1 THEN 'a' END,
+         CASE WHEN (set_mask // 2) % 2 = 1 THEN 'b' END,
+         CASE WHEN (set_mask // 4) % 2 = 1 THEN 'c' END) AS set_decoded
+FROM hostile
+""",
+)
+def cdc_type_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostile MySQL type-edge fixture — pins each decode policy of the
+    section-1.2 type map individually (VERDICT r4 missing item 3):
+
+    * **unsigned BIGINT overflow**: values synthesized up to
+      18446744073709551615 (u64 max).  Policy: the exact value survives
+      as DECIMAL(38,0)/HUGEINT (surfaced as its canonical digit string)
+      and the signed-sink rendering is TRY_CAST -> NULL-on-overflow
+      with an explicit overflow flag — never a silent wraparound.
+    * **zero-dates**: MySQL's legal ``0000-00-00`` decodes to NULL (the
+      documented policy) with a was_zero_date flag so the sink can
+      distinguish zero-date from genuinely-NULL.
+    * **ENUM decode**: 1-based index -> label; index 0 (MySQL's invalid
+      -enum marker) -> empty string, exactly MySQL's own behavior.
+    * **SET decode**: bitmask -> comma-joined member list in definition
+      order, empty string for the empty set.
+
+    All map-side expression work on exact integers/strings — zero
+    shuffle, and every surface is gate-stable (strings, INT flags,
+    DATE)."""
+    o = table(spark, sf_dir, "orders")
+    u64 = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.lit(_U64_MAX).cast("decimal(38,0)") - F.col("o_orderkey"),
+    ).otherwise(F.col("o_orderkey").cast("decimal(38,0)"))
+    d_raw = F.when(F.col("o_orderkey") % 5 == 0, "0000-00-00").otherwise(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    )
+    enum_idx = (F.col("o_orderkey") % 4).cast("int")
+    set_mask = (F.col("o_orderkey") % 8).cast("int")
+    hostile = o.select(
+        "o_orderkey",
+        u64.alias("u64_val"),
+        d_raw.alias("d_raw"),
+        enum_idx.alias("enum_idx"),
+        set_mask.alias("set_mask"),
+    )
+    u64_str = F.col("u64_val").cast("string")
+    i64 = F.expr("TRY_CAST(CAST(u64_val AS STRING) AS BIGINT)")
+    return hostile.select(
+        "o_orderkey",
+        u64_str.alias("u64_str"),
+        i64.alias("i64_or_null"),
+        i64.isNull().cast("int").alias("u64_overflow"),
+        "d_raw",
+        F.expr(
+            "TRY_CAST(NULLIF(d_raw, '0000-00-00') AS DATE)"
+        ).alias("d_decoded"),
+        (F.col("d_raw") == "0000-00-00").cast("int").alias("was_zero_date"),
+        F.when(F.col("enum_idx") == 1, "small")
+        .when(F.col("enum_idx") == 2, "medium")
+        .when(F.col("enum_idx") == 3, "large")
+        .otherwise("")
+        .alias("enum_decoded"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("set_mask") % 2 == 1, "a"),
+            F.when((F.col("set_mask") / 2).cast("int") % 2 == 1, "b"),
+            F.when((F.col("set_mask") / 4).cast("int") % 2 == 1, "c"),
+        ).alias("set_decoded"),
+    )

@@ -1310,3 +1310,21 @@ def test_hll_overlap_sketches_not_distinct_shuffles(plans):
     assert "hll_sketch_agg" in p
     assert "hll_union" in p
     assert "BatchEvalPython" not in p
+
+
+def test_ddl_route_pure_mapside_parse(plans):
+    # DDL classification is regexp/CASE expression work riding the
+    # decode scan: no shuffle, no join, no python.
+    p = plans("cdc_ddl_route", "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_type_edges_pure_mapside_decode(plans):
+    # every hostile-type policy (u64 overflow, zero-date, ENUM/SET) is
+    # a per-row expression over one scan: no shuffle, no join.
+    p = plans("cdc_type_edges", "simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
