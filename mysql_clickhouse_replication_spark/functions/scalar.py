@@ -933,26 +933,8 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("cal_days"),
-        # the fixture's ship dates are NOT ordered after order dates, so
-        # the count must be SIGNED: walk from the EARLIER date's weekday
-        # and negate for reversed spans (review finding — the unsigned
-        # form returned -100-with-truncation-artifacts for -103 spans)
-        F.when(
-            F.col("l_shipdate").cast("date") >= F.col("o_orderdate").cast("date"),
-            F.weekday(F.col("o_orderdate")),
-        )
-        .otherwise(F.weekday(F.col("l_shipdate")))
-        .alias("wd_lo"),
-    ).withColumn("n_abs", F.abs(F.col("cal_days")))
-    # sequence(1, rem) DESCENDS for rem=0 in Spark (the short-doc trap
-    # from text_topn_ngrams) — a fixed ascending sequence(1, 7) with the
-    # bound folded into the filter predicate is rem-safe in both engines
-    bd = F.expr(
-        "CAST((CASE WHEN cal_days >= 0 THEN 1 ELSE -1 END)"
-        " * (CAST(n_abs / 7 AS BIGINT) * 5"
-        " + size(filter(sequence(1, 7),"
-        " k -> k <= n_abs % 7 AND (wd_lo + k) % 7 < 5))) AS BIGINT)"
     )
+    bd = business_days(F.col("d0"), F.col("d1"))
     return spans.select(
         "l_orderkey",
         "l_linenumber",
@@ -962,3 +944,31 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         bd.alias("business_days"),
         ((F.col("cal_days") >= 0) & (bd <= 60)).cast("int").alias("within_sla"),
     )
+
+
+def business_days(d0, d1):
+    """Signed weekday-only day count from d0 to d1, closed form — the
+    expression under fn_business_days, factored out so the exhaustive
+    (weekday x signed span) brute-force unit test (tests/test_edges.py)
+    exercises the EXACT production expression, not a copy.
+
+    Semantics: counts weekdays in the half-open span (earlier, later]
+    — full weeks contribute 5 each, the remainder walks at most 6
+    weekday slots starting from the EARLIER date's weekday — and
+    negates for reversed spans (the fixture emits d1 < d0).  Weekday
+    convention is ISO Monday=0 (Spark weekday(); Spark's dayofweek()
+    is Sunday-based and deliberately avoided).  sequence(1, rem)
+    DESCENDS for rem=0 in Spark (the short-doc trap from
+    text_topn_ngrams) — the fixed ascending sequence(1, 7) with the
+    bound folded into the filter predicate is rem-safe."""
+    cal = F.datediff(d1, d0)
+    n_abs = F.abs(cal)
+    wd_lo = F.when(cal >= 0, F.weekday(d0)).otherwise(F.weekday(d1))
+    walk = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda k: (k <= n_abs % 7) & (((wd_lo + k) % 7) < 5),
+        )
+    )
+    sign = F.when(cal >= 0, F.lit(1)).otherwise(F.lit(-1))
+    return (sign * ((n_abs / 7).cast("bigint") * 5 + walk)).cast("bigint")

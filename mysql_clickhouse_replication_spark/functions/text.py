@@ -602,7 +602,7 @@ _CLUSTER_MEMO: dict = {}
 
 
 def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CLUSTER_MEMO.get(key)
     if hit is not None:
         return hit
@@ -1441,7 +1441,7 @@ _TOKENS_MEMO_CAP = 4
 
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _TOKENS_MEMO.get(key)
     if hit is None:
         d = table(spark, sf_dir, "documents")

@@ -235,3 +235,42 @@ def test_funnel_unordered_bounds_ordered(spark, sf_dir):
     assert r["n_all3_ordered"] <= r["n_all3_unordered"]
     assert r["n_all3_unordered"] <= r["n_view_click"] <= r["n_has_view"]
     assert r["n_has_view"] <= r["n_users"]
+
+
+def test_business_days_exhaustive_weekday_span_pairs(spark):
+    """Brute-force the business_days closed form over EVERY (start
+    weekday, signed span) equivalence class: 7 base weekdays x spans
+    -22..22 (covers all span%7 values, both signs, zero, and multi-week
+    carries) plus two long spans.  The reference semantics counted here:
+    weekdays in the half-open span (earlier, later], negated when
+    d1 < d0."""
+    from datetime import date, timedelta
+
+    from mysql_clickhouse_replication_spark.functions.scalar import (
+        business_days,
+    )
+
+    base = date(2024, 1, 1)  # a Monday (ISO weekday 0)
+    rows = []
+    for wd in range(7):
+        d0 = base + timedelta(days=wd)
+        for span in [*range(-22, 23), -365, 365]:
+            rows.append((d0, d0 + timedelta(days=span)))
+
+    def brute(d0, d1):
+        lo, hi = (d0, d1) if d1 >= d0 else (d1, d0)
+        n = sum(
+            1
+            for i in range(1, (hi - lo).days + 1)
+            if (lo + timedelta(days=i)).weekday() < 5
+        )
+        return n if d1 >= d0 else -n
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "d0 date, d1 date").select(
+        "d0", "d1", business_days(F.col("d0"), F.col("d1")).alias("bd")
+    )
+    got = {(r["d0"], r["d1"]): r["bd"] for r in df.collect()}
+    for d0, d1 in rows:
+        assert got[(d0, d1)] == brute(d0, d1), (d0, d1)

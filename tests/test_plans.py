@@ -1175,7 +1175,7 @@ def test_watermark_lateness_banded_clock(plans):
     assert "BatchEvalPython" not in p
 
 
-def test_zorder_layout_prunes_vs_unsorted(spark, sf_dir):
+def test_zorder_layout_prunes_vs_unsorted(spark, sf_dir, tmp_path):
     """Executed-plan scan metric: the z-ordered landing must emit far
     fewer rows to the filter than an unsorted landing of the SAME data
     under the SAME 2-D box (row-group/page stats pruning).  AQE is
@@ -1198,9 +1198,7 @@ def test_zorder_layout_prunes_vs_unsorted(spark, sf_dir):
             ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
             .cast("int").alias("ym"),
         )
-        import tempfile
-
-        sink = tempfile.mkdtemp(prefix="zorder_unsorted_")
+        sink = str(tmp_path / "zorder_unsorted")
         o.repartition(16).write.mode("overwrite").parquet(sink)
         udf_ = (
             spark.read.parquet(sink)
