@@ -412,18 +412,19 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_importance_weighted",
     oracle="""
-WITH w AS (
-  SELECT source, doc_id,
-         CAST(n_chars AS DOUBLE)
-           / (SELECT MAX(n_chars) FROM documents) AS wt,
+WITH mx AS (SELECT MAX(n_chars) AS mx_chars FROM documents),
+w AS (
+  SELECT source, doc_id, n_chars, mx_chars,
+         CAST(n_chars AS DOUBLE) / mx_chars AS wt,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
-  FROM documents)
+  FROM documents CROSS JOIN mx)
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(*) FILTER (b < wt * 4294967296.0) AS n_kept,
-       ROUND(CAST(COUNT(*) FILTER (b < wt * 4294967296.0) AS DOUBLE)
-             / COUNT(*), 6) AS kept_rate,
-       ROUND(AVG(wt), 6) AS expected_rate
+       CAST(COUNT(*) FILTER (b < wt * 4294967296.0) * 1000000 // COUNT(*)
+            AS BIGINT) AS kept_ppm,
+       CAST(SUM(n_chars) * 1000000 // (COUNT(*) * CAST(MAX(mx_chars) AS BIGINT))
+            AS BIGINT) AS expected_ppm
 FROM w GROUP BY source
 """,
 )
@@ -435,9 +436,11 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold rather than an RNG.  P(keep) = weight exactly, the sample
     is reproducible across engines/runs/cluster sizes, and re-deriving
     it for any doc_id needs no stored state — the weighted extension of
-    sample_hash_based (ClickHouse SAMPLE parity).  Per-source kept_rate
-    vs expected_rate (= avg weight) surfaces the sanity check a
-    pipeline monitors.
+    sample_hash_based (ClickHouse SAMPLE parity).  Per-source kept vs
+    expected rates (expected = avg weight = SUM(n_chars)/(n*max))
+    surface the sanity check a pipeline monitors, both as ALL-INTEGER
+    ppm floor divisions on exact totals — no float/AVG ordering ever
+    reaches the output surface.
 
     Shape: a 1-row global max broadcast into a map-only predicate, then
     one groupBy(source) with conditional counts.  At 100 TB the weight
@@ -451,17 +454,27 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     kept = bucket < wt * F.lit(4294967296.0)
-    return (
+    agg = (
         d.crossJoin(F.broadcast(mx))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(kept).alias("n_kept"),
-            F.round(
-                F.count_if(kept).cast("double") / F.count(F.lit(1)), 6
-            ).alias("kept_rate"),
-            F.round(F.avg(wt), 6).alias("expected_rate"),
+            F.sum("n_chars").alias("_sum_chars"),
+            F.max("mx_chars").alias("_mx"),
         )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)").alias(
+            "kept_ppm"
+        ),
+        F.expr(
+            "CAST(_sum_chars * 1000000"
+            " DIV (n_docs * CAST(_mx AS BIGINT)) AS BIGINT)"
+        ).alias("expected_ppm"),
     )
 
 
@@ -482,10 +495,10 @@ cnt AS (
   SELECT doc_id, n_tokens, n_distinct, n_bigrams, COUNT(*) AS c
   FROM bg GROUP BY doc_id, n_tokens, n_distinct, n_bigrams, g)
 SELECT doc_id, n_tokens,
-       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
-       ROUND(CAST(MAX(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_share,
-       (CAST(n_distinct AS DOUBLE) / n_tokens) >= 0.3
-         AND (CAST(MAX(c) AS DOUBLE) / n_bigrams) <= 0.2 AS keep
+       CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(MAX(c) * 1000000 // n_bigrams AS BIGINT) AS top_bigram_ppm,
+       CAST(n_distinct * 10 >= 3 * n_tokens
+            AND MAX(c) * 5 <= n_bigrams AS INT) AS keep
 FROM cnt GROUP BY doc_id, n_tokens, n_distinct, n_bigrams
 """,
 )
@@ -495,7 +508,10 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_quality): type-token ratio (distinct/total tokens) and the
     share of the most frequent bigram, with the keep/drop gate
     (ttr >= 0.3 AND top-bigram share <= 0.2).  Boilerplate, template
-    spam, and looped generations fail exactly these two.
+    spam, and looped generations fail exactly these two.  Gate
+    surfaces: ratios as all-integer ppm, and the keep gate as EXACT
+    integer cross-multiplications (a/b >= 0.3 <=> 10a >= 3b) cast to
+    INT — no float or boolean reaches the output.
 
     Shape: bigrams via the same slice/concat construction as
     docs_contamination_check, exploded and counted per (doc, gram) —
@@ -521,13 +537,18 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = base.groupBy(
         "doc_id", "n_tokens", "n_distinct", "n_bigrams", "g"
     ).agg(F.count(F.lit(1)).alias("c"))
-    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    share = F.max("c").cast("double") / F.col("n_bigrams")
     return cnt.groupBy("doc_id", "n_tokens", "n_distinct", "n_bigrams").agg(
-        F.round(ttr, 6).alias("ttr"),
-        F.round(share, 6).alias("top_bigram_share"),
-        ((ttr >= 0.3) & (share <= 0.2)).alias("keep"),
-    ).select("doc_id", "n_tokens", "ttr", "top_bigram_share", "keep")
+        F.expr("CAST(n_distinct * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr("CAST(max(c) * 1000000 DIV n_bigrams AS BIGINT)").alias(
+            "top_bigram_ppm"
+        ),
+        F.expr(
+            "CAST(n_distinct * 10 >= 3 * n_tokens"
+            " AND max(c) * 5 <= n_bigrams AS INT)"
+        ).alias("keep"),
+    ).select("doc_id", "n_tokens", "ttr_ppm", "top_bigram_ppm", "keep")
 
 
 _BLOCK = 8  # tokens per boilerplate block

@@ -470,9 +470,10 @@ d AS (
          SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
   FROM tc GROUP BY doc_id)
 SELECT doc_id, n AS n_tokens, n_distinct,
-       ROUND(LN(CAST(n AS DOUBLE)) - sum_clnc / n, 6) AS token_entropy,
-       ROUND(CAST(n_distinct AS DOUBLE) / n, 6) AS ttr,
-       CAST(n_distinct AS DOUBLE) / n < 0.3 AS low_diversity
+       CAST(FLOOR((LN(CAST(n AS DOUBLE)) - sum_clnc / n) * 1000000) AS BIGINT)
+         AS token_entropy_e6,
+       CAST(n_distinct * 1000000 // n AS BIGINT) AS ttr_ppm,
+       CAST(n_distinct * 10 < 3 * n AS INT) AS low_diversity
 FROM d
 """,
 )
@@ -484,9 +485,10 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entropy via the factored form H = ln(n) - (1/n)*sum(c*ln c): the
     counts feeding the float math are exact integers, each ln() term is
-    computed from the same integer in both engines, and the result is
-    rounded (6 dp) before comparison — the text_lm_score determinism
-    recipe.  Shape: explode -> (doc, term) map-combined count ->
+    computed from the same integer in both engines, and the surface is
+    FLOOR(H*1e6) micro-units; ttr is all-integer ppm and the diversity
+    gate an exact integer cross-multiplication (a/b < 0.3 <=> 10a < 3b)
+    cast to INT.  Shape: explode -> (doc, term) map-combined count ->
     per-doc aggregate; the float sum runs over the reduced term-count
     set, never raw tokens."""
     d = table(spark, sf_dir, "documents")
@@ -504,13 +506,12 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").alias("n_tokens"),
         "n_distinct",
-        F.round(
-            F.log(F.col("n").cast("double")) - F.col("sum_clnc") / F.col("n"), 6
-        ).alias("token_entropy"),
-        F.round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias("ttr"),
-        (F.col("n_distinct").cast("double") / F.col("n") < 0.3).alias(
-            "low_diversity"
-        ),
+        F.floor(
+            (F.log(F.col("n").cast("double")) - F.col("sum_clnc") / F.col("n"))
+            * F.lit(1000000)
+        ).alias("token_entropy_e6"),
+        F.expr("CAST(n_distinct * 1000000 DIV n AS BIGINT)").alias("ttr_ppm"),
+        F.expr("CAST(n_distinct * 10 < 3 * n AS INT)").alias("low_diversity"),
     )
 
 

@@ -1203,7 +1203,7 @@ lab AS (
 SELECT LEAST(sa, sb) AS source_a,
        GREATEST(sa, sb) AS source_b,
        COUNT(*) AS n_pairs,
-       (LEAST(sa, sb) != GREATEST(sa, sb)) AS is_cross_source
+       CAST(LEAST(sa, sb) != GREATEST(sa, sb) AS INT) AS is_cross_source
 FROM lab
 GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
 """,
@@ -1234,7 +1234,10 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("sa", "sb").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
+        .withColumn(
+            "is_cross_source",
+            (F.col("source_a") != F.col("source_b")).cast("int"),
+        )
     )
 
 

@@ -1184,7 +1184,8 @@ half AS (
 )
 SELECT a.label,
        ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) AS half_cosine,
-       (ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) < 0.98) AS drifted
+       CAST(ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) < 0.98 AS INT)
+         AS drifted
 FROM cent a JOIN cent b ON a.label = b.label AND a.h AND NOT b.h
 """,
 )
@@ -1228,7 +1229,7 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(_cos(F.col("cvec_a"), F.col("cvec_b")), 6).alias("half_cosine"),
     )
-    return j.withColumn("drifted", F.col("half_cosine") < 0.98)
+    return j.withColumn("drifted", (F.col("half_cosine") < 0.98).cast("int"))
 
 
 _RRF_K = 60  # standard reciprocal-rank-fusion damping constant
