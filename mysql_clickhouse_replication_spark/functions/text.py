@@ -1266,8 +1266,7 @@ WITH t AS (
 )
 SELECT lang,
        CAST(SUM(c) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(term_e6) AS DOUBLE) / 1000000
-             / CAST(SUM(c) AS DOUBLE), 6) AS entropy_rate
+       CAST(SUM(term_e6) // SUM(c) AS BIGINT) AS entropy_rate_e6
 FROM terms GROUP BY lang
 """,
 )
@@ -1282,8 +1281,9 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism beyond the text_entropy precedent: each c·ln(cf/c)
     term is FLOOR-scaled to an exact integer (x1e6) BEFORE the global
     sum, so the cross-group summation is exact integer arithmetic with
-    NO fold-order surface at all — the only IEEE ops are the identical
-    per-term ln/multiply and one final divide.  Scale: two
+    NO fold-order surface at all, and the final per-bigram rate is an
+    integer floor division of those exact sums (e6 micro-units) — the
+    only IEEE ops are the identical per-term ln/multiply.  Scale: two
     map-combined vocabulary-bounded aggregates + one equi join on the
     (lang, first-token) key; work is O(distinct bigrams), never
     corpus-squared."""
@@ -1318,12 +1318,9 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),
-        F.round(
-            F.sum("term_e6").cast("double")
-            / 1_000_000
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("entropy_rate"),
+        F.expr("CAST(sum(term_e6) DIV sum(c) AS BIGINT)").alias(
+            "entropy_rate_e6"
+        ),
     )
 
 
@@ -1349,17 +1346,17 @@ bcnt AS (SELECT bigram, COUNT(*) AS cxy FROM big GROUP BY bigram),
 btot AS (SELECT SUM(cxy) AS n_big FROM bcnt),
 pmi AS (
   SELECT b.bigram, b.cxy, u1.c AS cx, u2.c AS cy,
-         ROUND(LN((b.cxy * 1.0 / t2.n_big)
+         CAST(FLOOR(LN((b.cxy * 1.0 / t2.n_big)
                   * (t1.n_tok * 1.0 / u1.c)
-                  * (t1.n_tok * 1.0 / u2.c)), 6) AS pmi
+                  * (t1.n_tok * 1.0 / u2.c)) * 1000000) AS BIGINT) AS pmi_e6
   FROM bcnt b
   JOIN ucnt u1 ON split_part(b.bigram, ' ', 1) = u1.w
   JOIN ucnt u2 ON split_part(b.bigram, ' ', 2) = u2.w
   CROSS JOIN utot t1 CROSS JOIN btot t2
   WHERE b.cxy >= 5
 )
-SELECT bigram, cxy, cx, cy, pmi FROM pmi
-QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) <= 20
+SELECT bigram, cxy, cx, cy, pmi_e6 FROM pmi
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_e6 DESC, bigram) <= 20
 """,
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,17 +1410,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
     )
-    pmi = F.round(
+    pmi = F.floor(
         F.log(
             (F.col("cxy") * 1.0 / F.col("n_big"))
             * (F.col("n_tok") * 1.0 / F.col("cx"))
             * (F.col("n_tok") * 1.0 / F.col("cy"))
-        ),
-        6,
+        )
+        * F.lit(1000000)
     )
     return (
-        j.select("bigram", "cxy", "cx", "cy", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        j.select("bigram", "cxy", "cx", "cy", pmi.alias("pmi_e6"))
+        .orderBy(F.desc("pmi_e6"), F.asc("bigram"))
         .limit(20)
     )
 
@@ -1488,26 +1485,28 @@ tf AS (
 df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
 contrib AS (
   SELECT tf.doc_id, tf.w,
-         ROUND(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         CAST(FLOOR(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
                * tf.tf
                / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-                                        + {_BM25_B} * dl.dl / stats.avgdl)),
-               6) AS c
+                                        + {_BM25_B} * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS c
   FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
 )
 SELECT doc_id,
-       COALESCE(MAX(CASE WHEN w = 'data'  THEN c END), 0)
+       CAST(COALESCE(MAX(CASE WHEN w = 'data'  THEN c END), 0)
      + COALESCE(MAX(CASE WHEN w = 'fast'  THEN c END), 0)
-     + COALESCE(MAX(CASE WHEN w = 'query' THEN c END), 0) AS score
+     + COALESCE(MAX(CASE WHEN w = 'query' THEN c END), 0) AS BIGINT)
+         AS score_e6
 FROM contrib GROUP BY doc_id
 """
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score) for every document matching any fixed query term
-    — Okapi BM25 with k1=1.2, b=0.75.  Per-term contributions are
-    rounded to 6dp then added in fixed term order (never SUM-aggregated)
-    so the total is fold-order-deterministic in both engines."""
+    """(doc_id, score_e6) for every document matching any fixed query
+    term — Okapi BM25 with k1=1.2, b=0.75.  Per-term contributions are
+    FLOOR-scaled to exact integer micro-units (x1e6) then added in
+    fixed term order, so the total is exact integer arithmetic with no
+    fold-order or float surface at all."""
     t = _tokenized(spark, sf_dir)
     dl = t.select("doc_id", F.size("t").alias("dl"))
     stats = dl.agg(
@@ -1530,22 +1529,26 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = tf.join(F.broadcast(df), "w").join(dl, "doc_id").crossJoin(
         F.broadcast(stats)
     ).select(
-        "doc_id", "w", F.round(idf * F.col("tf") / denom, 6).alias("c")
+        "doc_id",
+        "w",
+        F.floor(idf * F.col("tf") / denom * F.lit(1000000))
+        .cast("bigint")
+        .alias("c"),
     )
     def term(w: str):
         return F.coalesce(
-            F.max(F.when(F.col("w") == w, F.col("c"))), F.lit(0.0)
+            F.max(F.when(F.col("w") == w, F.col("c"))), F.lit(0)
         )
-    score = term("data") + term("fast") + term("query")
-    return contrib.groupBy("doc_id").agg(score.alias("score"))
+    score = (term("data") + term("fast") + term("query")).cast("bigint")
+    return contrib.groupBy("doc_id").agg(score.alias("score_e6"))
 
 
 @register(
     "text_bm25_search",
     oracle=f"""
 WITH scores AS ({_BM25_SCORES_SQL.strip()})
-SELECT doc_id, score FROM scores
-QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 10
+SELECT doc_id, score_e6 FROM scores
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) <= 10
 """,
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,9 +1557,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ClickHouse/Elasticsearch-class scoring function re-expressed as
     three aggregate passes.  tf is per (doc, term), df and corpus
     stats (N, avgdl) are term- and corpus-level constants that ride
-    1-row / 3-row broadcasts; per-term contributions are rounded to
-    6dp BEFORE the fixed-order sum so both engines rank identical
-    scores (the PQ-key convention for multi-term totals).
+    1-row / 3-row broadcasts; per-term contributions are FLOOR-scaled
+    to integer micro-units BEFORE the fixed-order sum so both engines
+    rank identical exact-integer scores (the PQ-key convention for
+    multi-term totals).
 
     Shape: the corpus is tokenized ONCE; everything after the
     (doc, term) tf groupBy is bounded by posting-list size (docs
@@ -1566,6 +1570,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     table partitioned by term and this query never touches raw text."""
     return (
         _bm25_scores(spark, sf_dir)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
         .limit(10)
     )

@@ -1241,7 +1241,7 @@ def _rrf_oracle() -> str:
     return f"""
 WITH bm25 AS ({_BM25_SCORES_SQL.strip()}),
 trank AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rt
   FROM bm25
 ),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -1257,12 +1257,13 @@ vrank AS (
 ),
 fused AS (
   SELECT COALESCE(t.doc_id, u.vec_id) AS doc_id,
-         ROUND(COALESCE(1.0 / ({_RRF_K} + t.rt), 0)
-               + COALESCE(1.0 / ({_RRF_K} + u.rv), 0), 6) AS rrf
+         CAST(FLOOR((COALESCE(1.0 / ({_RRF_K} + t.rt), 0)
+               + COALESCE(1.0 / ({_RRF_K} + u.rv), 0)) * 1000000000)
+           AS BIGINT) AS rrf_e9
   FROM trank t FULL OUTER JOIN vrank u ON t.doc_id = u.vec_id
 )
-SELECT doc_id, rrf FROM fused
-QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 10
+SELECT doc_id, rrf_e9 FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id) <= 10
 """
 
 
@@ -1282,15 +1283,16 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized at production; the full corpus only at fixture scale), the
     fusion is a doc-keyed full outer join of two rank lists, and the
     final top-10 is TakeOrderedAndProject.  Determinism: both legs
-    round scores to 6dp BEFORE ranking with id tiebreaks; reciprocal
-    ranks are exact integer-denominator divisions summed in fixed
-    leg order and rounded."""
+    canonicalize scores BEFORE ranking with id tiebreaks (BM25 as
+    exact integer micro-units, cosine rounded 6dp); reciprocal ranks
+    are exact integer-denominator divisions summed in fixed leg order
+    and surfaced as FLOOR(x*1e9) BIGINT."""
     from .text import _bm25_scores
 
     trank = _bm25_scores(spark, sf_dir).select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .over(Window.orderBy(F.desc("score_e6"), F.asc("doc_id")))
         .alias("rt"),
     )
     v = _vecs(spark, sf_dir)
@@ -1312,11 +1314,13 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         trank.join(vrank, trank.doc_id == vrank.vec_id, "full_outer")
         .select(
             F.coalesce(trank.doc_id, vrank.vec_id).alias("doc_id"),
-            F.round(
-                F.coalesce(1.0 / (_RRF_K + F.col("rt")), F.lit(0.0))
-                + F.coalesce(1.0 / (_RRF_K + F.col("rv")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
+            F.floor(
+                (
+                    F.coalesce(1.0 / (_RRF_K + F.col("rt")), F.lit(0.0))
+                    + F.coalesce(1.0 / (_RRF_K + F.col("rv")), F.lit(0.0))
+                )
+                * F.lit(1000000000)
+            ).alias("rrf_e9"),
         )
     )
-    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(10)
