@@ -661,7 +661,8 @@ approx AS ({_IVF_ORACLE.strip()})
 SELECT e.q_id,
        COUNT(*) AS n_exact,
        COUNT(a.vec_id) AS n_hit,
-       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+       CAST(COUNT(a.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_ppm
 FROM exact e
 LEFT JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
 GROUP BY e.q_id
@@ -696,9 +697,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("a_vec_id").alias("n_hit"),
-            F.round(
-                F.count("a_vec_id").cast("double") / F.count(F.lit(1)), 4
-            ).alias("recall_at_k"),
+            F.expr(
+                "CAST(count(a_vec_id) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
 
@@ -728,7 +729,8 @@ trunc_k AS (
 SELECT f.q_id,
        COUNT(*) AS n_full,
        COUNT(t.vec_id) AS n_hit,
-       ROUND(CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+       CAST(COUNT(t.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_ppm
 FROM full_k f
 LEFT JOIN trunc_k t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
 GROUP BY f.q_id
@@ -795,9 +797,9 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_full"),
             F.count("t_vec_id").alias("n_hit"),
-            F.round(
-                F.count("t_vec_id").cast("double") / F.count(F.lit(1)), 4
-            ).alias("recall_at_k"),
+            F.expr(
+                "CAST(count(t_vec_id) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
 
