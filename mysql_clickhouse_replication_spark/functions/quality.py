@@ -630,7 +630,7 @@ scored AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) = 1
 )
 SELECT lang, pred_lang, COUNT(*) AS n,
-       (lang = pred_lang) AS is_correct
+       CAST(lang = pred_lang AS INT) AS is_correct
 FROM pred GROUP BY lang, pred_lang
 """,
 )
@@ -649,5 +649,7 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("is_correct", F.col("lang") == F.col("pred_lang"))
+        .withColumn(
+            "is_correct", (F.col("lang") == F.col("pred_lang")).cast("int")
+        )
     )

@@ -616,7 +616,7 @@ SELECT seq // 50 AS tx_id, tbl,
        COUNT(*) AS n_rows,
        MIN(seq) AS min_seq,
        MAX(seq) AS max_seq,
-       (MAX(seq) - MIN(seq) + 1 = COUNT(*)) AS contiguous
+       CAST(MAX(seq) - MIN(seq) + 1 = COUNT(*) AS INT) AS contiguous
 FROM ({_DECODE_SQL})
 GROUP BY seq // 50, tbl
 """,
@@ -650,7 +650,8 @@ def cdc_tx_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "contiguous",
-            F.col("max_seq") - F.col("min_seq") + 1 == F.col("n_rows"),
+            (F.col("max_seq") - F.col("min_seq") + 1 == F.col("n_rows"))
+            .cast("int"),
         )
     )
 

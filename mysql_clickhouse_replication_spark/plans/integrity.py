@@ -69,9 +69,9 @@ src AS ({_CHECKSUM_AGG_SQL.format(p='src', state='src_state')}),
 sink AS ({_CHECKSUM_AGG_SQL.format(p='sink', state='sink_state')})
 SELECT COALESCE(src.tbl, sink.tbl) AS tbl,
        src_rows, sink_rows, src_keysum, sink_keysum, src_value, sink_value,
-       (src_rows IS NOT DISTINCT FROM sink_rows
+       CAST(src_rows IS NOT DISTINCT FROM sink_rows
         AND src_keysum IS NOT DISTINCT FROM sink_keysum
-        AND src_value IS NOT DISTINCT FROM sink_value) AS consistent
+        AND src_value IS NOT DISTINCT FROM sink_value AS INT) AS consistent
 FROM src FULL JOIN sink ON src.tbl = sink.tbl
 """,
 )
@@ -114,7 +114,8 @@ def cdc_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "tbl", "src_rows", "sink_rows", "src_keysum", "sink_keysum",
-        "src_value", "sink_value", consistent.alias("consistent"),
+        "src_value", "sink_value",
+        consistent.cast("int").alias("consistent"),
     )
 
 
@@ -205,7 +206,8 @@ lww AS (
 seqw AS (
   SELECT pk, value AS seq_value FROM log
   QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1)
-SELECT pk, lww_value, seq_value, lww_value != seq_value AS differs
+SELECT pk, lww_value, seq_value,
+       CAST(lww_value != seq_value AS INT) AS differs
 FROM lww JOIN seqw USING (pk)
 """,
 )
@@ -242,7 +244,7 @@ def cdc_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lww.join(seqw, "pk").select(
         "pk", "lww_value", "seq_value",
-        (F.col("lww_value") != F.col("seq_value")).alias("differs"),
+        (F.col("lww_value") != F.col("seq_value")).cast("int").alias("differs"),
     )
 
 
@@ -440,7 +442,8 @@ WITH per AS (
 SELECT tbl, n_events, last_ts,
        CAST((epoch_us(wm) - epoch_us(last_ts)) // 1000000 AS BIGINT)
          AS staleness_s,
-       ((epoch_us(wm) - epoch_us(last_ts)) // 1000000 > 3600) AS stale
+       CAST((epoch_us(wm) - epoch_us(last_ts)) // 1000000 > 3600 AS INT)
+         AS stale
 FROM per, g
 """,
 )
@@ -467,7 +470,7 @@ def cdc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "last_ts",
         lag_s.cast("bigint").alias("staleness_s"),
-        (lag_s > 3600).alias("stale"),
+        (lag_s > 3600).cast("int").alias("stale"),
     )
 
 
@@ -479,7 +482,7 @@ WITH d AS (
 ), c AS (
   SELECT (MIN(seq) + MAX(seq)) // 2 AS cut FROM d
 ), e AS (
-  SELECT (d.seq <= c.cut) AS first_half,
+  SELECT CAST(d.seq <= c.cut AS INT) AS first_half,
          CASE WHEN d.seq > c.cut AND d.seq % 53 = 0
               THEN NULL ELSE d.value END AS value,
          d.prop_k
@@ -521,7 +524,7 @@ def cdc_column_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((MIN(seq) + MAX(seq)) DIV 2 AS BIGINT)").alias("cut")
     )
     e = d.crossJoin(F.broadcast(c)).select(
-        (F.col("seq") <= F.col("cut")).alias("first_half"),
+        (F.col("seq") <= F.col("cut")).cast("int").alias("first_half"),
         F.when(
             (F.col("seq") > F.col("cut")) & (F.col("seq") % 53 == 0), None
         )
