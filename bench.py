@@ -77,6 +77,8 @@ HEADLINE = [
 # joined the bench after the 32-key set froze (round 2). Promote nothing;
 # comparability of `value` across rounds is the point.
 EXTRA = [
+    "cdc_ddl_route",
+    "cdc_type_edges",
     "win_analytic",
     "win_frame_range",
     "win_percent",

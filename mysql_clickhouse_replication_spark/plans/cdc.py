@@ -916,8 +916,8 @@ live AS (
   FROM last GROUP BY tbl
 )
 SELECT p.tbl, n_events, n_pks, live_rows,
-       ROUND(n_events * 1.0 / n_pks, 6) AS write_amplification,
-       ROUND(n_deletes * 1.0 / n_events, 6) AS delete_frac
+       CAST(n_events * 1000000 // n_pks AS BIGINT) AS write_amp_ppm,
+       CAST(n_deletes * 1000000 // n_events AS BIGINT) AS delete_ppm
 FROM per_tbl p JOIN live USING (tbl)
 """,
 )
@@ -935,8 +935,8 @@ def cdc_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction window keyed (tbl, pk) — the SAME single shuffle every
     cdc_apply_* key pays, here feeding a count instead of a
     materialization.  At 100 TB both legs prune to touched partitions
-    when the changelog is date-partitioned.  All outputs are exact
-    integers except the two ratios, single rounded divisions."""
+    when the changelog is date-partitioned.  ALL outputs are exact
+    integers — the two ratios are all-integer ppm floor divisions."""
     cl = _changelog(spark, sf_dir)
     w = Window.partitionBy("tbl", "pk").orderBy(F.desc("seq"))
     last = (
@@ -957,11 +957,11 @@ def cdc_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_pks",
             "live_rows",
-            F.round(F.col("n_events") * 1.0 / F.col("n_pks"), 6).alias(
-                "write_amplification"
+            F.expr("CAST(n_events * 1000000 DIV n_pks AS BIGINT)").alias(
+                "write_amp_ppm"
             ),
-            F.round(F.col("n_deletes") * 1.0 / F.col("n_events"), 6).alias(
-                "delete_frac"
+            F.expr("CAST(n_deletes * 1000000 DIV n_events AS BIGINT)").alias(
+                "delete_ppm"
             ),
         )
     )

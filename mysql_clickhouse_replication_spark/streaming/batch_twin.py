@@ -246,7 +246,8 @@ framed AS (
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, day, n,
-       ROUND((n - s1 / m) / sqrt((s2 - s1 * s1 / m) / (m - 1)), 6) AS zscore
+       CAST(FLOOR((n - s1 / m) / sqrt((s2 - s1 * s1 / m) / (m - 1))
+                  * 1000000) AS BIGINT) AS zscore_e6
 FROM framed
 WHERE m >= 2 AND (s2 - s1 * s1 / m) > 0
   AND abs((n - s1 / m) / sqrt((s2 - s1 * s1 / m) / (m - 1))) > 2
@@ -291,7 +292,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         framed.filter((F.col("m") >= 2) & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m") > 0))
         .filter(F.abs(z) > 2)
-        .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.floor(z * F.lit(1000000)).alias("zscore_e6"),
+        )
     )
 
 
@@ -551,7 +557,8 @@ series AS (
   FROM daily GROUP BY event_type
 )
 SELECT event_type, n_days, first_day, last_day,
-       ROUND(list_reduce(ns, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ema
+       CAST(FLOOR(list_reduce(ns, (acc, x) -> acc * 0.7 + x * 0.3)
+                  * 1000000) AS BIGINT) AS ema_e6
 FROM series
 """,
 )
@@ -568,8 +575,8 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily counts, one aggregate() lambda folds left in date order.
     Both engines fold the identical double sequence left-to-right
     (Spark aggregate vs DuckDB list_reduce), seeded with the first
-    element, so the arithmetic is step-for-step identical; final value
-    rounded 6dp.  Per-group state = days in range, bounded; the daily
+    element, so the arithmetic is step-for-step identical; the final
+    value surfaces as FLOOR(x*1e6) micro-unit BIGINT.  Per-group state = days in range, bounded; the daily
     pre-aggregation is the only data-sized shuffle."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -585,12 +592,13 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ema = F.expr(
         """
-        round(aggregate(slice(s, 2, size(s) - 1), s[0].x,
-                        (acc, e) -> acc * 0.7D + e.x * 0.3D), 6)
+        CAST(FLOOR(aggregate(slice(s, 2, size(s) - 1), s[0].x,
+                        (acc, e) -> acc * 0.7D + e.x * 0.3D) * 1000000)
+             AS BIGINT)
         """
     )
     return series.select(
-        "event_type", "n_days", "first_day", "last_day", ema.alias("ema")
+        "event_type", "n_days", "first_day", "last_day", ema.alias("ema_e6")
     )
 
 
