@@ -79,6 +79,7 @@ HEADLINE = [
 EXTRA = [
     "cdc_ddl_route",
     "cdc_type_edges",
+    "cdc_gtid_resume",
     "win_analytic",
     "win_frame_range",
     "win_percent",

@@ -622,3 +622,113 @@ def cdc_seq_coverage_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("range_end") - F.col("range_start") + 1).alias("n_seqs"),
         )
     )
+
+
+@register(
+    "cdc_gtid_resume",
+    oracle=f"""
+WITH received AS (
+  SELECT DISTINCT 'srv' || CAST(pk % 3 AS VARCHAR) AS server_uuid,
+         seq // 3 AS txid
+  FROM ({_DECODE_SQL})
+  WHERE NOT seq % 211 = 0
+), isl AS (
+  SELECT server_uuid, txid,
+         txid - ROW_NUMBER() OVER (PARTITION BY server_uuid
+                                   ORDER BY txid) AS grp
+  FROM received
+), rng AS (
+  SELECT server_uuid, MIN(txid) AS lo, MAX(txid) AS hi
+  FROM isl GROUP BY server_uuid, grp
+), rng2 AS (
+  SELECT *, MIN(lo) OVER (PARTITION BY server_uuid) AS min_lo FROM rng
+)
+SELECT server_uuid,
+       CAST(SUM(hi - lo + 1) AS BIGINT) AS n_txids,
+       COUNT(*) AS n_ranges,
+       string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                       ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                  END, ':' ORDER BY lo) AS gtid_set,
+       CAST(CASE WHEN MIN(lo) > 0 THEN 0
+                 ELSE MIN(CASE WHEN lo = min_lo THEN hi + 1 END)
+            END AS BIGINT) AS resume_from
+FROM rng2 GROUP BY server_uuid
+""",
+)
+def cdc_gtid_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-native resume contract — the executed-GTID-set bookkeeping a
+    MySQL replication client maintains and sends on reconnect
+    ([P:high]: GTID auto-positioning stores executed transactions as
+    per-server-uuid merged interval sets like ``srv1:0-4:6-9``, never
+    as individual ids).  Per synthesized server uuid (transactions
+    interleave from 3 source servers; every 211th event lost in
+    transit): the executed transaction count, the merged contiguous
+    ranges rendered in MySQL's canonical set syntax (singletons as
+    ``7``, runs as ``1-5``, ``:``-joined in order), and the resume
+    position — the smallest transaction id NOT yet executed (0 if
+    nothing of the epoch arrived, else one past the first range when
+    the set starts at 0).
+
+    Scale: the islands window partitions BY SERVER UUID (the natural
+    shard key of multi-source replication — each server's clock is
+    independent), so no global ordered window exists; the range frame
+    is bounded by gap count per server and the set string by range
+    count (a healthy stream renders one interval regardless of
+    volume, the entire point of GTID sets).  cdc_seq_coverage_ranges
+    audits a single global clock; this key is the multi-source
+    contract layered on the same gaps-and-islands core."""
+    cl = _changelog(spark, sf_dir)
+    received = (
+        cl.filter(~(F.col("seq") % 211 == 0))
+        .select(
+            F.concat(F.lit("srv"), (F.col("pk") % 3).cast("string")).alias(
+                "server_uuid"
+            ),
+            F.expr("seq DIV 3").alias("txid"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("server_uuid").orderBy("txid")
+    rng = (
+        received.withColumn("grp", F.col("txid") - F.row_number().over(w))
+        .groupBy("server_uuid", "grp")
+        .agg(F.min("txid").alias("lo"), F.max("txid").alias("hi"))
+    )
+    piece = F.when(
+        F.col("lo") == F.col("hi"), F.col("lo").cast("string")
+    ).otherwise(
+        F.concat(
+            F.col("lo").cast("string"), F.lit("-"), F.col("hi").cast("string")
+        )
+    )
+    rng = rng.withColumn(
+        "_uuid_min_lo", F.min("lo").over(Window.partitionBy("server_uuid"))
+    )
+    return (
+        rng.groupBy("server_uuid")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + 1).cast("bigint").alias("n_txids"),
+            F.count(F.lit(1)).alias("n_ranges"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lo", piece.alias("p")))),
+                    lambda s: s.p,
+                ),
+                ":",
+            ).alias("gtid_set"),
+            F.min("lo").alias("_min_lo"),
+            F.min(
+                F.when(F.col("lo") == F.col("_uuid_min_lo"), F.col("hi") + 1)
+            ).alias("_first_end_next"),
+        )
+        .select(
+            "server_uuid",
+            "n_txids",
+            "n_ranges",
+            "gtid_set",
+            F.when(F.col("_min_lo") > 0, F.lit(0))
+            .otherwise(F.col("_first_end_next"))
+            .cast("bigint")
+            .alias("resume_from"),
+        )
+    )
