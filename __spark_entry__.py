@@ -23,11 +23,12 @@ proof rotates through the registry in 50-key windows:
   r05 window so the driver re-records them first.
 * ``_R05_NEW`` front-loads keys first registered in round 5 so they
   get a driver row immediately.
-* everything else (139 never-sampled keys) follows in registration
-  order; the r05 window covers the first ~40 of them.  Round 6: move
-  the keys CORRECTNESS_r05 proves green into ``_DRIVER_GREEN`` and
-  keep this exact structure -- the next 50 unproven keys surface
-  automatically.  Full driver coverage lands around r07/r08.
+* everything else (the never-driver-sampled keys) follows in
+  registration order; the r05 window covers the first ~40 of them.
+  Round 6: move the keys CORRECTNESS_r05 proves green into
+  ``_DRIVER_GREEN`` and keep this exact structure -- the next 50
+  unproven keys surface automatically.  Full driver coverage lands
+  around r07/r08.
 """
 
 from __future__ import annotations
