@@ -651,7 +651,14 @@ def _min_label_propagate(und: DataFrame, rounds: int = 4) -> DataFrame:
     jump self-join references the propagate subtree twice, so an
     unmaterialized multi-round composition duplicates the entire
     upstream DAG 2^rounds times (measured: 46 s at sf0.1 for a lazy
-    3-round composition vs ~2 s checkpointed-per-round)."""
+    3-round composition vs ~2 s checkpointed-per-round).
+
+    Storage note: superseded per-round checkpoint blocks are released
+    by Spark's ContextCleaner once the Python frame reference drops at
+    reassignment (promptly, via CPython refcounting) — explicit
+    DataFrame.unpersist() does not cover localCheckpoint blocks, so at
+    most `rounds` tiny label frames (|near-dup vertices| rows each)
+    await async cleanup per call."""
     # cache the adjacency: it feeds every round's propagate join and
     # would otherwise recompute the LSH pair generation each round
     adj = und.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u")).cache()

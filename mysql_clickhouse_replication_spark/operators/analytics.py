@@ -312,7 +312,12 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     window left runs over |bands| summary rows.  NTILE(4) is then the
     front-loaded-remainder closed form on (rank, n) — bit-identical to
     the oracle's NTILE by construction (ntile_from_rank), at any
-    customer count."""
+    customer count.  The three rank passes each reference their input
+    through two branches (window + band offsets), textually replicating
+    the orders-aggregate subtree in the plan — Spark's ReuseExchange
+    dedupes the repeated shuffle at runtime, and measurement shows that
+    beats an explicit cache here (a cached base scan blocks pipelining:
+    +80%% wall at sf0.1 when tried)."""
     base = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1924,8 +1929,9 @@ ranked AS (
 SELECT decile,
        COUNT(*) AS n_customers,
        CAST(SUM(rev) AS DOUBLE) AS decile_rev,
-       CAST(CAST(SUM(rev) * 100 AS BIGINT) * 1000000
-            // (SELECT CAST(SUM(rev) * 100 AS BIGINT) FROM per_cust)
+       CAST(FLOOR(CAST(CAST(SUM(rev) * 100 AS BIGINT) AS DOUBLE)
+            / CAST((SELECT CAST(SUM(rev) * 100 AS BIGINT) FROM per_cust)
+                   AS DOUBLE) * 1000000)
             AS BIGINT) AS rev_share_ppm
 FROM ranked GROUP BY decile
 """,
@@ -1943,9 +1949,13 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     1k-revenue bands — no single-reducer NTILE window; the r4
     verdict's perf-weak swap, shipped) fed through the NTILE closed
     form, and a 10-row decile aggregate; the total enters as a 1-row
-    broadcast.  Exact decimal revenue everywhere; the share is
-    all-integer ppm on exact revenue cents — no float or rounded
-    surface for the gate."""
+    broadcast.  Exact decimal revenue everywhere; the share is ppm from
+    the EXACT integer cent totals through one identical IEEE divide +
+    FLOOR (an all-integer `cents * 1e6 DIV total` spelling overflows
+    int64 near $9B of decile revenue — cents stay double-exact to 2^53,
+    four orders of magnitude more headroom).  per_cust's repeated
+    subtrees dedupe via ReuseExchange (an explicit cache measured
+    slower — see analytics_rfm)."""
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(D12)).alias("rev")
@@ -1979,8 +1989,10 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_customers",
             "decile_rev",
-            F.expr(
-                "CAST(_cents * 1000000 DIV total_cents AS BIGINT)"
+            F.floor(
+                F.col("_cents").cast("double")
+                / F.col("total_cents").cast("double")
+                * F.lit(1000000)
             ).alias("rev_share_ppm"),
         )
     )

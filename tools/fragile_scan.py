@@ -26,9 +26,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 def main() -> int:
     limit = None
-    for a in sys.argv[1:]:
-        if a.startswith("--limit"):
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a.startswith("--limit="):
             limit = int(a.split("=", 1)[1])
+        elif a == "--limit" and i + 1 < len(args):
+            limit = int(args[i + 1])
 
     import __spark_entry__ as ent
     from mysql_clickhouse_replication_spark.session import get_spark
@@ -36,7 +39,7 @@ def main() -> int:
     spark = get_spark()
     qs = ent.queries()
     keys = list(qs)
-    if limit:
+    if limit is not None:
         keys = keys[:limit]
     n_fragile = 0
     for pos, k in enumerate(keys):
