@@ -80,6 +80,7 @@ EXTRA = [
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",
+    "cdc_binlog_position_order",
     "win_analytic",
     "win_frame_range",
     "win_percent",

@@ -20,7 +20,7 @@ plans/cdc.py synthesizes its row changelog.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -324,4 +324,93 @@ def cdc_type_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("set_mask") / 2).cast("int") % 2 == 1, "b"),
             F.when((F.col("set_mask") / 4).cast("int") % 2 == 1, "c"),
         ).alias("set_decoded"),
+    )
+
+
+@register(
+    "cdc_binlog_position_order",
+    oracle="""
+WITH ev AS (
+  SELECT event_id AS seq, user_id,
+         'mysql-bin.' || lpad(CAST(1 + seq // 20000 AS VARCHAR), 6, '0')
+           || ':' || CAST(4 + seq % 20000 AS VARCHAR) AS pos_str
+  FROM events
+), parsed AS (
+  SELECT seq,
+         't' || CAST(user_id % 4 AS VARCHAR) AS tbl,
+         pos_str,
+         split_part(pos_str, ':', 1) AS file_name,
+         CAST(substr(split_part(pos_str, ':', 1), 11) AS BIGINT) AS file_idx,
+         CAST(split_part(pos_str, ':', 2) AS BIGINT) AS file_off
+  FROM ev
+), keyed AS (
+  SELECT *, file_idx * 100000000 + file_off AS pos_key FROM parsed
+)
+SELECT tbl,
+       COUNT(*) AS n_events,
+       MAX(pos_key) AS max_pos_key,
+       MAX_BY(pos_str, pos_key) AS checkpoint_pos,
+       CAST(SUM(CASE WHEN pos_key < lag_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS order_regressions
+FROM (
+  SELECT *, LAG(pos_key) OVER (PARTITION BY tbl ORDER BY seq) AS lag_key
+  FROM keyed
+) GROUP BY tbl
+""",
+)
+def cdc_binlog_position_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog (file, position) checkpoint contract — the non-GTID resume
+    coordinate the reference class actually persists ([P:high]: a
+    binlog client stores `mysql-bin.000123:4567` and resumes with
+    ``log_file``/``log_pos``): parse the file:offset string with the
+    same split a checkpoint store uses, build the TOTAL position key
+    (file index beats offset — offsets reset to 4 at each rotation, so
+    lexicographic or offset-only comparison both mis-order across a
+    rotate), and emit per table the max position as the resume
+    checkpoint string plus an arrival-order regression count (events
+    whose position moved backwards — what a reconnect replay or a
+    mis-merged multi-source feed looks like; 0 on this well-ordered
+    stream, and the audit that proves it).
+
+    Positions are synthesized deterministically from seq (20k events
+    per binlog file, offsets restarting at 4 — the real rotation
+    shape).  Scale: parse is map-side; the order audit is one
+    tbl-keyed lag window + map-combined rollup sharing the exchange —
+    the cdc_order_violations shape on the position domain."""
+    ev = table(spark, sf_dir, "events")
+    pos_str = F.concat(
+        F.lit("mysql-bin."),
+        F.lpad((1 + F.expr("event_id DIV 20000")).cast("string"), 6, "0"),
+        F.lit(":"),
+        (4 + F.col("event_id") % 20000).cast("string"),
+    )
+    parsed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tbl"),
+        pos_str.alias("pos_str"),
+    ).select(
+        "seq",
+        "tbl",
+        "pos_str",
+        F.substring(F.split_part(F.col("pos_str"), F.lit(":"), F.lit(1)), 11, 10)
+        .cast("bigint")
+        .alias("file_idx"),
+        F.split_part(F.col("pos_str"), F.lit(":"), F.lit(2))
+        .cast("bigint")
+        .alias("file_off"),
+    )
+    keyed = parsed.withColumn(
+        "pos_key", F.col("file_idx") * 100000000 + F.col("file_off")
+    )
+    w = Window.partitionBy("tbl").orderBy("seq")
+    lagged = keyed.withColumn("lag_key", F.lag("pos_key").over(w))
+    return lagged.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("pos_key").alias("max_pos_key"),
+        F.expr("max_by(pos_str, pos_key)").alias("checkpoint_pos"),
+        F.sum(
+            F.when(F.col("pos_key") < F.col("lag_key"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("order_regressions"),
     )
