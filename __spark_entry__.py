@@ -94,7 +94,7 @@ _RED_R04 = [
 # Keys first registered in round 5 -- front-loaded into the r05 window.
 _R05_NEW = [
     "cdc_ddl_route", "cdc_type_edges", "cdc_gtid_resume",
-    "cdc_binlog_position_order",
+    "cdc_binlog_position_order", "events_sliding_uniques_sketch",
 ]
 
 

@@ -81,6 +81,7 @@ EXTRA = [
     "cdc_type_edges",
     "cdc_gtid_resume",
     "cdc_binlog_position_order",
+    "events_sliding_uniques_sketch",
     "win_analytic",
     "win_frame_range",
     "win_percent",

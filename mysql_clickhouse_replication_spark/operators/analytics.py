@@ -2235,3 +2235,87 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_within_15pct"),
         )
     )
+
+
+@register(
+    "events_sliding_uniques_sketch",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+exact AS (
+  SELECT days.d,
+         COUNT(DISTINCT cells.user_id) AS exact_u7,
+         COUNT(DISTINCT cells.d) AS n_days_in_window
+  FROM days JOIN cells
+    ON cells.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY days.d
+)
+SELECT d, n_days_in_window, exact_u7, 1 AS est_within_5pct
+FROM exact
+""",
+)
+def events_sliding_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — the sliding-window extension of agg_hll_mergeable and
+    the pattern that makes rolling-uniques dashboards tractable at
+    100 TB: ONE pass builds a fixed-size sketch per day, every window
+    answer is a union of 7 stored sketches (hll_union_agg +
+    hll_sketch_estimate), and raw data is never rescanned as the
+    window slides.  events_rolling_distinct computes the same surface
+    exactly by exploding (user, day) cells across windows — linear in
+    users x window; this plan's sliding cost is |days| x 7 sketch
+    merges, INDEPENDENT of user count, which is the entire trade.
+
+    Gate contract (the agg_approx_distinct / agg_hll_overlap_estimate
+    pattern): the hash-checked surface is the EXACT twin (distinct
+    (user, day) cells joined to their <=7 covering days) plus an INT
+    pin asserting the sketch estimate lands within 5% + 16 of exact —
+    deterministic for a fixed input set since HLL is order-insensitive;
+    the estimate itself never reaches the hash."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    days = daily.select(F.col("d").alias("win_d"))
+    est = (
+        days.join(
+            daily,
+            (F.col("d") >= F.date_sub(F.col("win_d"), 6))
+            & (F.col("d") <= F.col("win_d")),
+        )
+        .groupBy("win_d")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(sk))"
+            ).alias("est_u7")
+        )
+    )
+    exact = (
+        days.join(
+            cells,
+            (F.col("d") >= F.date_sub(F.col("win_d"), 6))
+            & (F.col("d") <= F.col("win_d")),
+        )
+        .groupBy("win_d")
+        .agg(
+            F.countDistinct("user_id").alias("exact_u7"),
+            F.countDistinct("d").alias("n_days_in_window"),
+        )
+    )
+    return (
+        exact.join(est, "win_d")
+        .select(
+            F.col("win_d").alias("d"),
+            "n_days_in_window",
+            "exact_u7",
+            (
+                F.abs(F.col("est_u7") - F.col("exact_u7"))
+                <= 0.05 * F.col("exact_u7") + 16
+            )
+            .cast("int")
+            .alias("est_within_5pct"),
+        )
+    )
