@@ -684,7 +684,9 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
        TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_id,
-       TRY_CAST(o_orderpriority AS DATE) AS bad_date,
+       TRY_CAST(CASE WHEN o_orderkey % 4 = 0
+                     THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                     ELSE o_orderpriority END AS DATE) AS mixed_date,
        TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS price_rt,
        TRY_CAST(o_totalprice * 1e15 AS INTEGER) AS overflow_int,
        CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -698,7 +700,10 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the surface that decides whether one malformed row poisons a
     100 TB job or becomes a NULL to route to the DLQ): non-numeric
     strings to INT (null), digit suffix extraction to INT (succeeds),
-    garbage to DATE (null), a VARCHAR round-trip back to exact DECIMAL,
+    date parsing over a MIXED valid/garbage column (success AND
+    null-on-failure in one surface — an all-null column would also be
+    degenerate under pandas canonicalization), a VARCHAR round-trip
+    back to exact DECIMAL,
     an overflowing value to INT (null-on-overflow in BOTH engines'
     TRY_CAST — unlike plain CAST, where Spark saturates and DuckDB
     errors), and divide-by-zero nulled via NULLIF (Spark's try_divide
@@ -716,7 +721,11 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)"
         ).alias("priority_id"),
-        F.expr("TRY_CAST(o_orderpriority AS DATE)").alias("bad_date"),
+        F.expr(
+            "TRY_CAST(CASE WHEN o_orderkey % 4 = 0"
+            " THEN date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd')"
+            " ELSE o_orderpriority END AS DATE)"
+        ).alias("mixed_date"),
         F.expr(
             "TRY_CAST(CAST(o_totalprice AS STRING) AS DECIMAL(12,2))"
         ).alias("price_rt"),
