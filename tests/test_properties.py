@@ -271,3 +271,82 @@ def test_winnowing_catches_planted_passage_any_offset(
         for r in QUERIES["docs_substring_dedup"](spark, str(d)).collect()
     }
     assert rows.get(2) == 1
+
+
+def test_banded_windows_equal_global_windows(spark):
+    """The banded two-level helpers must be BIT-identical to the
+    single-reducer global windows they replace, on a frame whose bands
+    are deliberately hostile: uneven band sizes, an empty band gap,
+    ties inside and across bands, negative values for the running
+    sum."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mysql_clickhouse_replication_spark.operators._util import (
+        banded_row_number,
+        banded_running_max_excl,
+        banded_running_sum,
+        ntile_from_rank,
+    )
+
+    rows = []
+    v = 0
+    for band, size in [(0, 1), (1, 7), (3, 2), (4, 13), (9, 5)]:
+        for i in range(size):
+            v += 1
+            rows.append((band, v, (-1) ** v * (v % 5), v % 3))
+    df = spark.createDataFrame(rows, "band long, id long, val long, tie long")
+
+    # row_number over (band, tie, id)
+    got = banded_row_number(
+        df, F.col("band"), [F.asc("tie"), F.asc("id")], "rn"
+    )
+    w = Window.orderBy("band", "tie", "id")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert sorted(got.collect(), key=lambda r: r["id"]) == sorted(
+        want.collect(), key=lambda r: r["id"]
+    )
+
+    # inclusive running sum over (band, id)
+    got = banded_running_sum(df, F.col("band"), [F.asc("id")], F.col("val"), "rs")
+    w2 = Window.orderBy("band", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rs", F.sum("val").over(w2))
+    assert sorted(got.collect(), key=lambda r: r["id"]) == sorted(
+        want.collect(), key=lambda r: r["id"]
+    )
+
+    # exclusive running max over (band, id)
+    got = banded_running_max_excl(
+        df, F.col("band"), [F.asc("id")], F.col("val"), "rm"
+    )
+    w3 = Window.orderBy("band", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("rm", F.max("val").over(w3))
+    assert sorted(got.collect(), key=lambda r: r["id"]) == sorted(
+        want.collect(), key=lambda r: r["id"]
+    )
+
+
+def test_ntile_closed_form_matches_ntile_window(spark):
+    """ntile_from_rank must reproduce NTILE(k) exactly for every (n, k)
+    shape class: n below/equal/above k, exact multiples, and remainders
+    — the front-loaded-remainder semantics both engines share."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mysql_clickhouse_replication_spark.operators._util import (
+        ntile_from_rank,
+    )
+
+    for n, k in [(1, 4), (3, 4), (4, 4), (5, 4), (23, 4), (40, 10),
+                 (41, 10), (49, 10), (7, 16)]:
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+        w = Window.orderBy("id")
+        both = df.select(
+            "id",
+            F.ntile(k).over(w).alias("want"),
+            ntile_from_rank(
+                F.row_number().over(w), F.lit(n).cast("bigint"), k
+            ).alias("got"),
+        )
+        bad = both.filter(F.col("want") != F.col("got")).count()
+        assert bad == 0, (n, k)
