@@ -1326,3 +1326,31 @@ def test_type_edges_pure_mapside_decode(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_gtid_resume_islands_partition_by_uuid(plans):
+    # the islands window must hash-partition by server_uuid (the
+    # multi-source shard key) — no global ordered window over txids.
+    p = plans("cdc_gtid_resume", "simple")
+    assert "hashpartitioning(server_uuid" in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_binlog_position_shares_tbl_exchange(plans):
+    # the lag clock and the per-table rollup share one tbl-keyed
+    # exchange; parse work is map-side expressions.
+    p = plans("cdc_binlog_position_order", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_sliding_uniques_merges_sketches_not_ids(plans):
+    # the estimate leg unions STORED daily sketches over the day-range
+    # join — hll state crosses the window join, never raw user ids.
+    p = plans("events_sliding_uniques_sketch", "simple")
+    assert "hll_sketch_agg" in p
+    assert "hll_union_agg" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
