@@ -806,7 +806,10 @@ def cdc_partitioned_changelog_prune(spark: SparkSession, sf_dir: str) -> DataFra
     not the pruned-compaction plan this key claims."""
     key = (spark.sparkContext.applicationId, sf_dir)
     sink = _PRUNE_LANDING.get(key)
-    if sink is None:
+    # existence re-check: scratch_path prunes sibling dirs older than
+    # 2 h, so another process can collect this session's landing from
+    # under a very long-lived memo — rewrite rather than fail the read
+    if sink is None or not os.path.isdir(sink):
         cl = _changelog(spark, sf_dir).withColumn("day", F.to_date("ts"))
         sink = scratch_path("cdc_part_prune", os.path.basename(sf_dir))
         cl.write.mode("overwrite").partitionBy("tbl", "day").parquet(sink)
