@@ -105,8 +105,8 @@ WITH d AS (
          SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
   FROM d
 )
-SELECT bucket, (cum - 1) // {_PACK_BUDGET} AS pack_id,
-       COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+SELECT bucket, CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM c
 GROUP BY bucket, (cum - 1) // {_PACK_BUDGET}

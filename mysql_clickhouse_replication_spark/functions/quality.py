@@ -469,7 +469,7 @@ d AS (
   SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
          SUM(c * LN(CAST(c AS DOUBLE))) AS sum_clnc
   FROM tc GROUP BY doc_id)
-SELECT doc_id, n AS n_tokens, n_distinct,
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
        CAST(FLOOR((LN(CAST(n AS DOUBLE)) - sum_clnc / n) * 1000000) AS BIGINT)
          AS token_entropy_e6,
        CAST(n_distinct * 1000000 // n AS BIGINT) AS ttr_ppm,

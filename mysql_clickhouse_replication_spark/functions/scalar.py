@@ -687,7 +687,8 @@ SELECT o_orderkey,
        TRY_CAST(CASE WHEN o_orderkey % 4 = 0
                      THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
                      ELSE o_orderpriority END AS DATE) AS mixed_date,
-       TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS price_rt,
+       CAST(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2))
+            AS VARCHAR) AS price_rt,
        TRY_CAST(o_totalprice * 1e15 AS INTEGER) AS overflow_int,
        CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
             // NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0) AS BIGINT)
@@ -703,7 +704,9 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     date parsing over a MIXED valid/garbage column (success AND
     null-on-failure in one surface — an all-null column would also be
     degenerate under pandas canonicalization), a VARCHAR round-trip
-    back to exact DECIMAL,
+    through exact DECIMAL surfaced back as its canonical 2dp string
+    (a raw DECIMAL output column arrives as object(Decimal) from Spark
+    but float64 from DuckDB — the CORRECTNESS_r05 hash-drift class),
     an overflowing value to INT (null-on-overflow in BOTH engines'
     TRY_CAST — unlike plain CAST, where Spark saturates and DuckDB
     errors), and divide-by-zero nulled via NULLIF (Spark's try_divide
@@ -727,7 +730,8 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE o_orderpriority END AS DATE)"
         ).alias("mixed_date"),
         F.expr(
-            "TRY_CAST(CAST(o_totalprice AS STRING) AS DECIMAL(12,2))"
+            "CAST(TRY_CAST(CAST(o_totalprice AS STRING) AS DECIMAL(12,2))"
+            " AS STRING)"
         ).alias("price_rt"),
         F.expr("TRY_CAST(o_totalprice * 1e15 AS INTEGER)").alias("overflow_int"),
         F.expr(
@@ -830,7 +834,8 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pairs AS (
   SELECT p_partkey,
          p_name AS a,
-         LEAD(p_name) OVER (ORDER BY p_partkey) AS b
+         LEAD(p_name) OVER (PARTITION BY p_partkey // 1000
+                            ORDER BY p_partkey) AS b
   FROM part WHERE p_partkey % 10 = 0
 )
 SELECT p_partkey, a, b,
@@ -856,8 +861,12 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized similarity is all-integer ppm (floor division on exact
     lengths/distances — no float surface).
 
-    Shape: one ordered LEAD window over a 10%-sampled dimension, then
-    pure per-row expression scoring — at 100 TB the same scoring runs
+    Shape: the LEAD pairing window is PARTITIONED by a 1000-key
+    partkey band (pairs form within a band; the identical band cut on
+    both engines drops the same boundary pairs), so the window is
+    hash-distributed — no single-partition sort at any dimension size
+    (the r5 verdict's last global-window exception, closed).  Scoring
+    is pure per-row expressions — at 100 TB the same scoring runs
     over LSH/blocking candidate pairs (dedup_minhash's output shape)
     instead of neighbors."""
     p = (
@@ -865,7 +874,7 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") % 10 == 0)
         .select("p_partkey", F.col("p_name").alias("a"))
     )
-    w = Window.orderBy("p_partkey")
+    w = Window.partitionBy(F.expr("p_partkey DIV 1000")).orderBy("p_partkey")
     pairs = p.select(
         "p_partkey", "a", F.lead("a").over(w).alias("b")
     ).filter(F.col("b").isNotNull())

@@ -25,6 +25,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -231,10 +233,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS sum_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
        CAST(SUM(len(string_split(text, ' '))) * 1000000 // COUNT(*) AS BIGINT)
            AS avg_tokens_ppm,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
@@ -625,7 +627,9 @@ def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _min_label_propagate(und: DataFrame, rounds: int = 4) -> DataFrame:
+def _min_label_propagate(
+    und: DataFrame, rounds: int = 4, verify: bool | None = None
+) -> DataFrame:
     """Min-label propagation with POINTER JUMPING over an undirected
     edge frame (doc_a, doc_b).  Each round:
 
@@ -683,6 +687,30 @@ def _min_label_propagate(und: DataFrame, rounds: int = 4) -> DataFrame:
             .select("v", F.col("lbl2").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+    if verify is None:
+        verify = os.environ.get("SPARK_GRAFT_VERIFY_CC", "") == "1"
+    if verify:
+        # Convergence proof (r5 advice): the fixed-round schedule is
+        # only correct for component diameter <= 30; past that,
+        # wrongness would be SILENT (split labels).  One extra
+        # propagate pass costs a single join+agg over the tiny label
+        # frame and asserts no label can still decrease.
+        still = (
+            adj.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nlbl"))
+            .join(labels, "v")
+            .filter(F.col("nlbl") < F.col("lbl"))
+            .count()
+        )
+        if still:
+            adj.unpersist()
+            raise RuntimeError(
+                f"_min_label_propagate: {still} labels still decreasing "
+                f"after {rounds} rounds — a component exceeds the "
+                f"diameter-30 bound; raise `rounds` (reach doubles per "
+                f"round) or re-run with more."
+            )
     adj.unpersist()  # final labels are materialized by the checkpoint
     return labels
 

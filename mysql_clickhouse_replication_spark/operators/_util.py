@@ -162,14 +162,32 @@ def banded_running_max_excl(
     )
 
 
+def idiv(a: Column, b: Column) -> Column:
+    """Exact bigint floor division for non-negative bigint operands at
+    ANY magnitude.  Double `/` + cast is only exact below ~2^52 (the
+    r5 advice flagged the gap vs the 'exact at any count' claim);
+    subtracting the modulus first makes the quotient integral, and a
+    decimal divide of an exact multiple is rounding-free through the
+    full bigint range."""
+    return (
+        ((a - a % b).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+        .cast("bigint")
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """NTILE(k) from an exact global 1-based rank and the frame size n —
     the front-loaded-remainder piecewise closed form (first n%k buckets
     take n//k+1 rows): lets a distributed banded_row_number replace the
-    single-reducer NTILE window with bit-identical output."""
-    q = (n / k).cast("bigint")  # floor for non-negative n
+    single-reducer NTILE window with bit-identical output at any frame
+    size (all-integer arithmetic via idiv — no double rounding)."""
+    q = idiv(n, F.lit(k))
     r = n - q * k
     big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
-    return F.when(rank <= big, ((rank - 1) / (q + 1)).cast("bigint") + 1).otherwise(
-        r + ((rank - big - 1) / q).cast("bigint") + 1
+    # otherwise-branch rows mathematically require q >= 1 (q = 0 puts
+    # every rank in the first branch); greatest() keeps the dead branch
+    # from dividing by zero under ANSI evaluation.
+    qg = F.greatest(q, F.lit(1))
+    return F.when(rank <= big, idiv(rank - 1, q + 1) + 1).otherwise(
+        r + idiv(rank - big - 1, qg) + 1
     )

@@ -563,7 +563,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        CAST(bool_and(o_totalprice > 1000) AS INT)         AS all_over_1k,
        CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
-       count_if(o_totalprice > 100000)                    AS n_large,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT)    AS n_large,
        CAST(bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS INT)
            AS all_in_range
 FROM orders
@@ -725,7 +725,7 @@ WITH shard AS (
 merged AS (
   SELECT event_type,
          COUNT(*) AS n_shards,
-         SUM(n) AS n,
+         CAST(SUM(n) AS BIGINT) AS n,
          CAST(SUM(s) AS DOUBLE) AS sx,
          CAST(SUM(ss) AS DOUBLE) AS sxx
   FROM shard GROUP BY event_type

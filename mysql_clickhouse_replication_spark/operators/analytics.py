@@ -556,10 +556,10 @@ WITH per_user AS (
                   THEN 1 ELSE 0 END) AS conv
   FROM events GROUP BY user_id),
 v AS (
-  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
-         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
-         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
-         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
   FROM per_user)
 SELECT n_a, n_b, c_a, c_b,
        CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
@@ -1294,24 +1294,41 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: quartiles are NTILE(4) over EXACT decimal spend with
     (spend DESC, user_id) keyed tiebreaks — identical total order and
-    identical NTILE remainder distribution in both engines.  Scale:
-    like analytics_rfm, the global NTILE is a single-partition window
-    over |users| — fine at gate scale, and the documented production
-    swap is approx_percentile cutpoints (constant-size sketch) with the
-    same matrix agg; the transition join is per-user 1:1 full outer,
+    identical NTILE remainder distribution in both engines.
+
+    Scale plan (the r5 verdict's last real single-reducer, now
+    rebuilt on the same banded machinery as analytics_rfm): each
+    period's quartile comes from an exact DISTRIBUTED rank — users
+    band by negated 100-unit spend band (monotone along the
+    (v DESC, user_id) order), rank locally within each
+    hash-partitioned band, add broadcast per-band prefix offsets
+    (banded_row_number) — and NTILE(4) is the front-loaded-remainder
+    closed form on (rank, n) (ntile_from_rank, all-integer idiv
+    arithmetic), bit-identical to the oracle's NTILE at any user
+    count.  The only single-partition windows left run over |bands|
+    summary rows.  The transition join is per-user 1:1 full outer,
     and the matrix is a constant 5x5."""
     ev = table(spark, sf_dir, "events")
     cut = F.lit(_MIGRATION_CUT).cast("timestamp")
 
-    def quartiles(df: DataFrame, pred) -> DataFrame:
+    def quartiles(df: DataFrame, pred, out: str) -> DataFrame:
         p = df.filter(pred).groupBy("user_id").agg(
             F.sum(F.col("value").cast(D12)).alias("v")
         )
-        w = Window.orderBy(F.desc("v"), F.asc("user_id"))
-        return p.select("user_id", F.ntile(4).over(w).alias("q"))
+        ranked = banded_row_number(
+            p,
+            -F.floor(F.col("v") / 100).cast("bigint"),
+            [F.desc("v"), F.asc("user_id")],
+            "_rank",
+        )
+        n_total = p.agg(F.count(F.lit(1)).alias("_n"))
+        return ranked.crossJoin(F.broadcast(n_total)).select(
+            "user_id",
+            ntile_from_rank(F.col("_rank"), F.col("_n"), 4).alias(out),
+        )
 
-    q1 = quartiles(ev, F.col("ts") < cut).withColumnRenamed("q", "q1")
-    q2 = quartiles(ev, F.col("ts") >= cut).withColumnRenamed("q", "q2")
+    q1 = quartiles(ev, F.col("ts") < cut, "q1")
+    q2 = quartiles(ev, F.col("ts") >= cut, "q2")
     return (
         q1.join(q2, "user_id", "full_outer")
         .groupBy(

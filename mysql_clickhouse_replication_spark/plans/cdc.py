@@ -671,7 +671,7 @@ WITH daily AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM daily
 )
-SELECT (cum - n) // {_BACKFILL_BATCH_ROWS} AS batch_id,
+SELECT CAST((cum - n) // {_BACKFILL_BATCH_ROWS} AS BIGINT) AS batch_id,
        MIN(day) AS first_day,
        MAX(day) AS last_day,
        COUNT(*) AS n_days,
@@ -804,17 +804,32 @@ def cdc_partitioned_changelog_prune(spark: SparkSession, sf_dir: str) -> DataFra
     reused — production's landing is a standing table; re-writing ~120
     partition directories per query call measured filesystem setup,
     not the pruned-compaction plan this key claims."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # memo key carries the source fixture's mtime so a regenerated
+    # fixture within one session invalidates the landing (r5 advice)
+    src_mtime = int(os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns)
+    key = (spark.sparkContext.applicationId, sf_dir, src_mtime)
+
+    def _land() -> str:
+        cl = _changelog(spark, sf_dir).withColumn("day", F.to_date("ts"))
+        s = scratch_path("cdc_part_prune", os.path.basename(sf_dir))
+        cl.write.mode("overwrite").partitionBy("tbl", "day").parquet(s)
+        _PRUNE_LANDING[key] = s
+        return s
+
     sink = _PRUNE_LANDING.get(key)
     # existence re-check: scratch_path prunes sibling dirs older than
     # 2 h, so another process can collect this session's landing from
     # under a very long-lived memo — rewrite rather than fail the read
     if sink is None or not os.path.isdir(sink):
-        cl = _changelog(spark, sf_dir).withColumn("day", F.to_date("ts"))
-        sink = scratch_path("cdc_part_prune", os.path.basename(sf_dir))
-        cl.write.mode("overwrite").partitionBy("tbl", "day").parquet(sink)
-        _PRUNE_LANDING[key] = sink
-    rb = spark.read.parquet(sink)
+        sink = _land()
+    try:
+        rb = spark.read.parquet(sink)
+    except Exception:
+        # the isdir check raced the age-based scratch prune (TOCTOU,
+        # r5 advice): rewrite once and re-read — a freshly written
+        # landing is immune to the 2 h prune for this query's lifetime
+        sink = _land()
+        rb = spark.read.parquet(sink)
     pruned = rb.filter(
         (F.col("tbl") == "t1")
         & F.col("day").between(

@@ -48,8 +48,8 @@ _CHECKSUM_STATE_SQL = """
 
 _CHECKSUM_AGG_SQL = """
   SELECT tbl, COUNT(*) AS {p}_rows,
-         SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
-             AS {p}_keysum,
+         CAST(SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+              AS BIGINT) AS {p}_keysum,
          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS {p}_value
   FROM {state} WHERE op != 'delete' GROUP BY tbl
 """

@@ -54,7 +54,7 @@ signed AS (
   SELECT pk, prev_seq AS seq, prev_value AS value, -1 AS sign
   FROM seq WHERE prev_seq IS NOT NULL AND prev_op != 'delete'
 )
-SELECT pk, seq, value, SUM(sign) AS net_sign
+SELECT pk, seq, value, CAST(SUM(sign) AS BIGINT) AS net_sign
 FROM signed GROUP BY pk, seq, value
 HAVING SUM(sign) != 0
 """,

@@ -315,7 +315,8 @@ WITH seq AS (
   GROUP BY from_state, to_state
 )
 SELECT from_state, to_state, n,
-       (n * 1000000) // SUM(n) OVER (PARTITION BY from_state) AS prob_ppm
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_state)
+            AS BIGINT) AS prob_ppm
 FROM pairs
 """,
 )
@@ -503,7 +504,8 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin_id,
-       LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) * 25.0 AS bin_lo,
+       CAST(LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) * 25.0
+            AS DOUBLE) AS bin_lo,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
@@ -831,7 +833,7 @@ WITH gaps AS (
   SELECT MAX(cur) AS peak FROM c
 )
 SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
-       mx.peak,
+       CAST(mx.peak AS BIGINT) AS peak,
        (SELECT MIN(t) FROM c, mx WHERE c.cur = mx.peak) AS first_peak_ts
 FROM mx
 """,

@@ -54,3 +54,32 @@ def test_all_registered_queries_match_oracle(spark, duck, sf_dir):
         except AssertionError as exc:
             failures.append(str(exc))
     assert not failures, "\n".join(failures)
+
+
+def test_no_oracle_exposes_pandas_hazard_dtypes(duck):
+    """Structural gate for the class that burned driver rounds 3-5:
+    DuckDB HUGEINT (SUM/count_if over BIGINT) and DECIMAL output
+    columns coerce to float64 in `.df()` while Spark delivers
+    int64/object(Decimal), so the driver's pandas canonicalizer
+    hashes 97.0 != 97 (CORRECTNESS_r05: all five red keys had such a
+    surface, zero green keys did).  Nested types crash the pandas
+    hash outright (r4).  No oracle may register one — wrap sums in
+    CAST(... AS BIGINT) and surface decimals as DOUBLE/string.
+    BOOLEAN stays allowed: 13 keys with BOOLEAN surfaces hold green
+    driver rows (r1-r5 evidence), and tools/pandas_gate_sim.py's
+    strict dtype-class compare covers bool-vs-int mismatches."""
+    from tools.oracle_dtype_lint import BANNED
+
+    failures = []
+    for key, sql in e.oracle_sql().items():
+        rows = duck.execute(f"DESCRIBE {sql}").fetchall()
+        hits = [
+            f"{key}.{c}: {t}"
+            for c, t, *_ in rows
+            if any(b in t.upper() for b in BANNED)
+        ]
+        failures.extend(hits)
+    assert not failures, (
+        "oracle output columns with pandas-canonicalizer hazard dtypes "
+        "(cast them to BIGINT/DOUBLE/VARCHAR): " + "; ".join(failures)
+    )

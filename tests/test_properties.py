@@ -350,3 +350,31 @@ def test_ntile_closed_form_matches_ntile_window(spark):
         )
         bad = both.filter(F.col("want") != F.col("got")).count()
         assert bad == 0, (n, k)
+
+
+def test_label_propagate_verify_mode_proves_convergence(spark):
+    """The fixed 4-round propagate+jump schedule covers component
+    diameter 30 (reach 2,6,14,30).  verify=True must pass on a
+    diameter-30 path, and must RAISE (not silently split labels) on a
+    diameter-31 path — the r5 advice's silent-wrongness guard."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from mysql_clickhouse_replication_spark.functions.text import (
+        _min_label_propagate,
+    )
+
+    def path_edges(n):
+        # undirected path 0-1-...-(n-1), both directions like the caller
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        return spark.createDataFrame(
+            fwd + [(b, a) for a, b in fwd], "doc_a long, doc_b long"
+        )
+
+    # diameter 30: converges, every vertex labeled 0
+    labels = _min_label_propagate(path_edges(31), verify=True)
+    assert labels.filter(F.col("lbl") != 0).count() == 0
+
+    # diameter 31: the schedule cannot cover it -> must raise
+    with pytest.raises(RuntimeError, match="still decreasing"):
+        _min_label_propagate(path_edges(32), verify=True)
