@@ -1354,3 +1354,81 @@ def test_sliding_uniques_merges_sketches_not_ids(plans):
     assert "hll_union_agg" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+# Keys whose plans legitimately contain a single-partition Window — every
+# one runs over a BOUNDED summary frame, never a data-sized one (verified
+# key-by-key in the r5 review; the banded helpers' |bands|-row offset
+# windows are the common case).  A key appearing here is a documented
+# exception; a key NOT here acquiring a single-partition window is a
+# scale regression and fails the audit below.
+_BOUNDED_SINGLE_PARTITION_WINDOWS = {
+    "agg_histogram_quantile": "|bins| histogram rows",
+    "analytics_rfm": "banded-rank offsets: |bands| rows x3 + count",
+    "analytics_segment_migration": "banded-rank offsets: |bands| rows x2",
+    "cdc_backfill_plan": "|days| histogram rows",
+    "cdc_merge_into": "|batch| change rows (bounded per merge cycle)",
+    "cdc_partitioned_changelog_prune": "single-row summary agg",
+    "cdc_row_checksum": "per-table 1-row summaries",
+    "cdc_seq_coverage_ranges": "|ranges|-frame start/end zip x2",
+    "cdc_snapshot_diff": "per-table classification summary",
+    "cdc_snapshot_increment": "cut-point scalar + summary",
+    "cdc_tombstone_gc": "per-table GC summary frames",
+    "docs_dedup_pipeline": "stage-funnel summary rows",
+    "docs_shard_balance": "|shards| summary rows",
+    "docs_vocab_growth": "|batches| vocab-count rows",
+    "events_changepoint_cusum": "|days| daily rows",
+    "events_conversion_latency": "|bins| latency histogram rows",
+    "events_growth_accounting": "|weeks| rows",
+    "events_peak_concurrency": "banded sweep offsets: |days| band rows",
+    "events_seasonality": "24 hour-of-day rows",
+    "events_session_duration": "|bins| duration histogram rows",
+    "events_watermark_lateness": "banded lateness offsets: |days| rows",
+    "orders_revenue_concentration": "banded decile offsets: |bands| rows",
+    "profile_skew": "per-column top-1 summary rows",
+    "sim_hybrid_rrf": "per-query fused top-k (k-bounded)",
+    "sim_pq_adc_search": "per-query top-k (k-bounded)",
+    "text_tfidf_terms": "vocabulary-bounded tf-idf ranking",
+}
+
+
+def test_no_unaudited_single_partition_windows_anywhere(spark, sf_dir):
+    """Registry-wide scale audit (r5 verdict item 6): a Window fed by
+    Exchange SinglePartition is the canonical 100 TB killer unless its
+    frame is provably bounded.  Every key whose plan carries one must
+    be in the documented allowlist above — so rewriting a key onto a
+    single-reducer window (or adding a new key with one) fails here
+    instead of surfacing as a production-scale regression."""
+    qs = e.queries()
+    offenders = []
+    for key in sorted(qs):
+        p = _plan(qs[key](spark, sf_dir), "simple")
+        if (
+            "Window" in p
+            and "Exchange SinglePartition" in p
+            and key not in _BOUNDED_SINGLE_PARTITION_WINDOWS
+        ):
+            offenders.append(key)
+    assert not offenders, (
+        "keys with an unaudited single-partition Window (add a banded "
+        "rewrite, or document the bounded frame in the allowlist): "
+        f"{offenders}"
+    )
+
+
+def test_segment_migration_banded_ranks_no_ntile(plans):
+    # both period quartiles come from distributed banded ranks + the
+    # NTILE closed form (the r5 rewrite): no ntile window anywhere,
+    # both user-sized ranking windows hash-partitioned by spend band.
+    p = plans("analytics_segment_migration", "simple")
+    assert "ntile" not in p
+    assert p.count("hashpartitioning(_band") >= 2
+    assert "BatchEvalPython" not in p
+
+
+def test_fuzzy_match_pairing_window_is_partitioned(plans):
+    # the LEAD pairing window hash-partitions by the 1000-key partkey
+    # band (r5 verdict's last global-window exception, closed).
+    p = plans("fn_fuzzy_match", "simple")
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
