@@ -120,15 +120,24 @@ _PRECAST_R06 = [
     "events_peak_concurrency", "events_histogram",
 ]
 
+# Keys first registered in round 6 -- front-loaded into the r06 window.
+_R06_NEW = [
+    "cdc_summing_merge", "orders_active_coverage", "docs_temperature_sample",
+]
+
 
 def _ordered_keys() -> list[str]:
-    """Re-fixed r05-red keys, then the pre-cast hazard keys, then every
-    never-driver-sampled key in registration order, driver-green last."""
-    front = set(_RED_R05) | set(_PRECAST_R06) | set(_DRIVER_GREEN)
+    """Re-fixed r05-red keys, then the pre-cast hazard keys, then the
+    round-6 additions, then every never-driver-sampled key in
+    registration order, driver-green last."""
+    front = (
+        set(_RED_R05) | set(_PRECAST_R06) | set(_R06_NEW) | set(_DRIVER_GREEN)
+    )
     unproven = [k for k in QUERIES if k not in front]
     return (
         [k for k in _RED_R05 if k in QUERIES]
         + [k for k in _PRECAST_R06 if k in QUERIES]
+        + [k for k in _R06_NEW if k in QUERIES]
         + unproven
         + [k for k in _DRIVER_GREEN if k in QUERIES]
     )

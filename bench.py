@@ -77,6 +77,9 @@ HEADLINE = [
 # joined the bench after the 32-key set froze (round 2). Promote nothing;
 # comparability of `value` across rounds is the point.
 EXTRA = [
+    "cdc_summing_merge",
+    "orders_active_coverage",
+    "docs_temperature_sample",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

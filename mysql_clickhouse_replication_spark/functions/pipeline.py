@@ -1429,3 +1429,126 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("owner").alias("dup_of"),
         F.count(F.lit(1)).alias("n_earlier_sources"),
     )
+
+
+_TEMP_BUDGET_DENOM = 2  # sample budget = |corpus| / 2
+
+
+@register(
+    "docs_temperature_sample",
+    oracle=f"""
+WITH n AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+           AS weight_e6
+  FROM n
+),
+t AS (
+  SELECT CAST(SUM(weight_e6) AS BIGINT) AS tw,
+         CAST(SUM(n_docs) AS BIGINT) AS tn
+  FROM w
+),
+r AS (
+  SELECT lang, n_docs, weight_e6,
+         CAST((tn // {_TEMP_BUDGET_DENOM}) * weight_e6 // tw AS BIGINT)
+           AS target_n,
+         CAST(LEAST(1000000,
+              ((tn // {_TEMP_BUDGET_DENOM}) * weight_e6 // tw) * 1000000
+                // n_docs) AS BIGINT) AS rate_ppm
+  FROM w CROSS JOIN t
+),
+k AS (
+  SELECT d.lang,
+         COUNT(*) FILTER (
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000 < r.rate_ppm) AS realized_n
+  FROM documents d JOIN r USING (lang)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.weight_e6, r.target_n, r.rate_ppm,
+       CAST(k.realized_n AS BIGINT) AS realized_n,
+       CAST(k.realized_n * 1000000 // r.n_docs AS BIGINT) AS realized_ppm
+FROM r JOIN k USING (lang)
+""",
+)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing — the multilingual-pretraining
+    sampling staple (alpha = 0.5: target share per language is
+    proportional to n^alpha, upweighting low-resource languages
+    relative to raw frequency): compute per-language target counts for
+    a half-corpus budget, convert to a per-language keep rate, select
+    documents by a DETERMINISTIC portable hash (md5-prefix ppm — the
+    repo's cross-engine hash convention, so the sample is reproducible
+    and oracle-checkable doc-for-doc), and report target vs realized
+    mix per language.
+
+    Determinism: sqrt(n) is one IEEE op on the same exact integer in
+    both engines, floored to integer micro-weights immediately; every
+    downstream quantity (weight normalization, target counts, keep
+    rates, realized shares) is bigint floor arithmetic.  Fixture-scale
+    products stay far under 2^63; at 100 TB corpus counts the
+    weight-normalization products need HUGEINT/DOUBLE headroom — one
+    constant's rescale, same plan.
+
+    Shape: pass 1 is a map-combined lang count (|langs| rows); the
+    rate table is broadcast back onto the corpus scan, and pass 2 is
+    one map-side hash + filter-count per language — two linear scans,
+    zero data-sized shuffles.  This is exactly how a 100 TB mixing job
+    runs: rates from metadata, then one embarrassingly-parallel pass
+    tagging keeps."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.withColumn(
+        "weight_e6",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast(
+            "bigint"
+        ),
+    )
+    t = w.agg(
+        F.sum("weight_e6").alias("tw"), F.sum("n_docs").alias("tn")
+    )
+    r = (
+        w.crossJoin(F.broadcast(t))
+        .withColumn(
+            "target_n",
+            F.expr(
+                f"CAST((tn DIV {_TEMP_BUDGET_DENOM}) * weight_e6 DIV tw"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                "CAST(LEAST(1000000, target_n * 1000000 DIV n_docs)"
+                " AS BIGINT)"
+            ),
+        )
+        .select("lang", "n_docs", "weight_e6", "target_n", "rate_ppm")
+    )
+    hash_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    k = (
+        d.join(F.broadcast(r.select("lang", "rate_ppm")), "lang")
+        .groupBy("lang")
+        .agg(F.count_if(hash_ppm < F.col("rate_ppm")).alias("realized_n"))
+    )
+    return (
+        r.join(k, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "weight_e6",
+            "target_n",
+            "rate_ppm",
+            "realized_n",
+            F.expr("CAST(realized_n * 1000000 DIV n_docs AS BIGINT)").alias(
+                "realized_ppm"
+            ),
+        )
+    )

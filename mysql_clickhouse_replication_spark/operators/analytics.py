@@ -2336,3 +2336,102 @@ def events_sliding_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("est_within_5pct"),
         )
     )
+
+
+_COVERAGE_WINDOW_DAYS = 30  # open-order attention window per order
+
+
+@register(
+    "orders_active_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + {_COVERAGE_WINDOW_DAYS} AS e
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, o_orderkey, s, e,
+         MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+isl AS (
+  SELECT o_custkey, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m
+),
+spans AS (
+  SELECT o_custkey, span_id,
+         MIN(s) AS s0, MAX(e) AS e1, COUNT(*) AS n_orders
+  FROM isl GROUP BY o_custkey, span_id
+)
+SELECT o_custkey,
+       COUNT(*) AS n_spans,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(datediff('day', s0, e1)) AS BIGINT) AS covered_days,
+       MIN(s0) AS first_day,
+       MAX(e1) AS last_day
+FROM spans GROUP BY o_custkey
+""",
+)
+def orders_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer interval-union length (ClickHouse
+    ``intervalLengthSum`` parity — the one interval aggregate the
+    sweep-line family still lacked): each order opens a
+    {_COVERAGE_WINDOW_DAYS}-day attention window, overlapping windows
+    merge, and the answer is how many distinct days each customer had
+    at least one order open, plus the merged-span count (1 span = a
+    continuous engagement episode; many spans = bursty reordering).
+    The complement of events_peak_concurrency: that key asks "how many
+    at once, globally", this one "how long covered, per key".
+
+    Exactness: pure DATE/integer arithmetic end to end — interval
+    merge is the textbook gaps-and-islands (exclusive running MAX of
+    span ends detects gaps; running SUM of gap flags numbers the
+    islands), with (s, o_orderkey) total tiebreak order so both
+    engines build identical islands.
+
+    Scale: everything is keyed by o_custkey — the two windows share
+    ONE hashpartitioning(o_custkey) exchange (same partition + order
+    spec), the span/summary aggs reduce on its prefix, and no global
+    or banded machinery is needed because per-key sweeps distribute
+    perfectly.  At 100 TB this is one shuffle of (custkey, date,
+    orderkey) triples."""
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), _COVERAGE_WINDOW_DAYS).alias("e"),
+    )
+    worder = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    prev_max_e = F.max("e").over(
+        worder.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max_e", prev_max_e)
+    new_span = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+    ).otherwise(0)
+    isl = m.withColumn(
+        "span_id",
+        F.sum(new_span).over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = isl.groupBy("o_custkey", "span_id").agg(
+        F.min("s").alias("s0"),
+        F.max("e").alias("e1"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return spans.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum(F.datediff("e1", "s0")).alias("covered_days"),
+        F.min("s0").alias("first_day"),
+        F.max("e1").alias("last_day"),
+    )

@@ -268,3 +268,114 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pk").alias("max_pk"),
         )
     )
+
+
+@register(
+    "cdc_summing_merge",
+    oracle=f"""
+WITH decoded AS ({{decode}}),
+seq AS (
+  SELECT op, pk, seq, value,
+         LAG(op)    OVER w AS prev_op,
+         LAG(value) OVER w AS prev_value
+  FROM decoded
+  WINDOW w AS (PARTITION BY pk ORDER BY seq)
+),
+deltas AS (
+  SELECT pk,
+         CASE WHEN op = 'delete'
+              THEN CASE WHEN prev_op IS NOT NULL AND prev_op != 'delete'
+                        THEN -CAST(prev_value AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END
+              ELSE CAST(value AS DECIMAL(12,2))
+                   - CASE WHEN prev_op IS NOT NULL AND prev_op != 'delete'
+                          THEN CAST(prev_value AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END
+         END AS delta
+  FROM seq
+),
+sums AS (
+  SELECT pk, COUNT(*) AS n_deltas, SUM(delta) AS net
+  FROM deltas GROUP BY pk
+),
+state AS (
+  SELECT pk, op AS last_op, value AS last_value
+  FROM decoded
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+)
+SELECT sums.pk,
+       n_deltas,
+       CAST(net AS DOUBLE) AS net_value,
+       CAST(last_op != 'delete' AS INT) AS alive,
+       CAST(net = CASE WHEN last_op != 'delete'
+                       THEN CAST(last_value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END AS INT)
+         AS matches_state
+FROM sums JOIN state USING (pk)
+""".format(decode=_DECODE.strip()),
+)
+def cdc_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree twin — the CDC counter-table pattern: instead
+    of replacing rows, the replicator writes DELTA rows (insert ->
+    +value, update -> value - prev, delete -> -prev) and lets the
+    sink's merge SUM them per key; because addition commutes, merge
+    order and part layout can never change the answer — that
+    order-independence is the entire reason the pattern exists, and
+    this key PROVES it by checking the summed ledger equals the
+    replace-style compacted state for every pk (matches_state = 1
+    everywhere; a live pk's net equals its last value, a deleted pk's
+    net telescopes to exactly 0).
+
+    Determinism: deltas are exact DECIMAL(12,2) throughout — the sum
+    is order-free by exactness, surfaced once as DOUBLE; flags are
+    INT.  Shape: ONE pk-keyed window (LAG) feeding a map-combined
+    pk-sum, plus the last-row state from the same pk exchange
+    (hashpartitioning(pk) reused), then a pk equi-join — the identical
+    shuffle ClickHouse's merge pays, with AQE covering pk skew as in
+    cdc_apply_upsert."""
+    ev = table(spark, sf_dir, "events")
+    decoded = ev.select(
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    w = Window.partitionBy("pk").orderBy("seq")
+    d12 = "decimal(12,2)"
+    zero = F.lit(0).cast(d12)
+    seq = decoded.select(
+        "op",
+        "pk",
+        "seq",
+        "value",
+        F.lag("op").over(w).alias("prev_op"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    prev_live = F.col("prev_op").isNotNull() & (F.col("prev_op") != "delete")
+    prev_dec = F.when(prev_live, F.col("prev_value").cast(d12)).otherwise(zero)
+    delta = F.when(F.col("op") == "delete", -prev_dec).otherwise(
+        F.col("value").cast(d12) - prev_dec
+    )
+    sums = (
+        seq.select("pk", delta.alias("delta"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_deltas"), F.sum("delta").alias("net"))
+    )
+    wlast = Window.partitionBy("pk").orderBy(F.desc("seq"))
+    state = (
+        decoded.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("pk", F.col("op").alias("last_op"), F.col("value").alias("last_value"))
+    )
+    live = F.col("last_op") != "delete"
+    expect = F.when(live, F.col("last_value").cast(d12)).otherwise(zero)
+    return sums.join(state, "pk").select(
+        "pk",
+        "n_deltas",
+        F.col("net").cast("double").alias("net_value"),
+        live.cast("int").alias("alive"),
+        (F.col("net") == expect).cast("int").alias("matches_state"),
+    )

@@ -1432,3 +1432,32 @@ def test_fuzzy_match_pairing_window_is_partitioned(plans):
     p = plans("fn_fuzzy_match", "simple")
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_summing_merge_single_pk_exchange(plans):
+    # LAG deltas, the pk sum, and the last-row state all ride ONE
+    # hashpartitioning(pk) exchange; the final assembly is a pk
+    # equi-join, no cartesian, no python.
+    p = plans("cdc_summing_merge", "simple")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_active_coverage_windows_share_custkey_exchange(plans):
+    # both islands windows and both aggs distribute on o_custkey; one
+    # data-sized exchange total, nothing single-partition.
+    p = plans("orders_active_coverage", "simple")
+    assert "hashpartitioning(o_custkey" in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in p
+
+
+def test_temperature_sample_broadcasts_rates(plans):
+    # the |langs|-row rate table broadcasts onto the corpus scan; the
+    # only corpus-sized shuffles are the two map-combined lang aggs.
+    p = plans("docs_temperature_sample", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
