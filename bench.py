@@ -80,6 +80,7 @@ EXTRA = [
     "cdc_summing_merge",
     "orders_active_coverage",
     "docs_temperature_sample",
+    "cdc_snapshot_overlap_resolve",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

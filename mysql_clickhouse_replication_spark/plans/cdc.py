@@ -1198,3 +1198,133 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_snapshot_overlap_resolve",
+    oracle=f"""
+WITH log AS (SELECT tbl, pk, seq, op, value FROM ({_DECODE_SQL})),
+cut AS (
+  SELECT CAST(FLOOR(MAX(seq) * 0.4) AS BIGINT)  AS c1,
+         CAST(FLOOR(MAX(seq) * 0.25) AS BIGINT) AS c0
+  FROM log
+),
+snap AS (
+  SELECT tbl, pk, seq, op, value FROM (
+    SELECT l.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM log l CROSS JOIN cut WHERE seq <= c1)
+  WHERE rn = 1 AND op != 'delete'
+),
+binlog AS (SELECT l.tbl, l.pk, l.seq, l.op, l.value
+           FROM log l CROSS JOIN cut WHERE seq > c0),
+merged AS (
+  SELECT tbl, pk, seq, op, value FROM (
+    SELECT u.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM binlog) u)
+  WHERE rn = 1 AND op != 'delete'
+),
+direct AS (
+  SELECT tbl, pk, seq, op, value FROM (
+    SELECT l.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM log l)
+  WHERE rn = 1 AND op != 'delete'
+),
+counts AS (
+  SELECT b.tbl,
+         CAST(COUNT(*) AS BIGINT) AS n_binlog,
+         CAST(COUNT(*) FILTER (b.seq <= c1) AS BIGINT) AS n_overlap
+  FROM binlog b CROSS JOIN cut GROUP BY b.tbl
+),
+sn AS (SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_snapshot
+       FROM snap GROUP BY tbl),
+ms AS (
+  SELECT tbl, COUNT(*) AS n_live,
+         CAST(SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+              AS BIGINT) AS state_hash
+  FROM merged GROUP BY tbl
+),
+ds AS (
+  SELECT tbl, COUNT(*) AS n_live_direct,
+         CAST(SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+              AS BIGINT) AS direct_hash
+  FROM direct GROUP BY tbl
+)
+SELECT ms.tbl, sn.n_snapshot, counts.n_binlog, counts.n_overlap,
+       ms.n_live, ms.state_hash,
+       CAST(ms.n_live = ds.n_live_direct
+        AND ms.state_hash = ds.direct_hash AS INT) AS consistent
+FROM ms
+JOIN ds USING (tbl) JOIN sn USING (tbl) JOIN counts USING (tbl)
+""",
+)
+def cdc_snapshot_overlap_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-window overlap resolution — the correctness problem
+    every snapshot-plus-tail replicator must solve (Debezium's
+    "snapshot window"): the initial snapshot is cut at c1, but the
+    binlog reader was started earlier, at low-watermark c0 < c1, so
+    every event in (c0, c1] arrives TWICE — once baked into the
+    snapshot state, once from the stream.  The resolution is
+    version-aware idempotent apply: snapshot rows carry their source
+    version (seq), and merge = compact(snapshot ∪ binlog) — a stale
+    replayed event can never regress a newer snapshot row, and the
+    duplicated (pk, seq) pairs collapse bit-identically because both
+    copies are the same row.  The key PROVES the resolution: the
+    merged state's per-table row count and order-insensitive checksum
+    must equal a direct one-pass compaction of the full changelog
+    (consistent = 1 for every table), alongside the overlap volume the
+    dedup absorbed.
+
+    Shape: three pk-keyed compaction windows (snapshot, merged,
+    direct) and per-table rollups — each a map-combined agg on the
+    window's own exchange prefix; the cut scalars ride a 1-row
+    broadcast.  At 100 TB the overlap window is bounded by snapshot
+    duration x write rate, so the union adds a vanishing fraction to
+    the one full-scan compaction this check shares with
+    cdc_apply_upsert."""
+    log = _changelog(spark, sf_dir).select("tbl", "pk", "seq", "op", "value")
+    cut = log.agg(
+        F.floor(F.max("seq") * 0.4).cast("bigint").alias("c1"),
+        F.floor(F.max("seq") * 0.25).cast("bigint").alias("c0"),
+    )
+    with_cut = log.crossJoin(F.broadcast(cut))
+    snap = compact(
+        with_cut.filter(F.col("seq") <= F.col("c1")).drop("c0", "c1"),
+        drop_deletes=True,
+    )
+    binlog = with_cut.filter(F.col("seq") > F.col("c0")).drop("c0", "c1")
+    merged = compact(snap.unionByName(binlog), drop_deletes=True)
+    direct = compact(log, drop_deletes=True)
+
+    rh = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "pk", "seq")), 1, 8), 16, 10
+    ).cast("bigint")
+
+    def rollup(df: DataFrame, n: str, h: str) -> DataFrame:
+        return df.groupBy("tbl").agg(
+            F.count(F.lit(1)).alias(n), F.sum(rh).alias(h)
+        )
+
+    ms = rollup(merged, "n_live", "state_hash")
+    ds = rollup(direct, "n_live_direct", "direct_hash")
+    sn = snap.groupBy("tbl").agg(F.count(F.lit(1)).alias("n_snapshot"))
+    counts = (
+        binlog.crossJoin(F.broadcast(cut))
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_binlog"),
+            F.count_if(F.col("seq") <= F.col("c1")).alias("n_overlap"),
+        )
+    )
+    consistent = (
+        (F.col("n_live") == F.col("n_live_direct"))
+        & (F.col("state_hash") == F.col("direct_hash"))
+    )
+    return (
+        ms.join(ds, "tbl")
+        .join(sn, "tbl")
+        .join(counts, "tbl")
+        .select(
+            "tbl", "n_snapshot", "n_binlog", "n_overlap", "n_live",
+            "state_hash", consistent.cast("int").alias("consistent"),
+        )
+    )

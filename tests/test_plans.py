@@ -1373,6 +1373,7 @@ _BOUNDED_SINGLE_PARTITION_WINDOWS = {
     "cdc_seq_coverage_ranges": "|ranges|-frame start/end zip x2",
     "cdc_snapshot_diff": "per-table classification summary",
     "cdc_snapshot_increment": "cut-point scalar + summary",
+    "cdc_snapshot_overlap_resolve": "1-row cut scalar agg; windows pk-keyed",
     "cdc_tombstone_gc": "per-table GC summary frames",
     "docs_dedup_pipeline": "stage-funnel summary rows",
     "docs_shard_balance": "|shards| summary rows",
@@ -1460,4 +1461,12 @@ def test_temperature_sample_broadcasts_rates(plans):
     p = plans("docs_temperature_sample", "simple")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_snapshot_overlap_resolve_no_cartesian_pk_windows(plans):
+    # three pk-keyed compaction windows + per-table rollups; the only
+    # cross joins are the 1-row cut broadcasts.
+    p = plans("cdc_snapshot_overlap_resolve", "simple")
+    assert "hashpartitioning(pk" in p
     assert "BatchEvalPython" not in p
