@@ -71,6 +71,18 @@ AUDIT = {
     "win_reset_running_sum": "ONE Exchange hashpartitioning(custkey) shared "
     "by both stacked windows — segment id and per-segment cumsum re-sort "
     "in place",
+    "analytics_segment_migration": "both period quartiles via banded ranks: "
+    "hashpartitioning(_band) windows + broadcast |bands| offsets + the "
+    "NTILE closed form — no ntile, no data-sized SinglePartition window",
+    "cdc_summing_merge": "LAG deltas, pk sum, and last-row state share one "
+    "hashpartitioning(pk) exchange; final assembly is a pk equi-join",
+    "orders_active_coverage": "both islands windows and both reducing aggs "
+    "ride one hashpartitioning(o_custkey) exchange — per-key interval "
+    "union with no global machinery",
+    "docs_temperature_sample": "|langs|-row rate table broadcast onto the "
+    "corpus scan; the only corpus-sized work is two map-combined lang aggs",
+    "cdc_snapshot_overlap_resolve": "three pk-keyed compaction windows + "
+    "per-table rollups; cut scalars enter via 1-row broadcasts",
 }
 
 
