@@ -1,15 +1,21 @@
 """Scan every registered query's OUTPUT schema for driver-gate-fragile
 column types.
 
-CORRECTNESS_r04 evidence: the driver's pandas canonicalizer (a) crashes
-on ARRAY/MAP-typed output columns (`unhashable type: 'list'`) and
-(b) hash-drifts on raw DOUBLE and BOOLEAN surfaces.  Keys whose final
-projection exposes those types risk losing their rotation-window slot.
+CORRECTNESS_r04/r05 evidence: the driver's pandas canonicalizer
+(a) crashes on ARRAY/MAP-typed output columns (`unhashable type:
+'list'`) and (b) hash-drifts whenever the post-pandas DTYPE CLASS
+differs between engines — Spark DECIMAL arrives as object(Decimal)
+while a DuckDB DECIMAL/HUGEINT arrives as float64 (the r5 red-row
+class).  DOUBLE and BOOLEAN are advisory only: both are PROVEN SAFE
+when the oracle side carries the same class (13 green BOOLEAN rows,
+dozens of green dsum DOUBLE rows) — they are listed so a reviewer can
+confirm the oracle side matches.  The oracle half of the check is
+tools/oracle_dtype_lint.py; the end-to-end replay is
+tools/pandas_gate_sim.py.
 
 This tool builds each DataFrame lazily (no execution) and reports, in
-registration order, every key with array/map/boolean/float output
-columns so they can be hardened (joined strings / INT casts / integer
-fixed-point) before the driver samples them.
+registration order, every key with array/map/decimal (hard) or
+boolean/float (advisory) output columns.
 
 Usage: python tools/fragile_scan.py [--limit N]
 """
@@ -54,10 +60,14 @@ def main() -> int:
             t = f.dataType.simpleString()
             if t.startswith(("array", "map")):
                 bad.append(f"{f.name}:{t}:CRASH")
+            elif t.startswith("decimal"):
+                # object(Decimal) in pandas vs float64 from DuckDB —
+                # the r5 fn_try_cast red row; surface as DOUBLE/string
+                bad.append(f"{f.name}:{t}:CLASS-DRIFT")
             elif t == "boolean":
-                bad.append(f"{f.name}:bool")
+                bad.append(f"{f.name}:bool(advisory)")
             elif t in ("double", "float"):
-                bad.append(f"{f.name}:{t}")
+                bad.append(f"{f.name}:{t}(advisory)")
         if bad:
             n_fragile += 1
             print(f"{pos:3d} {k}: " + ", ".join(bad))
