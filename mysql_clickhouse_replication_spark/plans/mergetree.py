@@ -343,6 +343,16 @@ def cdc_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         "value",
     )
+    return summing_ledger(decoded)
+
+
+def summing_ledger(decoded: DataFrame) -> DataFrame:
+    """The SummingMergeTree ledger over ANY (op, pk, seq, value)
+    changelog: delta rows per event, per-pk delta sum, and the
+    matches_state proof against the last-row state.  Split out so the
+    telescoping invariant (net == live value, or 0 after a delete) is
+    property-testable on arbitrary changelogs, not just the fixture
+    (tests/test_properties.py)."""
     w = Window.partitionBy("pk").orderBy("seq")
     d12 = "decimal(12,2)"
     zero = F.lit(0).cast(d12)

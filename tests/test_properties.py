@@ -378,3 +378,23 @@ def test_label_propagate_verify_mode_proves_convergence(spark):
     # diameter 31: the schedule cannot cover it -> must raise
     with pytest.raises(RuntimeError, match="still decreasing"):
         _min_label_propagate(path_edges(32), verify=True)
+
+
+@given(events=_events, seed=st.integers(min_value=0, max_value=99))
+@settings(**_SETTINGS)
+def test_summing_ledger_telescopes_to_state(spark, events, seed):
+    """SummingMergeTree ledger invariant on ARBITRARY changelogs (incl.
+    delete-then-reinsert and leading deletes): the per-pk delta sum
+    must equal the live value (or 0 after a final delete) for every
+    pk — matches_state = 1 on every row — and input row order must
+    not matter (commutative merge is the pattern's whole point)."""
+    from mysql_clickhouse_replication_spark.plans.mergetree import (
+        summing_ledger,
+    )
+
+    out = summing_ledger(_log_df(spark, events, shuffle_seed=seed)).collect()
+    assert out, "ledger lost every pk"
+    assert all(r["matches_state"] == 1 for r in out), out
+    assert all(
+        (r["alive"] == 0) <= (r["net_value"] == 0.0) for r in out
+    ), out
