@@ -123,7 +123,7 @@ _PRECAST_R06 = [
 # Keys first registered in round 6 -- front-loaded into the r06 window.
 _R06_NEW = [
     "cdc_summing_merge", "orders_active_coverage", "docs_temperature_sample",
-    "cdc_snapshot_overlap_resolve",
+    "cdc_snapshot_overlap_resolve", "docs_license_filter",
 ]
 
 

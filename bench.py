@@ -81,6 +81,7 @@ EXTRA = [
     "orders_active_coverage",
     "docs_temperature_sample",
     "cdc_snapshot_overlap_resolve",
+    "docs_license_filter",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

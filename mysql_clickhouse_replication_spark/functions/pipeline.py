@@ -1552,3 +1552,111 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "docs_license_filter",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 7 != 0 THEN text
+              WHEN doc_id % 3 = 0 THEN
+                text || ' This work is licensed under a Creative Commons'
+                     || ' Attribution 4.0 License.'
+              WHEN doc_id % 3 = 1 THEN
+                text || ' Copyright (c) 2019 Example Corp. All rights'
+                     || ' reserved.'
+              ELSE text || ' SPDX-License-Identifier: MIT'
+         END AS text
+  FROM documents
+),
+cls AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN regexp_matches(text, 'SPDX-License-Identifier: [A-Za-z0-9.-]+')
+             THEN 'spdx'
+           WHEN regexp_matches(lower(text), 'creative commons')
+             THEN 'permissive_cc'
+           WHEN regexp_matches(lower(text), 'all rights reserved')
+             THEN 'restrictive'
+           ELSE 'none'
+         END AS license_class,
+         CAST(doc_id % 7 = 0 AS INT) AS injected
+  FROM synth
+)
+SELECT source, license_class,
+       COUNT(*) AS n_docs,
+       CAST(SUM(injected) AS BIGINT) AS n_injected,
+       CAST(SUM(CASE WHEN (license_class != 'none') != (injected = 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(COUNT(*) FILTER (license_class IN ('restrictive'))
+            * 1000000 // COUNT(*) AS BIGINT) AS drop_rate_ppm
+FROM cls GROUP BY source, license_class
+""",
+)
+def docs_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/copyright routing — the corpus-compliance stage every
+    LLM data pipeline runs between crawl and training mix (C4/Dolma
+    class): detect SPDX identifiers, Creative-Commons grants, and
+    all-rights-reserved notices, classify each document
+    (spdx / permissive_cc / restrictive / none — first match wins in
+    that order), and report the per-source routing profile with the
+    restrictive-drop rate.  The fixture corpus is synthetic word-salad,
+    so license lines are INJECTED deterministically (doc_id % 7,
+    rotating class by doc_id % 3 — the text_pii_scrub convention),
+    which also yields a built-in detector audit: n_mismatch counts
+    docs whose detection verdict disagrees with the injection plan and
+    must be 0 in every group.
+
+    Shape: pure map-side regexp classification fused into the scan,
+    then ONE |sources|x|classes|-row grouped agg — at 100 TB this is a
+    single linear pass, the same cost envelope as text_quality."""
+    d = table(spark, sf_dir, "documents")
+    injected = F.col("doc_id") % 7 == 0
+    text = (
+        F.when(~injected, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " This work is licensed under a Creative Commons"
+                    " Attribution 4.0 License."
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" Copyright (c) 2019 Example Corp. All rights reserved."),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" SPDX-License-Identifier: MIT")))
+    )
+    lower = F.lower(text)
+    license_class = (
+        F.when(
+            text.rlike("SPDX-License-Identifier: [A-Za-z0-9.-]+"), "spdx"
+        )
+        .when(lower.rlike("creative commons"), "permissive_cc")
+        .when(lower.rlike("all rights reserved"), "restrictive")
+        .otherwise("none")
+    )
+    cls = d.select(
+        "source",
+        license_class.alias("license_class"),
+        injected.cast("int").alias("injected"),
+    )
+    detected = F.col("license_class") != "none"
+    return cls.groupBy("source", "license_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("injected").alias("n_injected"),
+        F.sum(
+            F.when(detected != (F.col("injected") == 1), 1).otherwise(0)
+        ).alias("n_mismatch"),
+        F.expr(
+            "CAST(count_if(license_class = 'restrictive') * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("drop_rate_ppm"),
+    )

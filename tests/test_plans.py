@@ -1470,3 +1470,13 @@ def test_snapshot_overlap_resolve_no_cartesian_pk_windows(plans):
     p = plans("cdc_snapshot_overlap_resolve", "simple")
     assert "hashpartitioning(pk" in p
     assert "BatchEvalPython" not in p
+
+
+def test_license_filter_is_map_side_classification(plans):
+    # regexp classification fuses into the scan; the only shuffle is
+    # the bounded (source, class) agg — no join, no window, no python.
+    p = plans("docs_license_filter", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
