@@ -274,3 +274,50 @@ def test_business_days_exhaustive_weekday_span_pairs(spark):
     got = {(r["d0"], r["d1"]): r["bd"] for r in df.collect()}
     for d0, d1 in rows:
         assert got[(d0, d1)] == brute(d0, d1), (d0, d1)
+
+
+def test_active_coverage_touching_intervals_merge(spark, tmp_path_factory):
+    """Interval-union edges: back-to-back orders whose windows TOUCH
+    (next start == previous end) must merge into one span (exclusive
+    ends: coverage has no gap), while a 1-day gap splits.  Feeds a
+    hand-built orders table through the registered query."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("cov_orders")
+    base = datetime.date(2024, 1, 1)
+    rows = {
+        # cust 1: second window starts exactly at first window's end
+        # (day 30) -> ONE merged span of 60 days
+        "o_custkey": [1, 1, 2, 2],
+        "o_orderkey": [10, 11, 20, 21],
+        "o_orderdate": [
+            base,
+            base + datetime.timedelta(days=30),
+            # cust 2: 31-day gap -> TWO spans of 30 days each
+            base,
+            base + datetime.timedelta(days=61),
+        ],
+    }
+    tbl = pa.table(rows)
+    pq.write_table(tbl, os.path.join(str(d), "orders.parquet"))
+    out = {
+        r["o_custkey"]: r
+        for r in e.queries()["orders_active_coverage"](spark, str(d)).collect()
+    }
+    assert out[1]["n_spans"] == 1 and out[1]["covered_days"] == 60
+    assert out[2]["n_spans"] == 2 and out[2]["covered_days"] == 60
+
+
+def test_temperature_sample_rates_capped_and_budgeted(spark, sf_dir):
+    """Temperature-mixing invariants on the live fixture: every keep
+    rate is a valid ppm (0..1e6], the realized share never exceeds the
+    rate's implied ceiling, and the total target stays within the
+    half-corpus budget."""
+    rows = e.queries()["docs_temperature_sample"](spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_target = sum(r["target_n"] for r in rows)
+    assert total_target <= total_docs // 2
+    for r in rows:
+        assert 0 < r["rate_ppm"] <= 1_000_000
+        assert 0 <= r["realized_n"] <= r["n_docs"]
