@@ -82,6 +82,7 @@ EXTRA = [
     "docs_temperature_sample",
     "cdc_snapshot_overlap_resolve",
     "docs_license_filter",
+    "events_counter_delta_sum",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

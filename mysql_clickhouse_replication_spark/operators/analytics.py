@@ -2435,3 +2435,69 @@ def orders_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s0").alias("first_day"),
         F.max("e1").alias("last_day"),
     )
+
+
+@register(
+    "events_counter_delta_sum",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         LAG(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       CAST(COUNT(*) FILTER (prev IS NOT NULL AND v < prev) AS BIGINT)
+         AS n_resets,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND v >= prev THEN v - prev
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS delta_sum,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev THEN v
+                     WHEN prev IS NULL THEN CAST(0 AS DECIMAL(12,2))
+                     ELSE v - prev END) AS DOUBLE) AS monotonic_increase
+FROM seq GROUP BY user_id
+""",
+)
+def events_counter_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter aggregation (ClickHouse ``deltaSum`` /
+    Prometheus ``increase()`` parity) — the monitoring-pipeline
+    primitive for counters that reset on process restart: per series,
+    ``delta_sum`` adds only the non-negative steps (a drop is a reset,
+    not negative traffic), ``monotonic_increase`` additionally credits
+    the post-reset level itself (Prometheus's interpretation: a reset
+    to v means v new increments since the last sample), and
+    ``n_resets`` counts the drops.  Exact DECIMAL step arithmetic —
+    both engines see the identical LAG neighbor under the
+    (ts, event_id) total order, so every step is bitwise-identical;
+    only the final totals surface as DOUBLE.
+
+    Shape: ONE user-keyed LAG window and ONE grouped agg on the same
+    hashpartitioning(user_id) exchange — the sessionize_batch shuffle
+    discipline; at 100 TB this is a single keyed pass, and in
+    production the same expression runs per (host, metric) series."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast(D12)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    zero = F.lit(0).cast(D12)
+    seq = ev.select(
+        "user_id", v.alias("v"), F.lag(v).over(w).alias("prev")
+    )
+    has_prev = F.col("prev").isNotNull()
+    rose = has_prev & (F.col("v") >= F.col("prev"))
+    reset = has_prev & (F.col("v") < F.col("prev"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count_if(reset).alias("n_resets"),
+        F.sum(F.when(rose, F.col("v") - F.col("prev")).otherwise(zero))
+        .cast("double")
+        .alias("delta_sum"),
+        F.sum(
+            F.when(reset, F.col("v"))
+            .when(~has_prev, zero)
+            .otherwise(F.col("v") - F.col("prev"))
+        )
+        .cast("double")
+        .alias("monotonic_increase"),
+    )

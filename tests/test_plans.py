@@ -1480,3 +1480,13 @@ def test_license_filter_is_map_side_classification(plans):
     assert "Window" not in p
     assert "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_counter_delta_sum_single_user_exchange(plans):
+    # LAG steps and the per-series totals share one user_id exchange;
+    # no join, no python, nothing single-partition.
+    p = plans("events_counter_delta_sum", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
