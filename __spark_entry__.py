@@ -124,7 +124,7 @@ _PRECAST_R06 = [
 _R06_NEW = [
     "cdc_summing_merge", "orders_active_coverage", "docs_temperature_sample",
     "cdc_snapshot_overlap_resolve", "docs_license_filter",
-    "events_counter_delta_sum",
+    "events_counter_delta_sum", "cdc_column_mask_policy",
 ]
 
 

@@ -83,6 +83,7 @@ EXTRA = [
     "cdc_snapshot_overlap_resolve",
     "docs_license_filter",
     "events_counter_delta_sum",
+    "cdc_column_mask_policy",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

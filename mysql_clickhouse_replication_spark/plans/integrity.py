@@ -732,3 +732,93 @@ def cdc_gtid_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("resume_from"),
         )
     )
+
+
+@register(
+    "cdc_column_mask_policy",
+    oracle=f"""
+WITH log AS (SELECT tbl, pk, seq, op, value, prop_k FROM ({_DECODE_SQL})),
+masked AS (
+  SELECT tbl, pk, seq, op,
+         -- t1: value is sensitive -> preserve-format token bucketing
+         --     (exact value destroyed, magnitude band kept for analytics)
+         CASE WHEN tbl = 't1'
+              THEN CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 10) * 10
+                        AS DECIMAL(12,2))
+              ELSE CAST(value AS DECIMAL(12,2)) END AS value_out,
+         -- t2: prop_k is sensitive -> deterministic keyed hash token
+         --     (joinable pseudonym, irreversible without the table salt)
+         CASE WHEN tbl = 't2' AND prop_k IS NOT NULL
+              THEN ('0x' || substr(md5('t2-salt|' || CAST(prop_k AS VARCHAR)),
+                                   1, 8))::BIGINT
+              ELSE prop_k END AS prop_k_out,
+         CAST(tbl = 't1' AS INT) AS value_masked,
+         CAST(tbl = 't2' AND prop_k IS NOT NULL AS INT) AS prop_masked
+  FROM log
+)
+SELECT tbl,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_masked) AS BIGINT) AS n_value_masked,
+       CAST(SUM(prop_masked) AS BIGINT) AS n_prop_masked,
+       CAST(SUM(value_out) AS DOUBLE) AS sum_value_out,
+       CAST(SUM(CASE WHEN prop_k_out IS NULL THEN 0 ELSE prop_k_out END)
+            AS BIGINT) AS propsum_out,
+       CAST(COUNT(DISTINCT prop_k_out) AS BIGINT) AS prop_cardinality
+FROM masked GROUP BY tbl
+""",
+)
+def cdc_column_mask_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking policies applied IN the replication path
+    (the Debezium SMT / ClickHouse column-ACL pattern): a per-table
+    policy map declares which columns are sensitive and HOW to mask —
+    t1's numeric value is band-bucketed (exact amount destroyed,
+    magnitude band preserved so sink analytics stay meaningful), t2's
+    prop_k becomes a deterministic SALTED-HASH pseudonym (stable across
+    events, so joins and distinct-counts still work, irreversible
+    without the salt), other tables pass through.  The verified
+    surface is the per-table masking audit: how many cells each policy
+    touched, the masked-value totals, and the pseudonym cardinality —
+    which must equal the original column's cardinality (deterministic
+    tokenization is bijective per salt; a drifting cardinality would
+    mean a broken pseudonym).
+
+    Shape: pure map-side CASE/hash expressions fused into the decode
+    scan, then ONE |tables|-row grouped agg — masking at 100 TB is a
+    zero-shuffle pass-through stage, which is exactly why it belongs
+    in the replicator rather than a post-hoc sink job."""
+    log = _changelog(spark, sf_dir).select(
+        "tbl", "pk", "seq", "op", "value", "prop_k"
+    )
+    vdec = F.col("value").cast(D12)
+    value_out = F.when(
+        F.col("tbl") == "t1",
+        (F.floor(vdec / 10) * 10).cast(D12),
+    ).otherwise(vdec)
+    mask_prop = (F.col("tbl") == "t2") & F.col("prop_k").isNotNull()
+    prop_out = F.when(
+        mask_prop,
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t2-salt|"), F.col("prop_k").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    ).otherwise(F.col("prop_k").cast("bigint"))
+    masked = log.select(
+        "tbl",
+        value_out.alias("value_out"),
+        prop_out.alias("prop_k_out"),
+        (F.col("tbl") == "t1").cast("int").alias("value_masked"),
+        mask_prop.cast("int").alias("prop_masked"),
+    )
+    return masked.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_masked").alias("n_value_masked"),
+        F.sum("prop_masked").alias("n_prop_masked"),
+        F.sum("value_out").cast("double").alias("sum_value_out"),
+        F.sum(F.coalesce(F.col("prop_k_out"), F.lit(0))).alias("propsum_out"),
+        F.countDistinct("prop_k_out").alias("prop_cardinality"),
+    )

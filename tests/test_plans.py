@@ -1490,3 +1490,14 @@ def test_counter_delta_sum_single_user_exchange(plans):
     assert "Join" not in p
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_mask_policy_is_map_side_zero_extra_shuffle(plans):
+    # masking fuses into the decode scan; the only exchange is the
+    # bounded per-table audit agg (countDistinct adds its expand agg
+    # on the same key) — no join, no window, no python.
+    p = plans("cdc_column_mask_policy", "simple")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
