@@ -84,6 +84,7 @@ EXTRA = [
     "docs_license_filter",
     "events_counter_delta_sum",
     "cdc_column_mask_policy",
+    "cdc_dlq_replay_merge",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

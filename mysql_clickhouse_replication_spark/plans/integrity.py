@@ -822,3 +822,152 @@ def cdc_column_mask_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("prop_k_out"), F.lit(0))).alias("propsum_out"),
         F.countDistinct("prop_k_out").alias("prop_cardinality"),
     )
+
+
+@register(
+    "cdc_dlq_replay_merge",
+    oracle=f"""
+WITH log AS (
+  SELECT tbl, pk, seq, op, value, props FROM (
+    SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error'  THEN 'delete'
+                ELSE 'update' END AS op,
+           't' || CAST(user_id % 4 AS VARCHAR) AS tbl,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS pk,
+           event_id AS seq, value,
+           CASE WHEN event_id % 53 = 0 THEN '{{"k":'
+                WHEN event_id % 59 = 0 THEN '{{"k": "oops"}}'
+                ELSE props END AS props
+    FROM events)
+),
+cls AS (
+  SELECT *,
+         CASE WHEN pk IS NULL THEN 'null_pk'
+              WHEN NOT json_valid(props) THEN 'bad_json'
+              WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   IS NULL THEN 'bad_type'
+              ELSE 'ok' END AS reason
+  FROM log
+),
+applied AS (
+  -- main path: ok rows decode normally; repaired DLQ rows re-enter
+  -- with their ORIGINAL seq and a nulled payload field; null_pk rows
+  -- are unrecoverable and never re-enter
+  SELECT tbl, pk, seq, op, value,
+         CASE WHEN reason = 'ok'
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+              ELSE NULL END AS prop_k
+  FROM cls WHERE reason != 'null_pk'
+),
+state AS (
+  SELECT * FROM applied
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1
+),
+live AS (SELECT * FROM state WHERE op != 'delete'),
+counts AS (
+  SELECT tbl,
+         CAST(COUNT(*) FILTER (reason = 'ok') AS BIGINT) AS n_ok,
+         CAST(COUNT(*) FILTER (reason IN ('bad_json', 'bad_type'))
+              AS BIGINT) AS n_repaired,
+         CAST(COUNT(*) FILTER (reason = 'null_pk') AS BIGINT)
+           AS n_unrecoverable
+  FROM cls GROUP BY tbl
+)
+SELECT counts.tbl, n_ok, n_repaired, n_unrecoverable,
+       COALESCE(lv.n_live, 0) AS n_live,
+       COALESCE(lv.state_hash, 0) AS state_hash,
+       COALESCE(lv.n_degraded, 0) AS n_degraded
+FROM counts
+LEFT JOIN (
+  SELECT tbl, COUNT(*) AS n_live,
+         CAST(SUM(('0x' || substr(md5(pk || '|' || seq), 1, 8))::BIGINT)
+              AS BIGINT) AS state_hash,
+         CAST(COUNT(*) FILTER (prop_k IS NULL) AS BIGINT) AS n_degraded
+  FROM live GROUP BY tbl) lv ON counts.tbl = lv.tbl
+""",
+)
+def cdc_dlq_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ replay — the second half of the dead-letter contract
+    (cdc_dlq_split routes; this key proves the DLQ is not a dead end):
+    after the parser fix deploys, repaired events re-enter the apply
+    stream with their ORIGINAL sequence numbers and a degraded payload
+    (the unparseable field nulled), so version ordering is preserved
+    and the merge is idempotent; only null-pk rows stay permanently
+    dead.  The verified surface per table: routing counts, the live
+    state after replay (count + order-insensitive checksum), and how
+    many live rows carry a degraded payload — the honest data-quality
+    residue a replay leaves.
+
+    Shape: one map-side classify/repair pass fused into the decode
+    scan, ONE pk-keyed compaction of the (ok ∪ repaired) stream, and
+    a per-table rollup — identical cost envelope to cdc_apply_delete
+    plus a |tables|-row join; the replay adds nothing data-sized."""
+    ev = table(spark, sf_dir, "events")
+    inj_props = (
+        F.when(F.col("event_id") % 53 == 0, F.lit('{"k":'))
+        .when(F.col("event_id") % 59 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+    )
+    log = ev.select(
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tbl"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("pk"),
+        F.col("event_id").alias("seq"),
+        "value",
+        inj_props.alias("props"),
+    )
+    # parse the payload ONCE per row and reuse the materialized columns
+    # in both reason and repair (measured 3.1 s -> 2.4 s at sf0.1 vs
+    # re-parsing per branch; a schema'd from_json was tried and is
+    # SLOWER here — 3.5 s — full-struct Jackson parse + corrupt-record
+    # machinery costs more than two scalar-path probes)
+    parsed = log.withColumns(
+        {
+            "_k_int": F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)"),
+            "_json_ok": F.get_json_object("props", "$").isNotNull(),
+        }
+    )
+    reason = (
+        F.when(F.col("pk").isNull(), "null_pk")
+        .when(~F.col("_json_ok"), "bad_json")
+        .when(F.col("_k_int").isNull(), "bad_type")
+        .otherwise("ok")
+    )
+    cls = parsed.withColumn("reason", reason)
+    applied = cls.filter(F.col("reason") != "null_pk").select(
+        "tbl",
+        "pk",
+        "seq",
+        "op",
+        "value",
+        F.when(F.col("reason") == "ok", F.col("_k_int"))
+        .otherwise(F.lit(None))
+        .alias("prop_k"),
+    )
+    live = compact(applied, drop_deletes=True)
+    counts = cls.groupBy("tbl").agg(
+        F.count_if(F.col("reason") == "ok").alias("n_ok"),
+        F.count_if(F.col("reason").isin("bad_json", "bad_type")).alias(
+            "n_repaired"
+        ),
+        F.count_if(F.col("reason") == "null_pk").alias("n_unrecoverable"),
+    )
+    lv = live.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(_row_hash32(F.col("pk"), F.col("seq"))).alias("state_hash"),
+        F.count_if(F.col("prop_k").isNull()).alias("n_degraded"),
+    )
+    return counts.join(lv, "tbl", "left").select(
+        "tbl",
+        "n_ok",
+        "n_repaired",
+        "n_unrecoverable",
+        F.coalesce("n_live", F.lit(0)).alias("n_live"),
+        F.coalesce("state_hash", F.lit(0)).alias("state_hash"),
+        F.coalesce("n_degraded", F.lit(0)).alias("n_degraded"),
+    )

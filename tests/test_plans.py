@@ -1501,3 +1501,12 @@ def test_mask_policy_is_map_side_zero_extra_shuffle(plans):
     assert "Window" not in p
     assert "BatchEvalPython" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_dlq_replay_single_pk_compaction(plans):
+    # classify/repair is map-side; one pk-keyed compaction window over
+    # the replayed stream; the per-table join is bounded.
+    p = plans("cdc_dlq_replay_merge", "simple")
+    assert "hashpartitioning(pk" in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
