@@ -125,7 +125,7 @@ _R06_NEW = [
     "cdc_summing_merge", "orders_active_coverage", "docs_temperature_sample",
     "cdc_snapshot_overlap_resolve", "docs_license_filter",
     "events_counter_delta_sum", "cdc_column_mask_policy",
-    "cdc_dlq_replay_merge",
+    "cdc_dlq_replay_merge", "agg_topk_weighted", "orders_backlog_aging",
 ]
 
 

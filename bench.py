@@ -85,6 +85,8 @@ EXTRA = [
     "events_counter_delta_sum",
     "cdc_column_mask_policy",
     "cdc_dlq_replay_merge",
+    "agg_topk_weighted",
+    "orders_backlog_aging",
     "cdc_ddl_route",
     "cdc_type_edges",
     "cdc_gtid_resume",

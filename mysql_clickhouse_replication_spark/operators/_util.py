@@ -11,6 +11,16 @@ is sized so Spark's and DuckDB's result-type rules both stay exact:
 * rates (discount/tax <1) -> DECIMAL(4,2)
 * one product step        -> precision grows ~+5/+13, scale +2 — two
   chained multiplies stay under precision 38 in both engines.
+
+ppm-surface overflow envelope: the all-integer `x * 1000000 DIV total`
+fixed-point convention is exact while x < 2^63/10^6 ~ 9.2e12 (ANSI
+multiply errors past it — orders_backlog_aging hit this on cent sums
+at sf1 and was rewritten divisor-first: `cents DIV (total DIV 1e6)`,
+valid whenever total >> 1e6).  For group sums that can exceed 9.2e12
+units at extreme scale (token totals, event counts per hot group) the
+production spelling is the same expression over DECIMAL(38,0)
+operands; at every tested scale (sf0.001-sf1) the bigint form is exact
+and is what the oracles pin.
 """
 
 from __future__ import annotations

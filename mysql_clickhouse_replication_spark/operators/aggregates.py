@@ -1000,3 +1000,61 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
     )
     return per_type.unionByName(all_row)
+
+
+@register(
+    "agg_topk_weighted",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(rev) AS total FROM per_key)
+SELECT o_custkey, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(rev * 1000000 AS BIGINT) // CAST(total AS BIGINT)
+            AS BIGINT) AS share_ppm
+FROM per_key CROSS JOIN tot
+ORDER BY rev DESC, o_custkey LIMIT 10
+""",
+)
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted heavy hitters (ClickHouse ``topKWeighted`` parity —
+    the revenue-weighted sibling of agg_heavy_hitters' count-based
+    support): the top-10 keys by TOTAL WEIGHT (exact-decimal revenue),
+    each with its all-integer ppm share of the global total.  This is
+    the "which customers are the business" readout, and the exact twin
+    of the sketch: at 100 TB a space-saving topKWeighted sketch feeds
+    the same surface, and this exact plan is both the gate oracle and
+    the sketch's accuracy reference (the agg_heavy_hitters /
+    agg_countmin_prefilter convention).
+
+    Shape: ONE map-combined (custkey) aggregation, a 1-row total via
+    broadcast, and TakeOrderedAndProject for the top-10 — no global
+    sort materialization, no second data-sized pass.  share_ppm is
+    bigint floor arithmetic on exact decimal cents, so no float enters
+    the ranking or the surface."""
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("rev"),
+    )
+    tot = per_key.agg(F.sum("rev").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.expr(
+                "CAST(CAST(rev * 1000000 AS BIGINT) DIV CAST(total AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+            F.col("rev").alias("_rev"),
+        )
+        .orderBy(F.desc("_rev"), F.asc("o_custkey"))
+        .limit(10)
+        .drop("_rev")
+    )

@@ -2501,3 +2501,99 @@ def events_counter_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monotonic_increase"),
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+open_orders AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         datediff('day', CAST(o_orderdate AS DATE), mx) AS age_days
+  FROM orders CROSS JOIN anchor
+  WHERE o_orderstatus = 'O'
+),
+bucketed AS (
+  SELECT *,
+         CASE WHEN age_days <= 30 THEN '0-30'
+              WHEN age_days <= 60 THEN '31-60'
+              WHEN age_days <= 90 THEN '61-90'
+              ELSE '90+' END AS age_bucket
+  FROM open_orders
+),
+tot AS (SELECT CAST(SUM(price) AS BIGINT) AS total_cents_x
+        FROM (SELECT CAST(price * 100 AS BIGINT) AS price FROM bucketed))
+SELECT age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(price) AS DOUBLE) AS open_value,
+       MIN(age_days) AS min_age,
+       MAX(age_days) AS max_age,
+       CAST(CAST(SUM(price * 100) AS BIGINT)
+            // GREATEST(total_cents_x // 1000000, 1) AS BIGINT)
+         AS value_share_ppm
+FROM bucketed CROSS JOIN tot
+GROUP BY age_bucket, total_cents_x
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging (the accounts-receivable aging-bucket
+    report, fulfillment edition): every still-open order ('O' status)
+    ages against the dataset's max order date (deterministic anchor —
+    wall clock would flip hashes), lands in the classic
+    0-30 / 31-60 / 61-90 / 90+ day buckets, and each bucket reports
+    order/customer counts, exact open value, age extremes, and its
+    all-integer ppm share of total open value — the "how stale is the
+    backlog" operational readout.
+
+    Shape: 1-row anchor broadcast into the scan, map-side bucket CASE,
+    ONE grouped agg over 4 buckets (countDistinct adds its expand on
+    the same key), and a 1-row total broadcast for the share — nothing
+    data-sized beyond the two linear scans.  Exact integer day and
+    cent arithmetic end to end; only open_value surfaces as DOUBLE."""
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast(D12).alias("price"),
+            F.datediff(F.col("mx"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    bucketed = open_orders.withColumn("age_bucket", bucket)
+    tot = bucketed.agg(
+        F.sum((F.col("price") * 100).cast("bigint")).alias("total_cents_x")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("age_bucket", "total_cents_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("price").cast("double").alias("open_value"),
+            F.min("age_days").alias("min_age"),
+            F.max("age_days").alias("max_age"),
+            # divisor-first ppm: cents DIV (total DIV 1e6) never
+            # overflows int64 at any total (cents * 1e6 does past
+            # ~$9.2e10 — ANSI long overflow, caught at sf1), at the
+            # cost of <=1 ppm truncation granularity — identical
+            # arithmetic on both engines, so still hash-exact
+            F.expr(
+                "CAST(CAST(SUM(price * 100) AS BIGINT)"
+                " DIV GREATEST(total_cents_x DIV 1000000, 1) AS BIGINT)"
+            ).alias("value_share_ppm"),
+        )
+        .drop("total_cents_x")
+    )

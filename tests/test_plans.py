@@ -1510,3 +1510,20 @@ def test_dlq_replay_single_pk_compaction(plans):
     assert "hashpartitioning(pk" in p
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_topk_weighted_take_ordered_no_global_sort(plans):
+    # one keyed agg, scalar total broadcast, TakeOrderedAndProject for
+    # the top-10 — no global Sort materialization.
+    p = plans("agg_topk_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_backlog_aging_bounded_agg_no_window(plans):
+    # anchor + total ride broadcasts; the only keyed work is the
+    # 4-bucket agg (countDistinct expand on the same key).
+    p = plans("orders_backlog_aging", "simple")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
