@@ -15,24 +15,23 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-5 proved 187 keys green (the ``_DRIVER_GREEN`` list below,
-  extracted from CORRECTNESS_r01..r05) -- those now go LAST.
-* round 5 recorded 5 hash failures (``_RED_R05``) whose root cause the
-  r5 judge isolated to oracle-side pandas dtype-class drift (DuckDB
-  HUGEINT/DECIMAL output columns -> float64 while Spark delivers
-  int64/Decimal); their oracles now CAST to BIGINT / 2dp-string and
-  they lead the r06 window so the driver re-records them first.
-* ``_PRECAST_R06`` front-loads the 8 never-sampled keys the same
-  DESCRIBE scan flagged as queued hazards (HUGEINT/DECIMAL surfaces,
-  now cast) so the fixes get driver rows immediately.
-* everything else (the never-driver-sampled keys) follows in
-  registration order; the r06 window covers the first ~37 of them.
-  Round 7: move the keys CORRECTNESS_r06 proves green into
-  ``_DRIVER_GREEN`` and keep this exact structure -- the next 50
-  unproven keys surface automatically.  Full driver coverage lands
-  around r07/r08.  tools/oracle_dtype_lint.py (also enforced in
-  tests/test_contract.py) makes the hazard class structurally
-  impossible to reintroduce.
+* rounds 1-6 proved 237 keys green (the ``_DRIVER_GREEN`` list below,
+  extracted from CORRECTNESS_r01..r06; round 6's window was 50/50
+  green, the first fully-green window since r2) -- those go LAST.
+* ``_ORACLE_HARDENED_R07`` front-loads the two green keys whose
+  oracles were hardened in round 7 on the r6 advisor's findings
+  (agg_topk_weighted: share_ppm denominator made integral-in-cents so
+  DuckDB round-on-cast == Spark truncate-on-cast;
+  cdc_dlq_replay_merge: NULL props classified 'bad_json' explicitly
+  on both engines) -- the driver re-records the fixed oracles first.
+* everything else (the 65 never-driver-sampled keys) follows in
+  registration order; the r07 window covers 2 hardened + the first 48
+  of them, leaving 17 for round 8 -- full driver coverage lands r08.
+  Round 8: move the keys CORRECTNESS_r07 proves green into
+  ``_DRIVER_GREEN`` and keep this exact structure.
+  tools/oracle_dtype_lint.py (also enforced in
+  tests/test_contract.py) makes the HUGEINT/DECIMAL dtype-class
+  hazard structurally impossible to reintroduce.
 """
 
 from __future__ import annotations
@@ -43,106 +42,111 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Keys with a green driver row in CORRECTNESS_r01..r05 (187) -- go last.
+# Keys with a green driver row in CORRECTNESS_r01..r06 (237) -- go last.
 _DRIVER_GREEN = [
-    "agg_array_topk", "agg_hll_overlap_estimate", "agg_map_sum",
-    "agg_wow_change", "analytics_segment_migration",
-    "cdc_binlog_position_order", "cdc_ddl_route", "cdc_gtid_resume",
-    "cdc_type_edges", "events_alert_rules", "events_bot_detection",
-    "events_changepoint_cusum", "events_conversion_latency",
-    "events_distribution_drift", "events_dormant_reactivation",
-    "events_error_budget_burn", "events_growth_accounting",
-    "events_new_vs_returning", "events_rate_limit_scan",
-    "events_sliding_uniques_sketch", "events_time_weighted_avg",
-    "fn_business_days", "fn_encoding", "fn_format", "fn_fuzzy_match",
-    "fn_geo", "fn_ip", "fn_null_family", "fn_struct", "fn_time_bucket",
-    "fn_timezone", "join_anti_null_aware", "join_asof_nearest",
-    "join_asof_tolerance", "join_bloom_prefilter", "join_null_skew_split",
-    "join_range_bucketed", "join_spatial_grid", "orders_basket_lift",
-    "orders_purchase_cadence", "orders_revenue_concentration",
-    "profile_table", "sample_stratified", "tpch_q7_shape", "tpch_q8_shape",
-    "agg_approx_distinct", "agg_approx_percentiles", "agg_bitmap_distinct",
-    "agg_collect", "agg_conditional", "agg_count_distinct",
-    "agg_countmin_prefilter", "agg_cube", "agg_distinct_rows",
-    "agg_groupby_multi", "agg_grouping_sets", "agg_hash_global",
-    "agg_heavy_hitters", "agg_histogram_quantile", "agg_hll_mergeable",
-    "agg_linreg", "agg_minmax_by", "agg_mode", "agg_percentiles",
-    "agg_rollup", "agg_skew_salted", "agg_stats", "agg_weighted_avg",
-    "agg_weighted_percentile", "analytics_rfm", "case_when",
-    "cdc_apply_delete", "cdc_apply_upsert", "cdc_batch_window",
-    "cdc_checkpoint", "cdc_decode", "cdc_dedup_exact", "cdc_filter_tables",
-    "cdc_incremental_agg", "cdc_merge_into", "cdc_scd2_history",
+    "agg_approx_distinct", "agg_approx_percentiles", "agg_array_topk",
+    "agg_bitmap_distinct", "agg_bool_family", "agg_collect",
+    "agg_conditional", "agg_count_distinct", "agg_countmin_prefilter",
+    "agg_cube", "agg_distinct_rows", "agg_groupby_multi",
+    "agg_grouping_sets", "agg_hash_global", "agg_heavy_hitters",
+    "agg_histogram_quantile", "agg_hll_mergeable",
+    "agg_hll_overlap_estimate", "agg_linreg", "agg_map_sum",
+    "agg_mergeable_moments", "agg_minmax_by", "agg_mode",
+    "agg_percentiles", "agg_rollup", "agg_skew_salted", "agg_stats",
+    "agg_topk_weighted", "agg_weighted_avg", "agg_weighted_percentile",
+    "agg_wow_change", "analytics_rfm", "analytics_segment_migration",
+    "case_when", "cdc_apply_delete", "cdc_apply_upsert",
+    "cdc_backfill_plan", "cdc_batch_window",
+    "cdc_binlog_position_order", "cdc_checkpoint",
+    "cdc_collapsing_sign", "cdc_column_mask_policy", "cdc_ddl_route",
+    "cdc_decode", "cdc_dedup_exact", "cdc_dlq_replay_merge",
+    "cdc_filter_tables", "cdc_gtid_resume", "cdc_incremental_agg",
+    "cdc_merge_into", "cdc_row_checksum", "cdc_scd2_history",
     "cdc_schema_evolution", "cdc_sink", "cdc_snapshot",
-    "cdc_snapshot_increment", "cdc_stream_source", "cdc_type_cast",
-    "dedup_cluster", "dedup_embedding", "dedup_exact_text", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "events_attribution",
-    "events_audience_overlap", "events_cohort_ltv", "events_funnel",
-    "events_funnel_strict", "events_record_highs", "events_retention",
-    "events_rolling_distinct", "events_seasonality", "events_sequence_match",
-    "events_streaks", "filter_conjunctive", "filter_in_between_like",
-    "filter_null_semantics", "fn_array", "fn_bitwise", "fn_date", "fn_hash",
-    "fn_json", "fn_map", "fn_math", "fn_string", "fn_url", "fn_variant",
-    "join_anti", "join_asof", "join_broadcast", "join_bucketed_colocated",
+    "cdc_snapshot_increment", "cdc_snapshot_overlap_resolve",
+    "cdc_stream_source", "cdc_summing_merge", "cdc_type_cast",
+    "cdc_type_edges", "dedup_cluster", "dedup_embedding",
+    "dedup_exact_text", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "docs_block_dedup", "docs_chunk_overlap",
+    "docs_contamination_check", "docs_license_filter",
+    "docs_mix_weighted", "docs_pack_sequences",
+    "docs_quality_filter_pipeline", "docs_repetition_ratio",
+    "docs_temperature_sample", "embedding_quantize", "events_ab_ztest",
+    "events_alert_rules", "events_attribution",
+    "events_audience_overlap", "events_bot_detection",
+    "events_changepoint_cusum", "events_cohort_ltv",
+    "events_conversion_latency", "events_counter_delta_sum",
+    "events_distribution_drift", "events_dormant_reactivation",
+    "events_error_budget_burn", "events_funnel", "events_funnel_strict",
+    "events_growth_accounting", "events_histogram",
+    "events_markov_transitions", "events_new_vs_returning",
+    "events_peak_concurrency", "events_rate_limit_scan",
+    "events_record_highs", "events_retention",
+    "events_rolling_distinct", "events_seasonality",
+    "events_sequence_match", "events_sliding_uniques_sketch",
+    "events_streaks", "events_time_weighted_avg", "filter_conjunctive",
+    "filter_in_between_like", "filter_null_semantics", "fn_array",
+    "fn_bitwise", "fn_business_days", "fn_date", "fn_encoding",
+    "fn_format", "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip",
+    "fn_json", "fn_map", "fn_math", "fn_null_family", "fn_string",
+    "fn_struct", "fn_time_bucket", "fn_timezone", "fn_try_cast",
+    "fn_url", "fn_variant", "join_anti", "join_anti_null_aware",
+    "join_asof", "join_asof_nearest", "join_asof_tolerance",
+    "join_bloom_prefilter", "join_broadcast", "join_bucketed_colocated",
     "join_cross", "join_dynamic_partition_prune", "join_full_outer",
     "join_inner_equi", "join_interval_overlap", "join_left_outer",
-    "join_multiway", "join_semi", "join_skew_salted", "join_theta_range",
-    "limit_offset", "multimodal_decode", "multimodal_framesample",
-    "multimodal_join", "project_compute", "reshape_pivot", "reshape_unpivot",
-    "sample_hash_based", "scan_parquet", "scan_partition_filter",
-    "scan_projection_pushdown", "sessionize_batch", "set_except",
-    "set_intersect", "set_union_all", "set_union_distinct", "sim_ann_lsh",
-    "sim_cosine_topk", "sim_knn_classify", "sim_range_search",
-    "sort_multi_key", "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
-    "stream_session", "stream_sliding", "stream_stateful",
-    "stream_static_join", "stream_triggers", "stream_tumbling",
-    "text_fingerprint", "text_langid", "text_lm_score", "text_pii_scrub",
-    "text_quality", "text_tfidf_terms", "text_token_count", "topk_global",
-    "topk_per_group", "tpch_q10_shape", "tpch_q12_shape", "tpch_q14_shape",
-    "tpch_q18_shape", "tpch_q19_shape", "tpch_q3_shape", "tpch_q4_shape",
-    "tpch_q5_shape", "tpch_q6_shape", "vector_group_rank", "win_analytic",
-    "win_frame_range", "win_frame_rows", "win_percent", "win_ranking",
+    "join_multiway", "join_null_skew_split", "join_range_bucketed",
+    "join_semi", "join_skew_salted", "join_spatial_grid",
+    "join_theta_range", "limit_offset", "multimodal_decode",
+    "multimodal_framesample", "multimodal_join",
+    "orders_active_coverage", "orders_backlog_aging",
+    "orders_basket_lift", "orders_purchase_cadence",
+    "orders_revenue_concentration", "profile_skew", "profile_table",
+    "project_compute", "reshape_pivot", "reshape_pivot_multi",
+    "reshape_unpivot", "sample_hash_based",
+    "sample_importance_weighted", "sample_reservoir",
+    "sample_stratified", "scan_parquet", "scan_partition_filter",
+    "scan_projection_pushdown", "scan_sorted_layout_prune",
+    "scan_zorder_layout", "sessionize_batch", "set_except",
+    "set_intersect", "set_union_all", "set_union_distinct",
+    "sim_ann_lsh", "sim_cosine_topk", "sim_knn_classify",
+    "sim_range_search", "sort_multi_key", "source_csv_roundtrip",
+    "source_json_roundtrip", "source_orc_roundtrip", "stream_dedup",
+    "stream_output_modes", "stream_session", "stream_sliding",
+    "stream_stateful", "stream_static_join", "stream_triggers",
+    "stream_tumbling", "text_entropy", "text_fingerprint",
+    "text_langid", "text_lm_score", "text_pii_scrub", "text_quality",
+    "text_stats", "text_tfidf_terms", "text_token_count", "topk_global",
+    "topk_per_group", "tpch_q10_shape", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
+    "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape",
+    "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape",
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+    "vector_group_rank", "win_analytic", "win_frame_range",
+    "win_frame_rows", "win_ignore_nulls", "win_ntile", "win_percent",
+    "win_ranking", "win_reset_running_sum", "win_time_range_frame",
 ]
 
-# Round-5 driver-red rows (oracle HUGEINT/DECIMAL -> pandas float64
-# dtype-class drift), oracles CAST-hardened in round 6 -- re-recorded
-# first.
-_RED_R05 = [
-    "text_stats", "agg_bool_family", "agg_mergeable_moments",
-    "events_ab_ztest", "fn_try_cast",
-]
-
-# Never-sampled keys the r5 DESCRIBE scan flagged as queued hazards of
-# the same class; oracles pre-cast in round 6 -- prove the fixes first.
-_PRECAST_R06 = [
-    "docs_pack_sequences", "text_entropy", "cdc_backfill_plan",
-    "cdc_row_checksum", "cdc_collapsing_sign", "events_markov_transitions",
-    "events_peak_concurrency", "events_histogram",
-]
-
-# Keys first registered in round 6 -- front-loaded into the r06 window.
-_R06_NEW = [
-    "cdc_summing_merge", "orders_active_coverage", "docs_temperature_sample",
-    "cdc_snapshot_overlap_resolve", "docs_license_filter",
-    "events_counter_delta_sum", "cdc_column_mask_policy",
-    "cdc_dlq_replay_merge", "agg_topk_weighted", "orders_backlog_aging",
+# Green keys whose oracles were hardened in round 7 (r6 ADVICE items:
+# cross-engine decimal->int cast rounding; NULL-props classification)
+# -- re-recorded first so the fixes get fresh driver rows.
+_ORACLE_HARDENED_R07 = [
+    "agg_topk_weighted", "cdc_dlq_replay_merge",
 ]
 
 
 def _ordered_keys() -> list[str]:
-    """Re-fixed r05-red keys, then the pre-cast hazard keys, then the
-    round-6 additions, then every never-driver-sampled key in
-    registration order, driver-green last."""
-    front = (
-        set(_RED_R05) | set(_PRECAST_R06) | set(_R06_NEW) | set(_DRIVER_GREEN)
-    )
+    """Round-7-hardened oracles first, then every never-driver-sampled
+    key in registration order, driver-green last."""
+    front = set(_ORACLE_HARDENED_R07) | set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in front]
     return (
-        [k for k in _RED_R05 if k in QUERIES]
-        + [k for k in _PRECAST_R06 if k in QUERIES]
-        + [k for k in _R06_NEW if k in QUERIES]
+        [k for k in _ORACLE_HARDENED_R07 if k in QUERIES]
         + unproven
-        + [k for k in _DRIVER_GREEN if k in QUERIES]
+        + [k for k in _DRIVER_GREEN if k in QUERIES
+           if k not in _ORACLE_HARDENED_R07]
     )
 
 

@@ -1014,8 +1014,8 @@ WITH per_key AS (
 tot AS (SELECT SUM(rev) AS total FROM per_key)
 SELECT o_custkey, n_orders,
        CAST(rev AS DOUBLE) AS revenue,
-       CAST(CAST(rev * 1000000 AS BIGINT) // CAST(total AS BIGINT)
-            AS BIGINT) AS share_ppm
+       CAST(CAST(rev * 100 AS BIGINT) * 1000000
+            // CAST(total * 100 AS BIGINT) AS BIGINT) AS share_ppm
 FROM per_key CROSS JOIN tot
 ORDER BY rev DESC, o_custkey LIMIT 10
 """,
@@ -1035,7 +1035,11 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, and TakeOrderedAndProject for the top-10 — no global
     sort materialization, no second data-sized pass.  share_ppm is
     bigint floor arithmetic on exact decimal cents, so no float enters
-    the ranking or the surface."""
+    the ranking or the surface.  Both numerator and denominator are
+    scaled to cents BEFORE the decimal->bigint cast: scale-2 * 100 is
+    exactly integral, so DuckDB's round-on-cast and Spark's
+    truncate-on-cast agree (casting the fractional ``total`` directly
+    would differ by 1 whenever its cents >= 50)."""
     o = table(spark, sf_dir, "orders")
     per_key = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1049,8 +1053,8 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             F.col("rev").cast("double").alias("revenue"),
             F.expr(
-                "CAST(CAST(rev * 1000000 AS BIGINT) DIV CAST(total AS BIGINT)"
-                " AS BIGINT)"
+                "CAST(CAST(rev * 100 AS BIGINT) * 1000000"
+                " DIV CAST(total * 100 AS BIGINT) AS BIGINT)"
             ).alias("share_ppm"),
             F.col("rev").alias("_rev"),
         )

@@ -132,7 +132,7 @@ WITH inj AS (
 cls AS (
   SELECT event_id,
          CASE WHEN pk IS NULL THEN 'null_pk'
-              WHEN NOT json_valid(props) THEN 'bad_json'
+              WHEN props IS NULL OR NOT json_valid(props) THEN 'bad_json'
               WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                    IS NULL THEN 'bad_type'
               ELSE 'ok' END AS reason
@@ -929,7 +929,13 @@ def cdc_dlq_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = log.withColumns(
         {
             "_k_int": F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)"),
-            "_json_ok": F.get_json_object("props", "$").isNotNull(),
+            # NULL props is classified 'bad_json' EXPLICITLY and
+            # identically on both engines: DuckDB's NOT json_valid(NULL)
+            # is NULL (CASE would fall through to 'bad_type'), so the
+            # oracle spells `props IS NULL OR NOT json_valid(props)` and
+            # this side ANDs isNotNull into _json_ok.
+            "_json_ok": F.col("props").isNotNull()
+            & F.get_json_object("props", "$").isNotNull(),
         }
     )
     reason = (
