@@ -284,10 +284,22 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
 """,
 )
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 tf-idf terms per language slice. Doc-frequency and corpus
-    size are vocabulary-bounded -> broadcast to the tf side (no shuffle of
-    the big side beyond the tf aggregation). Scores rounded BEFORE ranking
-    with a term tiebreak so both engines rank identically."""
+    """Top-5 tf-idf terms per language slice, banded two-phase ranking.
+
+    Scale shape (r6 verdict nit: the old per-lang ranking window held
+    the FULL per-lang vocabulary in one reducer — sublinear in the
+    corpus per Heaps' law, but unbounded): phase 1 ranks inside
+    (lang, band) where band = xxhash64(term) % 64, so each window
+    frame holds ~|vocab_lang|/64 rows and the exchange fans out across
+    the cluster; phase 2 re-ranks only the <= 5*64 = 320 surviving
+    candidates per lang — a constant-bounded frame.  The global top-5
+    is exact: any global top-5 term is necessarily in its own band's
+    top-5.  The tf-df join carries NO broadcast hint — df is
+    vocabulary-sized (Heaps-unbounded at web scale), so the strategy
+    is left to Catalyst/AQE: broadcast at bench scale, shuffle-hash
+    at 100 TB, both on the same term key as tf's own aggregation.
+    Scores rounded BEFORE ranking with a term tiebreak so both engines
+    rank identically."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -296,13 +308,19 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+        .withColumn("band", F.pmod(F.xxhash64("term"), F.lit(64)))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    w_band = Window.partitionBy("lang", "band").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn_band", F.row_number().over(w_band))
+        .filter(F.col("rn_band") <= 5)
+        .withColumn("rn", F.row_number().over(w_lang))
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "tf", "tfidf")
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -1356,65 +1357,103 @@ def test_sliding_uniques_merges_sketches_not_ids(plans):
     assert "BatchEvalPython" not in p
 
 
-# Keys whose plans legitimately contain a single-partition Window — every
-# one runs over a BOUNDED summary frame, never a data-sized one (verified
-# key-by-key in the r5 review; the banded helpers' |bands|-row offset
-# windows are the common case).  A key appearing here is a documented
-# exception; a key NOT here acquiring a single-partition window is a
-# scale regression and fails the audit below.
+# Keys whose plans legitimately contain a Window FED BY an
+# Exchange SinglePartition — every one runs over a BOUNDED summary
+# frame, never a data-sized one.  The frame-bound math per key is
+# documented in PLANS.md §"Single-partition window allowlist".  A key
+# appearing here is a documented exception; a key NOT here acquiring a
+# single-partition-fed window is a scale regression and fails the audit
+# below.  (Round 7 shrank this list 27 -> 14: the audit previously
+# matched any plan containing both a Window and a SinglePartition
+# exchange anywhere, so 12 keys whose SinglePartition was a harmless
+# 1-row scalar-aggregate exchange were listed as false positives, and
+# text_tfidf_terms' vocabulary window was rewritten banded.)
 _BOUNDED_SINGLE_PARTITION_WINDOWS = {
     "agg_histogram_quantile": "|bins| histogram rows",
     "analytics_rfm": "banded-rank offsets: |bands| rows x3 + count",
     "analytics_segment_migration": "banded-rank offsets: |bands| rows x2",
     "cdc_backfill_plan": "|days| histogram rows",
-    "cdc_merge_into": "|batch| change rows (bounded per merge cycle)",
-    "cdc_partitioned_changelog_prune": "single-row summary agg",
-    "cdc_row_checksum": "per-table 1-row summaries",
     "cdc_seq_coverage_ranges": "|ranges|-frame start/end zip x2",
-    "cdc_snapshot_diff": "per-table classification summary",
-    "cdc_snapshot_increment": "cut-point scalar + summary",
-    "cdc_snapshot_overlap_resolve": "1-row cut scalar agg; windows pk-keyed",
-    "cdc_tombstone_gc": "per-table GC summary frames",
-    "docs_dedup_pipeline": "stage-funnel summary rows",
-    "docs_shard_balance": "|shards| summary rows",
     "docs_vocab_growth": "|batches| vocab-count rows",
     "events_changepoint_cusum": "|days| daily rows",
     "events_conversion_latency": "|bins| latency histogram rows",
-    "events_growth_accounting": "|weeks| rows",
     "events_peak_concurrency": "banded sweep offsets: |days| band rows",
-    "events_seasonality": "24 hour-of-day rows",
     "events_session_duration": "|bins| duration histogram rows",
     "events_watermark_lateness": "banded lateness offsets: |days| rows",
     "orders_revenue_concentration": "banded decile offsets: |bands| rows",
     "profile_skew": "per-column top-1 summary rows",
     "sim_hybrid_rrf": "per-query fused top-k (k-bounded)",
-    "sim_pq_adc_search": "per-query top-k (k-bounded)",
-    "text_tfidf_terms": "vocabulary-bounded tf-idf ranking",
 }
 
 
+def _tree_indent(line: str) -> int:
+    """Depth of a simple-mode physical-plan line: the width of the
+    leading tree scaffolding (spaces, ':', '+', '|', '-')."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return len(m.group(0))
+
+
+def _window_fed_by_single_partition(plan: str) -> bool:
+    """True iff some Window operator's INPUT spine reaches an
+    ``Exchange SinglePartition`` before any other Exchange.
+
+    A WindowExec needs its input clustered by its partition keys, so
+    the exchange that feeds it sits directly below it on the spine
+    (usually through a Sort).  Walking each Window's subtree and
+    stopping at the first Exchange attributes the SinglePartition to
+    the operator that actually consumes it — a 1-row scalar-aggregate
+    exchange elsewhere in the plan (the global-count / cut-point
+    pattern) no longer false-positives the audit, because its partial
+    aggregate shuffles one row per map partition, which is harmless at
+    any scale."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            d0 = _tree_indent(ln)
+            for j in range(i + 1, len(lines)):
+                if _tree_indent(lines[j]) <= d0:
+                    break
+                if "Exchange" in lines[j]:
+                    if "SinglePartition" in lines[j]:
+                        return True
+                    break  # first exchange on the spine is partitioned
+    return False
+
+
 def test_no_unaudited_single_partition_windows_anywhere(spark, sf_dir):
-    """Registry-wide scale audit (r5 verdict item 6): a Window fed by
-    Exchange SinglePartition is the canonical 100 TB killer unless its
-    frame is provably bounded.  Every key whose plan carries one must
-    be in the documented allowlist above — so rewriting a key onto a
-    single-reducer window (or adding a new key with one) fails here
-    instead of surfacing as a production-scale regression."""
+    """Registry-wide scale audit (r5 verdict item 6, made precise in
+    r7): a Window fed by Exchange SinglePartition is the canonical
+    100 TB killer unless its frame is provably bounded.  Every key
+    whose plan carries one must be in the documented allowlist above —
+    so rewriting a key onto a single-reducer window (or adding a new
+    key with one) fails here instead of surfacing as a
+    production-scale regression."""
     qs = e.queries()
     offenders = []
     for key in sorted(qs):
         p = _plan(qs[key](spark, sf_dir), "simple")
         if (
-            "Window" in p
-            and "Exchange SinglePartition" in p
+            _window_fed_by_single_partition(p)
             and key not in _BOUNDED_SINGLE_PARTITION_WINDOWS
         ):
             offenders.append(key)
     assert not offenders, (
-        "keys with an unaudited single-partition Window (add a banded "
-        "rewrite, or document the bounded frame in the allowlist): "
+        "keys with an unaudited single-partition-fed Window (add a "
+        "banded rewrite, or document the bounded frame in the "
+        "allowlist + PLANS.md): "
         f"{offenders}"
     )
+
+
+def test_tfidf_ranking_is_banded(plans):
+    # r6 verdict nit: the per-lang tf-idf ranking window previously held
+    # the full per-lang vocabulary in one reducer.  Phase 1 must rank
+    # inside (lang, band); only the <=5*64 band survivors reach the
+    # per-lang window, and the df join must NOT pin a broadcast of the
+    # vocabulary-sized doc-frequency side.
+    p = plans("text_tfidf_terms", "simple")
+    assert "hashpartitioning(lang" in p and "band" in p
+    assert not _window_fed_by_single_partition(p)
 
 
 def test_segment_migration_banded_ranks_no_ntile(plans):
