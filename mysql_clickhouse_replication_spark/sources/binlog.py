@@ -6,16 +6,20 @@ python-mysql-replication's BinLogStreamReader(blocking=True,
 resume_stream=True, log_file/log_pos) and decodes RowsEvents ([P:high],
 SURVEY.md section 3.1). Spark has no binlog source, so this is the one
 genuinely custom source in the engine: a ``DataSource`` +
-``SimpleDataSourceStreamReader`` whose offset dict plays the role of the
+``SimpleDataSourceStreamReader`` whose offset plays the role of the
 binlog (log_file, log_pos) coordinate — monotonically increasing,
 checkpointable by the engine, replayable between offsets (exactly the
 resume contract BinLogStreamReader exposes).
 
-Offline the "binlog" is the events fixture replayed in event_id order;
-in production the read()/readBetweenOffsets() bodies swap to a
-BinLogStreamReader session while the offset/commit machinery stays
-identical. The decode (event -> op/pk/seq/value changelog row) matches
-plans/cdc.py's _changelog mapping.
+Since round 7 the reader consumes RAW BINLOG BYTES, not the parquet
+fixture: sources/binlog_wire.py records the events fixture once as a
+binlog-v4 byte file (the recorder is the offline stand-in for the
+server socket), and read()/readBetweenOffsets() run the real byte
+decoder over it.  Offsets are BYTE positions at transaction (XID)
+boundaries — the actual log_pos coordinate a replication client
+persists — so a production swap replaces only ``_load_bytes`` with the
+socket tail; the decode path and the offset/commit machinery are
+already the real thing.
 
 Scale note: SimpleDataSourceStreamReader reads on the driver — correct
 for a binlog (a binlog IS a single serial stream; MySQL offers no
@@ -27,17 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-_DECODE = """
-SELECT CASE WHEN event_type = 'signup' THEN 'insert'
-            WHEN event_type = 'error'  THEN 'delete'
-            ELSE 'update' END AS op,
-       user_id AS pk,
-       event_id AS seq,
-       value
-FROM read_parquet('{path}')
-WHERE event_id >= {lo} {hi_clause}
-ORDER BY event_id
-"""
+from .binlog_wire import MAGIC, decode, record_changelog
 
 
 class BinlogReplaySource(DataSource):
@@ -55,28 +49,40 @@ class BinlogReplaySource(DataSource):
 
 
 class BinlogReplayReader(SimpleDataSourceStreamReader):
-    """Offset = {"pos": <next event_id>} — the (log_file, log_pos) stand-in."""
+    """Offset = {"pos": <byte log_pos>} — a post-XID event boundary.
+
+    ``batchsize`` (rows) bounds one micro-batch: read() decodes whole
+    transactions until at least that many rows have accumulated, then
+    cuts at the transaction boundary (a binlog client never commits a
+    resume offset inside a transaction).
+    """
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
-        # One batch covers the whole backlog by default: trigger
-        # availableNow processes exactly the offsets prefetched at start.
         self.batch = int(options.get("batchsize", str(1 << 40)))
+        self._buf: bytes | None = None
+
+    def _bytes(self) -> bytes:
+        if self._buf is None:
+            with open(record_changelog(self.path), "rb") as fh:
+                self._buf = fh.read()
+        return self._buf
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
-
-    def _rows(self, lo: int, hi: int | None):
-        import duckdb
-
-        hi_clause = f"AND event_id < {hi}" if hi is not None else ""
-        q = _DECODE.format(path=self.path, lo=lo, hi_clause=hi_clause)
-        return [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+        return {"pos": len(MAGIC)}
 
     def read(self, start: dict):
-        rows = self._rows(start["pos"], start["pos"] + self.batch)
-        nxt = {"pos": start["pos"] + self.batch} if rows else start
-        return iter(rows), (nxt if rows else start)
+        buf = self._bytes()
+        rows: list[tuple] = []
+        pos = start["pos"]
+        for row, tx_end in decode(buf, start=pos):
+            if len(rows) >= self.batch and tx_end > pos:
+                break
+            rows.append(row)
+            pos = tx_end
+        if not rows:
+            return iter(()), start
+        return iter(rows), {"pos": pos}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows(start["pos"], end["pos"]))
+        return iter(r for r, _ in decode(self._bytes(), start["pos"], end["pos"]))
