@@ -24,9 +24,12 @@ proof rotates through the registry in 50-key windows:
   DuckDB round-on-cast == Spark truncate-on-cast;
   cdc_dlq_replay_merge: NULL props classified 'bad_json' explicitly
   on both engines) -- the driver re-records the fixed oracles first.
+* ``_R07_NEW`` follows with the keys first registered in round 7
+  (cdc_ddl_apply -- the DDL apply twin).
 * everything else (the 65 never-driver-sampled keys) follows in
-  registration order; the r07 window covers 2 hardened + the first 48
-  of them, leaving 17 for round 8 -- full driver coverage lands r08.
+  registration order; the r07 window covers 2 hardened + 1 new + the
+  first 47 of them, leaving 18 for round 8 -- full driver coverage
+  lands r08.
   Round 8: move the keys CORRECTNESS_r07 proves green into
   ``_DRIVER_GREEN`` and keep this exact structure.
   tools/oracle_dtype_lint.py (also enforced in
@@ -136,14 +139,21 @@ _ORACLE_HARDENED_R07 = [
     "agg_topk_weighted", "cdc_dlq_replay_merge",
 ]
 
+# Keys first registered in round 7 -- front-loaded into the r07 window.
+_R07_NEW = [
+    "cdc_ddl_apply",
+]
+
 
 def _ordered_keys() -> list[str]:
-    """Round-7-hardened oracles first, then every never-driver-sampled
-    key in registration order, driver-green last."""
-    front = set(_ORACLE_HARDENED_R07) | set(_DRIVER_GREEN)
+    """Round-7-hardened oracles first, then the round-7 additions, then
+    every never-driver-sampled key in registration order, driver-green
+    last."""
+    front = set(_ORACLE_HARDENED_R07) | set(_R07_NEW) | set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in front]
     return (
         [k for k in _ORACLE_HARDENED_R07 if k in QUERIES]
+        + [k for k in _R07_NEW if k in QUERIES]
         + unproven
         + [k for k in _DRIVER_GREEN if k in QUERIES
            if k not in _ORACLE_HARDENED_R07]
