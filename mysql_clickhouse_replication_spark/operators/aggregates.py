@@ -47,8 +47,14 @@ def flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # ROUND the exact decimal sums to 2dp BEFORE the double cast:
+            # the scale-6 product sums pass 2^53/1e6 units around sf1, and
+            # DuckDB's two-step int128->double->/10^6 conversion can land
+            # one ulp off Spark's BigDecimal.doubleValue() there (caught by
+            # the r7 sf1 hash sweep).  At 2dp the scaled integer stays
+            # double-exact until ~9e13 currency units.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc", D4),
@@ -62,12 +68,12 @@ _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity', 'sum_qty')},
        {sql_dsum('l_extendedprice', 'sum_base_price')},
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
            AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
            AS sum_charge,
        {sql_davg('l_quantity', 'avg_qty')},
        {sql_davg('l_extendedprice', 'avg_price')},
