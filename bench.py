@@ -362,6 +362,8 @@ EXTRA = [
     "events_growth_accounting",
     "agg_hll_overlap_estimate",
     "fn_business_days",
+    # --- round 7.
+    "cdc_ddl_apply",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery
