@@ -86,6 +86,56 @@ AUDIT = {
 }
 
 
+
+# Static evidence section appended after the generated plans --
+# maintained here so regeneration preserves it (tests/test_plans.py
+# enforces the same list).
+ALLOWLIST_SECTION = """\
+## Single-partition window allowlist (frame-bound math)
+
+The registry-wide audit (tests/test_plans.py
+`test_no_unaudited_single_partition_windows_anywhere`) fails any key
+whose plan contains a Window *fed by* an `Exchange SinglePartition`
+unless the key is listed here with its frame bound.  "Fed by" is
+attributed along the Window's input spine (first Exchange below the
+Window) — a 1-row scalar-aggregate exchange elsewhere in a plan is
+harmless (one partial row per map partition) and no longer listed.
+Each bound below is the row count that actually crosses the
+single-partition exchange, with the reduction that produced it; none
+depends on input data volume, so every entry survives a 100× scale-up
+unchanged.
+
+| key | rows into the single-partition window | why bounded |
+| --- | --- | --- |
+| `agg_histogram_quantile` | ≤ 64 | fixed 64-bucket histogram aggregated map-side first; the window walks cumulative bucket mass |
+| `analytics_rfm` | 3 × |bands| + 1 ≈ 3·1000 | banded_row_number emits one (band, count) offset row per band per metric; raw users stay hash-partitioned |
+| `analytics_segment_migration` | 2 × |bands| ≈ 2·1000 | same banded-rank offsets, two metric passes (r5 rewrite; asserted by test_segment_migration_banded_ranks_no_ntile) |
+| `cdc_backfill_plan` | ≤ |days| | one pre-aggregated row per calendar day of backlog; window computes the cumulative chunk plan |
+| `cdc_seq_coverage_ranges` | ≤ |gap ranges| | islands already collapsed by seq-diff grouping; window zips range starts/ends, two passes |
+| `docs_vocab_growth` | ≤ |batches| | one vocab-count row per ingest batch (fixed batch grid); window forms the cumulative growth curve |
+| `events_changepoint_cusum` | ≤ |days| | daily pre-aggregation upstream; CUSUM recursion needs the ordered daily series |
+| `events_conversion_latency` | ≤ 32 | fixed 32-bin latency histogram; window walks cumulative counts for percentile cuts |
+| `events_peak_concurrency` | ≤ 2 × |events per day band| offsets → |days| rows | +1/−1 sweep is banded by day; only per-band boundary offsets cross globally |
+| `events_session_duration` | ≤ 24 | fixed duration-bucket histogram rows |
+| `events_watermark_lateness` | ≤ |days| | banded lateness offsets: one row per day band |
+| `orders_revenue_concentration` | ≤ |bands| ≈ 1000 | banded decile offsets; customer revenue rows stay hash-partitioned |
+| `profile_skew` | ≤ |profiled columns| | one top-1 summary row per column |
+| `sim_hybrid_rrf` | ≤ |queries| × k | per-query fused top-k, k = 10; queries are the small broadcast side by contract |
+
+Removed from the list in round 7 (previous audit false positives —
+their `Exchange SinglePartition` is a 1-row scalar-cut/global-count
+aggregate, not a window input): cdc_merge_into,
+cdc_partitioned_changelog_prune, cdc_row_checksum, cdc_snapshot_diff,
+cdc_snapshot_increment, cdc_snapshot_overlap_resolve,
+cdc_tombstone_gc, docs_dedup_pipeline, docs_shard_balance,
+events_growth_accounting, events_seasonality, sim_pq_adc_search.
+`text_tfidf_terms` left the list by rewrite: phase-1 ranking inside
+(lang, xxhash64(term) % 64) bands, phase-2 re-rank of ≤ 5·64 = 320
+candidates per lang, and no pinned broadcast of the Heaps-unbounded
+doc-frequency side.
+"""
+
+
 def main() -> int:
     import __spark_entry__ as e
     from mysql_clickhouse_replication_spark.session import get_spark
@@ -109,6 +159,7 @@ def main() -> int:
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         out += [f"## {key}", "", f"*Audit: {note}*", "", "```", tree, "```", ""]
+    out += ["", ALLOWLIST_SECTION]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
