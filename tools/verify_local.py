@@ -16,6 +16,7 @@ Usage:
     python tools/verify_local.py [key ...]           # default: all keys
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_local.py
     python tools/verify_local.py --json=OUT.json     # also write an artifact
+    python tools/verify_local.py --no-superlinear-oracles  # big-SF sweeps
 """
 
 from __future__ import annotations
@@ -36,6 +37,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# Keys whose ORACLE is deliberately brute-force and super-linear in a
+# group size that clone-replication scales with the SF — correct and
+# fast at gate scale (sf0.001/sf0.01), prohibitive at sf0.1+ (the r7
+# sf1 hash sweep measured dedup_containment at 772 s, dedup_incremental
+# unfinished after 30 min, events_funnel_strict's v x c x p triple join
+# at ~110 GB of DuckDB state).  The SPARK side of every one of these is
+# banded/bucketed/windowed and sweeps sf1 clean (BASELINE.md execution
+# sweeps); it is only the obviously-correct oracle that cannot follow.
+SUPERLINEAR_ORACLES = {
+    # all-pairs / recursive-closure dedup oracles (|dup-mass|^2)
+    "dedup_cluster", "dedup_minhash", "dedup_minhash_accuracy",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_source_matrix",
+    "dedup_survivor_pick", "docs_dedup_pipeline", "docs_split_leakage_safe",
+    # asymmetric but still |new| x |corpus| shingle intersections
+    "dedup_incremental",
+    # per-user event-combination joins (10x clones -> 100-1000x tuples)
+    "events_funnel_strict", "events_funnel_unordered",
+    "events_funnel_window_sensitivity",
+}
 
 
 def _canon(v) -> str:
@@ -71,10 +92,14 @@ def main(argv: list[str]) -> int:
     from mysql_clickhouse_replication_spark.session import get_spark
 
     json_out = None
+    skip_superlinear = False
     argv = list(argv)
     for a in list(argv):
         if a.startswith("--json="):
             json_out = a.split("=", 1)[1]
+            argv.remove(a)
+        elif a == "--no-superlinear-oracles":
+            skip_superlinear = True
             argv.remove(a)
     results: dict[str, dict] = {}
 
@@ -87,6 +112,12 @@ def main(argv: list[str]) -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     keys = argv or sorted(qs)
+    if skip_superlinear:
+        skipped = [k for k in keys if k in SUPERLINEAR_ORACLES]
+        keys = [k for k in keys if k not in SUPERLINEAR_ORACLES]
+        if skipped:
+            print(f"skipping {len(skipped)} superlinear-oracle keys: "
+                  + " ".join(skipped))
     n_pass = n_fail = n_rows_only = 0
     for key in keys:
         t0 = time.time()
