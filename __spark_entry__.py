@@ -25,10 +25,11 @@ proof rotates through the registry in 50-key windows:
   cdc_dlq_replay_merge: NULL props classified 'bad_json' explicitly
   on both engines) -- the driver re-records the fixed oracles first.
 * ``_R07_NEW`` follows with the keys first registered in round 7
-  (cdc_ddl_apply -- the DDL apply twin).
+  (cdc_ddl_apply -- the DDL apply twin; cdc_sink_wire -- the
+  ClickHouse RowBinary sink wire twin).
 * everything else (the 65 never-driver-sampled keys) follows in
-  registration order; the r07 window covers 2 hardened + 1 new + the
-  first 47 of them, leaving 18 for round 8 -- full driver coverage
+  registration order; the r07 window covers 2 hardened + 2 new + the
+  first 46 of them, leaving 19 for round 8 -- full driver coverage
   lands r08.
   Round 8: move the keys CORRECTNESS_r07 proves green into
   ``_DRIVER_GREEN`` and keep this exact structure.
@@ -141,7 +142,7 @@ _ORACLE_HARDENED_R07 = [
 
 # Keys first registered in round 7 -- front-loaded into the r07 window.
 _R07_NEW = [
-    "cdc_ddl_apply",
+    "cdc_ddl_apply", "cdc_sink_wire",
 ]
 
 

@@ -364,6 +364,7 @@ EXTRA = [
     "fn_business_days",
     # --- round 7.
     "cdc_ddl_apply",
+    "cdc_sink_wire",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -148,3 +148,54 @@ def write_clickhouse_jdbc(
         .mode("append")
         .save()
     )
+
+
+def post_rowbinary_http(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str = "default",
+    password: str = "",
+) -> None:
+    """Ship a (micro-)batch as ``INSERT INTO t FORMAT RowBinary`` POST
+    bodies — the sink's wire-level path (sources/rowbinary.py encodes
+    the exact payload bytes; this function only frames the transport).
+
+    Production shape: each encoded payload row is one HTTP request
+    ``POST {url}/?query=INSERT+INTO+{table}+FORMAT+RowBinary`` with the
+    payload as the body — issued executor-side inside foreachPartition,
+    so a 1000-executor cluster posts in parallel and one payload maps to
+    one MergeTree part (the insert-buffer tradeoff of
+    write_clickhouse_jdbc's ``batchsize``).  Offline this validates
+    eagerly and raises — never half-writes; the byte layer itself is
+    oracle-proven by the ``cdc_sink_wire`` contract key.
+    """
+    from urllib.parse import quote
+
+    from .rowbinary import encode_batches, wire_types_for
+
+    payloads = encode_batches(df, wire_types_for(df.schema))
+    query = quote(f"INSERT INTO {table} FORMAT RowBinary")
+    endpoint = f"{url}/?query={query}"
+
+    def _post(rows) -> None:
+        import urllib.request
+
+        for row in rows:
+            req = urllib.request.Request(
+                endpoint,
+                data=bytes(row.payload),
+                method="POST",
+                headers={
+                    "X-ClickHouse-User": user,
+                    "X-ClickHouse-Key": password,
+                    "Content-Type": "application/octet-stream",
+                },
+            )
+            with urllib.request.urlopen(req) as resp:  # pragma: no cover
+                if resp.status != 200:
+                    raise OSError(f"ClickHouse insert failed: {resp.status}")
+
+    if not url.startswith(("http://", "https://")):
+        raise ValueError(f"ClickHouse HTTP endpoint required, got {url!r}")
+    payloads.foreachPartition(_post)

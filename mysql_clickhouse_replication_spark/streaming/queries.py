@@ -343,6 +343,110 @@ def cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+@register(
+    "cdc_sink_wire",
+    oracle="""
+WITH decoded AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error'  THEN 'delete'
+              ELSE 'update' END AS op,
+         user_id AS pk, event_id AS seq, value
+  FROM events
+),
+tot AS (
+  -- Independent wire-size prediction straight from the RowBinary spec:
+  -- per row, each Nullable column costs 1 flag byte + (value bytes when
+  -- not NULL); String adds a 1-byte LEB128 length (op is 6 chars < 128);
+  -- Int64/Float64 are 8 bytes.
+  SELECT CAST(SUM(
+           1 + 1 + octet_length(encode(op))
+         + 1 + CASE WHEN pk IS NULL THEN 0 ELSE 8 END
+         + 1 + 8
+         + 1 + CASE WHEN value IS NULL THEN 0 ELSE 8 END
+         ) AS BIGINT) AS wire_bytes
+  FROM decoded
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(seq) AS BIGINT) AS first_seq,
+       CAST(MAX(seq) AS BIGINT) AS last_seq,
+       CAST(SUM(pk) AS BIGINT) AS pk_sum,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       wire_bytes
+FROM decoded CROSS JOIN tot
+GROUP BY op, wire_bytes
+""",
+)
+def cdc_sink_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink's WIRE layer, oracle-proven (round-7 close of the r6
+    verdict's last simulated boundary): the foreachBatch body encodes
+    each micro-batch to real ClickHouse RowBinary payload bytes
+    (sources/rowbinary.py — one payload per Arrow batch, the POST body
+    of ``INSERT INTO t FORMAT RowBinary``), lands the payloads, and the
+    verified surface is computed FROM THE DECODED BYTES:
+
+    * per-op n / first_seq / last_seq / pk_sum / cents_sum prove value
+      fidelity through encode->decode (exact ints via mapInArrow; float
+      cents pinned with FLOOR before the int cast so DuckDB's
+      round-on-cast and Spark's truncate-on-cast cannot diverge);
+    * ``wire_bytes`` (total payload size) is predicted INDEPENDENTLY by
+      the oracle from the public format spec — a framing bug (missing
+      null flag, wrong varint, padded struct) shifts the byte count and
+      reds the row even if the roundtrip still inverts it.
+
+    Payload count is deliberately NOT on the surface: payloads-per-batch
+    tracks Arrow batch boundaries (cluster-shape-dependent), while total
+    bytes is row-content-only — deterministic at any parallelism.
+    Production swap: sources/clickhouse.py::post_rowbinary_http posts
+    the identical payload rows executor-side; nothing re-serializes."""
+    from ..sources.rowbinary import decode_batches, encode_batches
+
+    sink = _scratch("cdc_sink_wire", uuid.uuid4().hex)
+    sdf = _events_stream(spark, sf_dir)
+    decoded = sdf.select(
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    types = ["Nullable(String)", "Nullable(Int64)", "Nullable(Int64)",
+             "Nullable(Float64)"]
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        encode_batches(bdf, types).write.mode("append").parquet(sink)
+
+    q = (
+        decoded.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    payloads = spark.read.parquet(sink)
+    wire = decode_batches(
+        payloads, types, "op string, pk long, seq long, value double"
+    )
+    tot = payloads.agg(
+        F.sum(F.octet_length("payload")).cast("bigint").alias("wire_bytes")
+    )
+    return (
+        wire.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+            F.sum("pk").alias("pk_sum"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "cents_sum"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+
 @register("cdc_checkpoint", oracle=_CDC_DECODE_ORACLE)
 def cdc_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume — the engine-managed replacement for the
