@@ -15,24 +15,20 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-6 proved 237 keys green (the ``_DRIVER_GREEN`` list below,
-  extracted from CORRECTNESS_r01..r06; round 6's window was 50/50
-  green, the first fully-green window since r2) -- those go LAST.
-* ``_ORACLE_HARDENED_R07`` front-loads the two green keys whose
-  oracles were hardened in round 7 on the r6 advisor's findings
-  (agg_topk_weighted: share_ppm denominator made integral-in-cents so
-  DuckDB round-on-cast == Spark truncate-on-cast;
-  cdc_dlq_replay_merge: NULL props classified 'bad_json' explicitly
-  on both engines) -- the driver re-records the fixed oracles first.
-* ``_R07_NEW`` follows with the keys first registered in round 7
-  (cdc_ddl_apply -- the DDL apply twin; cdc_sink_wire -- the
-  ClickHouse RowBinary sink wire twin).
-* everything else (the 65 never-driver-sampled keys) follows in
-  registration order; the r07 window covers 2 hardened + 2 new + the
-  first 46 of them, leaving 19 for round 8 -- full driver coverage
-  lands r08.
-  Round 8: move the keys CORRECTNESS_r07 proves green into
-  ``_DRIVER_GREEN`` and keep this exact structure.
+* rounds 1-7 proved 285 distinct keys green (the ``_DRIVER_GREEN``
+  list below, extracted from CORRECTNESS_r01..r07; rounds 6 and 7
+  were both fully-green 50/50 windows) -- those go LAST.
+* ``_R08_FRONT`` holds the 19 keys never yet driver-sampled (the
+  streaming/funnel/gap-fill block, registration positions 50-68 of
+  the r7 ordering).  All 19 are green in the full local hash sweeps
+  (VERIFY_LOCAL_r7_sf001: 304/304 at sf0.01; VERIFY_LOCAL_r7_sf1:
+  291/291 at sf1) and were pre-flighted through
+  tools/pandas_gate_sim.py + tools/oracle_dtype_lint.py this round.
+  They go FIRST so CORRECTNESS_r08 completes full-registry driver
+  proof: 285 + 19 = 304/304.
+* keys first registered in round 8 (not in either list) sort next in
+  registration order, then the driver-green tail fills the remaining
+  window slots with re-samples of proven keys.
   tools/oracle_dtype_lint.py (also enforced in
   tests/test_contract.py) makes the HUGEINT/DECIMAL dtype-class
   hazard structurally impossible to reintroduce.
@@ -46,58 +42,75 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Keys with a green driver row in CORRECTNESS_r01..r06 (237) -- go last.
+# Keys with a green driver row in CORRECTNESS_r01..r07 (285) -- go last.
 _DRIVER_GREEN = [
-    "agg_approx_distinct", "agg_approx_percentiles", "agg_array_topk",
-    "agg_bitmap_distinct", "agg_bool_family", "agg_collect",
-    "agg_conditional", "agg_count_distinct", "agg_countmin_prefilter",
-    "agg_cube", "agg_distinct_rows", "agg_groupby_multi",
-    "agg_grouping_sets", "agg_hash_global", "agg_heavy_hitters",
-    "agg_histogram_quantile", "agg_hll_mergeable",
-    "agg_hll_overlap_estimate", "agg_linreg", "agg_map_sum",
-    "agg_mergeable_moments", "agg_minmax_by", "agg_mode",
-    "agg_percentiles", "agg_rollup", "agg_skew_salted", "agg_stats",
-    "agg_topk_weighted", "agg_weighted_avg", "agg_weighted_percentile",
-    "agg_wow_change", "analytics_rfm", "analytics_segment_migration",
-    "case_when", "cdc_apply_delete", "cdc_apply_upsert",
-    "cdc_backfill_plan", "cdc_batch_window",
+    "agg_approx_distinct", "agg_approx_percentiles",
+    "agg_array_topk", "agg_bitmap_distinct", "agg_bool_family",
+    "agg_collect", "agg_conditional", "agg_count_distinct",
+    "agg_countmin_prefilter", "agg_cube", "agg_distinct_rows",
+    "agg_groupby_multi", "agg_grouping_sets", "agg_hash_global",
+    "agg_heavy_hitters", "agg_histogram_quantile",
+    "agg_hll_mergeable", "agg_hll_overlap_estimate", "agg_linreg",
+    "agg_map_sum", "agg_mergeable_moments", "agg_minmax_by",
+    "agg_mode", "agg_percentiles", "agg_rollup", "agg_skew_salted",
+    "agg_stats", "agg_topk_weighted", "agg_weighted_avg",
+    "agg_weighted_percentile", "agg_wow_change", "analytics_rfm",
+    "analytics_segment_migration", "case_when", "cdc_apply_delete",
+    "cdc_apply_upsert", "cdc_backfill_plan", "cdc_batch_window",
     "cdc_binlog_position_order", "cdc_checkpoint",
-    "cdc_collapsing_sign", "cdc_column_mask_policy", "cdc_ddl_route",
-    "cdc_decode", "cdc_dedup_exact", "cdc_dlq_replay_merge",
-    "cdc_filter_tables", "cdc_gtid_resume", "cdc_incremental_agg",
-    "cdc_merge_into", "cdc_row_checksum", "cdc_scd2_history",
-    "cdc_schema_evolution", "cdc_sink", "cdc_snapshot",
+    "cdc_collapsing_sign", "cdc_column_mask_policy",
+    "cdc_compaction_ratio", "cdc_conflict_lww", "cdc_ddl_apply",
+    "cdc_ddl_route", "cdc_decode", "cdc_dedup_bounded_window",
+    "cdc_dedup_exact", "cdc_dlq_replay_merge", "cdc_dlq_split",
+    "cdc_filter_tables", "cdc_gap_check", "cdc_gtid_resume",
+    "cdc_incremental_agg", "cdc_lag_percentiles", "cdc_merge_into",
+    "cdc_minimal_image_reconstruct", "cdc_multi_table_route",
+    "cdc_order_violations", "cdc_partitioned_changelog_prune",
+    "cdc_pit_join", "cdc_replace_partition", "cdc_row_checksum",
+    "cdc_scd2_history", "cdc_schema_evolution", "cdc_sink",
+    "cdc_sink_wire", "cdc_snapshot", "cdc_snapshot_chunks",
     "cdc_snapshot_increment", "cdc_snapshot_overlap_resolve",
-    "cdc_stream_source", "cdc_summing_merge", "cdc_type_cast",
-    "cdc_type_edges", "dedup_cluster", "dedup_embedding",
-    "dedup_exact_text", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash", "docs_block_dedup", "docs_chunk_overlap",
-    "docs_contamination_check", "docs_license_filter",
-    "docs_mix_weighted", "docs_pack_sequences",
-    "docs_quality_filter_pipeline", "docs_repetition_ratio",
-    "docs_temperature_sample", "embedding_quantize", "events_ab_ztest",
-    "events_alert_rules", "events_attribution",
-    "events_audience_overlap", "events_bot_detection",
-    "events_changepoint_cusum", "events_cohort_ltv",
-    "events_conversion_latency", "events_counter_delta_sum",
-    "events_distribution_drift", "events_dormant_reactivation",
-    "events_error_budget_burn", "events_funnel", "events_funnel_strict",
+    "cdc_stream_source", "cdc_summing_merge", "cdc_tombstone_gc",
+    "cdc_tx_batches", "cdc_type_cast", "cdc_type_edges",
+    "dedup_cluster", "dedup_containment", "dedup_embedding",
+    "dedup_exact_text", "dedup_incremental", "dedup_minhash",
+    "dedup_minhash_accuracy", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_source_matrix", "dedup_survivor_pick",
+    "docs_block_dedup", "docs_chunk_overlap",
+    "docs_contamination_check", "docs_dedup_pipeline",
+    "docs_language_balance", "docs_length_mad_outliers",
+    "docs_license_filter", "docs_mix_weighted",
+    "docs_ngram_coverage_eval", "docs_novelty_ratio",
+    "docs_pack_sequences", "docs_quality_filter_pipeline",
+    "docs_repetition_ratio", "docs_shard_balance",
+    "docs_split_leakage_safe", "docs_substring_dedup",
+    "docs_temperature_sample", "docs_url_dedup",
+    "docs_vocab_growth", "embedding_hard_negatives",
+    "embedding_quantize", "events_ab_ztest", "events_alert_rules",
+    "events_attribution", "events_audience_overlap",
+    "events_bot_detection", "events_changepoint_cusum",
+    "events_cohort_ltv", "events_conversion_latency",
+    "events_counter_delta_sum", "events_distribution_drift",
+    "events_dormant_reactivation", "events_error_budget_burn",
+    "events_funnel", "events_funnel_strict",
     "events_growth_accounting", "events_histogram",
     "events_markov_transitions", "events_new_vs_returning",
     "events_peak_concurrency", "events_rate_limit_scan",
     "events_record_highs", "events_retention",
     "events_rolling_distinct", "events_seasonality",
     "events_sequence_match", "events_sliding_uniques_sketch",
-    "events_streaks", "events_time_weighted_avg", "filter_conjunctive",
-    "filter_in_between_like", "filter_null_semantics", "fn_array",
-    "fn_bitwise", "fn_business_days", "fn_date", "fn_encoding",
-    "fn_format", "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip",
-    "fn_json", "fn_map", "fn_math", "fn_null_family", "fn_string",
-    "fn_struct", "fn_time_bucket", "fn_timezone", "fn_try_cast",
-    "fn_url", "fn_variant", "join_anti", "join_anti_null_aware",
-    "join_asof", "join_asof_nearest", "join_asof_tolerance",
-    "join_bloom_prefilter", "join_broadcast", "join_bucketed_colocated",
-    "join_cross", "join_dynamic_partition_prune", "join_full_outer",
+    "events_streaks", "events_time_weighted_avg",
+    "filter_conjunctive", "filter_in_between_like",
+    "filter_null_semantics", "fn_array", "fn_bitwise",
+    "fn_business_days", "fn_date", "fn_encoding", "fn_format",
+    "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip", "fn_json",
+    "fn_map", "fn_math", "fn_null_family", "fn_string", "fn_struct",
+    "fn_time_bucket", "fn_timezone", "fn_try_cast", "fn_url",
+    "fn_variant", "join_anti", "join_anti_null_aware", "join_asof",
+    "join_asof_nearest", "join_asof_tolerance",
+    "join_bloom_prefilter", "join_broadcast",
+    "join_bucketed_colocated", "join_cross",
+    "join_dynamic_partition_prune", "join_full_outer",
     "join_inner_equi", "join_interval_overlap", "join_left_outer",
     "join_multiway", "join_null_skew_split", "join_range_bucketed",
     "join_semi", "join_skew_salted", "join_spatial_grid",
@@ -113,51 +126,58 @@ _DRIVER_GREEN = [
     "scan_projection_pushdown", "scan_sorted_layout_prune",
     "scan_zorder_layout", "sessionize_batch", "set_except",
     "set_intersect", "set_union_all", "set_union_distinct",
-    "sim_ann_lsh", "sim_cosine_topk", "sim_knn_classify",
-    "sim_range_search", "sort_multi_key", "source_csv_roundtrip",
-    "source_json_roundtrip", "source_orc_roundtrip", "stream_dedup",
-    "stream_output_modes", "stream_session", "stream_sliding",
-    "stream_stateful", "stream_static_join", "stream_triggers",
-    "stream_tumbling", "text_entropy", "text_fingerprint",
-    "text_langid", "text_lm_score", "text_pii_scrub", "text_quality",
-    "text_stats", "text_tfidf_terms", "text_token_count", "topk_global",
-    "topk_per_group", "tpch_q10_shape", "tpch_q11_shape",
-    "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
-    "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
-    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape",
-    "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape",
-    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
-    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
-    "vector_group_rank", "win_analytic", "win_frame_range",
-    "win_frame_rows", "win_ignore_nulls", "win_ntile", "win_percent",
-    "win_ranking", "win_reset_running_sum", "win_time_range_frame",
+    "sim_ann_lsh", "sim_ann_recall", "sim_centroid_classify",
+    "sim_centroid_drift", "sim_cosine_topk", "sim_hybrid_rrf",
+    "sim_ivf_nprobe_sweep", "sim_ivf_refine", "sim_knn_classify",
+    "sim_matryoshka_recall", "sim_pq_adc_search",
+    "sim_product_quantize", "sim_range_search", "sort_multi_key",
+    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
+    "stream_session", "stream_sliding", "stream_stateful",
+    "stream_static_join", "stream_triggers", "stream_tumbling",
+    "text_bm25_search", "text_collocations_pmi", "text_entropy",
+    "text_entropy_rate", "text_fingerprint", "text_langid",
+    "text_langid_eval", "text_lm_score", "text_normalize",
+    "text_pii_scrub", "text_quality", "text_stats",
+    "text_tfidf_terms", "text_token_count", "text_topn_ngrams",
+    "topk_global", "topk_per_group", "tpch_q10_shape",
+    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
+    "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
+    "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape",
+    "tpch_q5_shape", "tpch_q6_shape", "tpch_q7_shape",
+    "tpch_q8_shape", "tpch_q9_shape", "vector_group_rank",
+    "win_analytic", "win_frame_range", "win_frame_rows",
+    "win_ignore_nulls", "win_ntile", "win_percent", "win_ranking",
+    "win_reset_running_sum", "win_time_range_frame"
 ]
 
-# Green keys whose oracles were hardened in round 7 (r6 ADVICE items:
-# cross-engine decimal->int cast rounding; NULL-props classification)
-# -- re-recorded first so the fixes get fresh driver rows.
-_ORACLE_HARDENED_R07 = [
-    "agg_topk_weighted", "cdc_dlq_replay_merge",
-]
-
-# Keys first registered in round 7 -- front-loaded into the r07 window.
-_R07_NEW = [
-    "cdc_ddl_apply", "cdc_sink_wire",
+# The 19 keys never driver-sampled through round 7 -- front-loaded so
+# round 8 completes full 304/304 driver-recorded proof.
+_R08_FRONT = [
+    "cdc_freshness", "cdc_column_drift_stats",
+    "cdc_seq_coverage_ranges", "cdc_ttl_expiry",
+    "cdc_snapshot_diff", "events_top_paths",
+    "events_anomaly_zscore", "events_rollup_hierarchy",
+    "events_gap_fill", "events_ema_daily",
+    "events_session_duration", "events_funnel_by_segment",
+    "events_funnel_window_sensitivity", "events_sliding_batch",
+    "events_funnel_unordered", "events_watermark_lateness",
+    "stream_stream_join", "cdc_sink_idempotent",
+    "stream_resume_incremental"
 ]
 
 
 def _ordered_keys() -> list[str]:
-    """Round-7-hardened oracles first, then the round-7 additions, then
-    every never-driver-sampled key in registration order, driver-green
-    last."""
-    front = set(_ORACLE_HARDENED_R07) | set(_R07_NEW) | set(_DRIVER_GREEN)
+    """Never-driver-sampled keys first (in registration order), then
+    any keys new this round, driver-green re-samples last."""
+    front = set(_R08_FRONT) | set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in front]
     return (
-        [k for k in _ORACLE_HARDENED_R07 if k in QUERIES]
-        + [k for k in _R07_NEW if k in QUERIES]
+        [k for k in _R08_FRONT if k in QUERIES]
         + unproven
-        + [k for k in _DRIVER_GREEN if k in QUERIES
-           if k not in _ORACLE_HARDENED_R07]
+        + [k for k in _DRIVER_GREEN if k in QUERIES]
     )
 
 
