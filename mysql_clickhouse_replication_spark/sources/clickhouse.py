@@ -10,12 +10,16 @@ spark-clickhouse-connector's catalog API; both are expressed here behind
 one function so `streaming/queries.py`'s foreachBatch body swaps its
 parquet stand-in for this without further changes.
 
-Offline behavior: validates eagerly and raises — never half-writes.
+Offline behavior: argument validation is eager and raises before any
+request is issued; the online path is at-least-once with per-payload
+dedup tokens (see post_rowbinary_http's docstring).
 tests/test_contract.py keys cover the parquet twin; this module is
 exercised in production deployments only.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -150,12 +154,19 @@ def write_clickhouse_jdbc(
     )
 
 
+#: ClickHouse identifiers we will interpolate into a query string —
+#: bare or dot-qualified names only, so a caller-supplied table value
+#: cannot smuggle SQL into the HTTP query parameter.
+_CH_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
 def post_rowbinary_http(
     df: DataFrame,
     url: str,
     table: str,
     user: str = "default",
     password: str = "",
+    timeout: float = 60.0,
 ) -> None:
     """Ship a (micro-)batch as ``INSERT INTO t FORMAT RowBinary`` POST
     bodies — the sink's wire-level path (sources/rowbinary.py encodes
@@ -166,25 +177,49 @@ def post_rowbinary_http(
     payload as the body — issued executor-side inside foreachPartition,
     so a 1000-executor cluster posts in parallel and one payload maps to
     one MergeTree part (the insert-buffer tradeoff of
-    write_clickhouse_jdbc's ``batchsize``).  Offline this validates
-    eagerly and raises — never half-writes; the byte layer itself is
-    oracle-proven by the ``cdc_sink_wire`` contract key.
+    write_clickhouse_jdbc's ``batchsize``).
+
+    Delivery semantics — AT-LEAST-ONCE on the online path: a failure
+    mid-partition leaves earlier payloads of that partition already
+    inserted, and Spark's task retry re-posts the whole partition.  To
+    make the retry idempotent each POST carries an
+    ``insert_deduplication_token`` derived from the payload bytes
+    (sha256): on Replicated/SharedMergeTree (and plain MergeTree with
+    ``non_replicated_deduplication_window`` set) the server drops a
+    re-posted block with a token it has already seen inside the dedup
+    window, upgrading the effect to exactly-once there; on engines
+    without insert dedup the path stays at-least-once and the
+    downstream merge (cdc_apply_upsert's ReplacingMergeTree contract)
+    absorbs the duplicates.  Every request carries ``timeout`` so a
+    hung endpoint fails the task (and triggers the retry) instead of
+    blocking the executor forever.  The byte layer itself is
+    oracle-proven offline by the ``cdc_sink_wire`` contract key.
     """
     from urllib.parse import quote
 
     from .rowbinary import encode_batches, wire_types_for
+
+    if not url.startswith(("http://", "https://")):
+        raise ValueError(f"ClickHouse HTTP endpoint required, got {url!r}")
+    if not _CH_IDENT.match(table):
+        raise ValueError(f"invalid ClickHouse table identifier: {table!r}")
+    if timeout <= 0:
+        raise ValueError(f"timeout must be positive, got {timeout!r}")
 
     payloads = encode_batches(df, wire_types_for(df.schema))
     query = quote(f"INSERT INTO {table} FORMAT RowBinary")
     endpoint = f"{url}/?query={query}"
 
     def _post(rows) -> None:
+        import hashlib
         import urllib.request
 
         for row in rows:
+            body = bytes(row.payload)
+            token = hashlib.sha256(body).hexdigest()
             req = urllib.request.Request(
-                endpoint,
-                data=bytes(row.payload),
+                f"{endpoint}&insert_deduplication_token={token}",
+                data=body,
                 method="POST",
                 headers={
                     "X-ClickHouse-User": user,
@@ -192,10 +227,10 @@ def post_rowbinary_http(
                     "Content-Type": "application/octet-stream",
                 },
             )
-            with urllib.request.urlopen(req) as resp:  # pragma: no cover
+            with urllib.request.urlopen(  # pragma: no cover
+                req, timeout=timeout
+            ) as resp:
                 if resp.status != 200:
                     raise OSError(f"ClickHouse insert failed: {resp.status}")
 
-    if not url.startswith(("http://", "https://")):
-        raise ValueError(f"ClickHouse HTTP endpoint required, got {url!r}")
     payloads.foreachPartition(_post)

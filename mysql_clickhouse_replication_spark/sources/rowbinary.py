@@ -145,8 +145,17 @@ def _to_utc(v: datetime) -> datetime:
     return v.replace(tzinfo=timezone.utc) if v.tzinfo is None else v
 
 
-def decode_value(ch_type: str, buf: bytes, pos: int) -> tuple[object, int]:
-    """RowBinary bytes at ``pos`` -> (python value, next pos)."""
+def decode_value(
+    ch_type: str, buf: bytes, pos: int, *, as_bytes: bool = False
+) -> tuple[object, int]:
+    """RowBinary bytes at ``pos`` -> (python value, next pos).
+
+    ``as_bytes=True`` returns String payloads as raw ``bytes`` instead
+    of utf-8-decoding them — ClickHouse String is an arbitrary byte
+    string, so this is the inverse of encoding a Spark ``binary``
+    column (which encode_value accepts as-is); without it non-UTF-8
+    binary values encode fine but fail to decode.  The flag threads
+    through Nullable/Array wrappers."""
     head, inner = _split_type(ch_type)
     if head == "Nullable":
         if pos >= len(buf):
@@ -157,7 +166,7 @@ def decode_value(ch_type: str, buf: bytes, pos: int) -> tuple[object, int]:
             return None, pos
         if flag != 0:
             raise ValueError(f"bad Nullable flag {flag:#x} at {pos - 1}")
-        return decode_value(inner, buf, pos)
+        return decode_value(inner, buf, pos, as_bytes=as_bytes)
     if head in _FIXED:
         st = _FIXED[head]
         if pos + st.size > len(buf):
@@ -167,7 +176,8 @@ def decode_value(ch_type: str, buf: bytes, pos: int) -> tuple[object, int]:
         n, pos = read_varint(buf, pos)
         if pos + n > len(buf):
             raise ValueError(f"truncated String at {pos}")
-        return buf[pos:pos + n].decode("utf-8"), pos + n
+        raw = buf[pos:pos + n]
+        return (bytes(raw) if as_bytes else raw.decode("utf-8")), pos + n
     if head == "Date":
         d, pos = decode_value("UInt16", buf, pos)
         return _EPOCH_DATE + timedelta(days=d), pos
@@ -185,7 +195,7 @@ def decode_value(ch_type: str, buf: bytes, pos: int) -> tuple[object, int]:
         n, pos = read_varint(buf, pos)
         out = []
         for _ in range(n):
-            v, pos = decode_value(inner, buf, pos)
+            v, pos = decode_value(inner, buf, pos, as_bytes=as_bytes)
             out.append(v)
         return out, pos
     raise ValueError(f"unsupported ClickHouse type: {ch_type}")
@@ -201,14 +211,22 @@ def encode_rows(types: list[str], rows: Iterable[tuple]) -> bytes:
     return bytes(out)
 
 
-def decode_rows(types: list[str], buf: bytes) -> Iterator[tuple]:
+def decode_rows(
+    types: list[str],
+    buf: bytes,
+    bytes_cols: frozenset[int] = frozenset(),
+) -> Iterator[tuple]:
     """One RowBinary payload -> rows.  Raises on trailing garbage or a
-    truncated row — a half-written payload must never half-apply."""
+    truncated row — a half-written payload must never half-apply.
+
+    ``bytes_cols`` holds the column positions whose String payloads are
+    returned as raw ``bytes`` (Spark ``binary`` columns) instead of
+    utf-8 text — see decode_value's ``as_bytes``."""
     pos = 0
     while pos < len(buf):
         row = []
-        for ch_type in types:
-            v, pos = decode_value(ch_type, buf, pos)
+        for i, ch_type in enumerate(types):
+            v, pos = decode_value(ch_type, buf, pos, as_bytes=i in bytes_cols)
             row.append(v)
         yield tuple(row)
 
@@ -290,31 +308,47 @@ def encode_batches(df, types: list[str]):
     return df.mapInArrow(_encode, schema="payload binary, n_rows long")
 
 
-def decode_batches(payloads, types: list[str], schema: str):
+def decode_batches(payloads, types: list[str], schema):
     """DataFrame[payload BINARY, ...] -> decoded rows (executor-side,
     one decode per payload row, exact via Arrow).  ``schema`` is the
-    Spark output schema matching ``types`` positionally."""
-    out_cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
-    _PA = {"string": "string", "long": "int64", "double": "float64",
-           "int": "int32", "binary": "binary", "boolean": "bool_"}
+    Spark output schema matching ``types`` positionally — a
+    ``StructType`` or a DDL string (parsed by Spark's own DDL parser,
+    so parameterized types like ``decimal(10,2)`` are fine).  Arrow
+    output types are derived from the Spark fields via pyspark's
+    Spark->Arrow conversion table; ``binary`` fields decode to raw
+    bytes (decode_rows' ``bytes_cols``)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import BinaryType, StructType
+
+    struct = (
+        schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    )
+    if len(struct.fields) != len(types):
+        raise ValueError(
+            f"schema has {len(struct.fields)} fields for {len(types)} wire types"
+        )
+    names = [f.name for f in struct.fields]
+    arrow_types = [to_arrow_type(f.dataType) for f in struct.fields]
+    bytes_cols = frozenset(
+        i for i, f in enumerate(struct.fields)
+        if isinstance(f.dataType, BinaryType)
+    )
 
     def _decode(batches):
         import pyarrow as pa
 
-        pa_schema = pa.schema(
-            [(name, getattr(pa, _PA[t])()) for name, t in out_cols]
-        )
+        pa_schema = pa.schema(list(zip(names, arrow_types)))
         for batch in batches:
             pay_idx = batch.schema.get_field_index("payload")
             rows = [
                 row
                 for payload in batch.column(pay_idx).to_pylist()
-                for row in decode_rows(types, bytes(payload))
+                for row in decode_rows(types, bytes(payload), bytes_cols)
             ]
-            cols = list(zip(*rows)) if rows else [[] for _ in out_cols]
+            cols = list(zip(*rows)) if rows else [[] for _ in names]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
                 schema=pa_schema,
             )
 
-    return payloads.mapInArrow(_decode, schema=schema)
+    return payloads.mapInArrow(_decode, schema=struct)

@@ -254,3 +254,97 @@ def test_rowbinary_spark_schema_mapping(spark):
     assert rb.wire_types_for(df.schema) == [
         "Nullable(String)", "Nullable(Int64)", "Nullable(Float64)",
     ]
+
+
+def test_rowbinary_binary_roundtrip_non_utf8():
+    """Spark binary -> ClickHouse String must roundtrip arbitrary bytes:
+    decode with bytes_cols returns raw bytes instead of utf-8 text
+    (ADVICE r7: the utf-8-only decode made the advertised binary
+    mapping asymmetric)."""
+    import pytest
+
+    from mysql_clickhouse_replication_spark.sources import rowbinary as rb
+
+    blob = b"\xff\xfe\x00\x80ascii-tail"
+    types = ["Nullable(String)", "Nullable(String)", "Nullable(Int64)"]
+    rows = [("text", blob, 7), (None, b"\x00" * 3, None)]
+    buf = rb.encode_rows(types, rows)
+    # column 1 is a Spark binary column: decode it as raw bytes
+    out = list(rb.decode_rows(types, buf, bytes_cols=frozenset({1})))
+    assert out == rows
+    # without the flag the non-UTF-8 payload is a decode error (the
+    # pre-fix behavior, now opt-out instead of silent corruption)
+    with pytest.raises(UnicodeDecodeError):
+        list(rb.decode_rows(types, buf))
+    # the flag threads through Array wrappers too
+    abuf = rb.encode_value("Array(String)", [b"\xff", b"ok"])
+    assert rb.decode_value("Array(String)", abuf, 0, as_bytes=True)[0] == [
+        b"\xff", b"ok",
+    ]
+
+
+def test_rowbinary_decode_batches_parameterized_schema(spark):
+    """decode_batches parses the output schema with Spark's DDL parser
+    (commas inside decimal(10,2) were a split(',') hazard) and derives
+    Arrow types from the Spark fields, including date/timestamp/binary
+    (ADVICE r7)."""
+    import datetime
+
+    from mysql_clickhouse_replication_spark.sources import rowbinary as rb
+
+    types = [
+        "Nullable(String)", "Nullable(Int64)", "Nullable(Float64)",
+        "Nullable(Date32)", "Nullable(DateTime64(6))", "Nullable(String)",
+    ]
+    rows = [
+        (
+            "a", 10**15 + 7, 1.5,
+            datetime.date(2024, 2, 29),
+            datetime.datetime(2024, 2, 29, 12, 30, 45, 123456),
+            b"\xff\x00bin",
+        ),
+        (None, None, None, None, None, None),
+    ]
+    payload = rb.encode_rows(types, rows)
+    pdf = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    out = rb.decode_batches(
+        pdf, types,
+        "op string, pk long, v double, d date, ts timestamp, raw binary",
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert (None,) * 6 in got
+    (full,) = [r for r in got if r[0] == "a"]
+    assert full[1] == 10**15 + 7 and full[2] == 1.5
+    assert full[3] == datetime.date(2024, 2, 29)
+    assert full[4].replace(tzinfo=None) == datetime.datetime(
+        2024, 2, 29, 12, 30, 45, 123456
+    )
+    assert bytes(full[5]) == b"\xff\x00bin"
+
+
+def test_post_rowbinary_http_validates_before_any_request(spark):
+    """Identifier injection and non-HTTP endpoints are rejected eagerly
+    (ADVICE r7: the table name was interpolated unescaped into the
+    INSERT query string)."""
+    import pytest
+
+    from mysql_clickhouse_replication_spark.sources import clickhouse as ch
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "op string, pk long, v double")
+    with pytest.raises(ValueError, match="identifier"):
+        ch.post_rowbinary_http(df, "http://localhost:8123", "t; DROP TABLE x")
+    with pytest.raises(ValueError, match="identifier"):
+        ch.post_rowbinary_http(
+            df, "http://localhost:8123", "db.t FORMAT Values"
+        )
+    with pytest.raises(ValueError, match="endpoint"):
+        ch.post_rowbinary_http(df, "clickhouse://host:9000", "db.t")
+    with pytest.raises(ValueError, match="timeout"):
+        ch.post_rowbinary_http(
+            df, "http://localhost:8123", "db.t", timeout=0
+        )
+    # plain and dot-qualified identifiers pass validation (the call then
+    # fails only at connection time, which we don't attempt here)
+    assert ch._CH_IDENT.match("events_sink")
+    assert ch._CH_IDENT.match("analytics.events_sink")
+    assert not ch._CH_IDENT.match("a.b.c")
