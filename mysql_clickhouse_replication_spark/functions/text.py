@@ -783,6 +783,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_T = 0.9
+#: Stop-shingle document-frequency cap for the containment posting
+#: join: shingles appearing in more than this many documents are
+#: boilerplate-grade and are dropped BEFORE the self-join, bounding the
+#: join's Theta(sum df(s)^2) cost to df <= cap per shingle.  Measured
+#: on the fixtures (duckdb df histogram, round 8): gate SFs never reach
+#: it (max df 7/11/25 at sf0.01/0.001/0.1 — output identical to the
+#:	uncapped form, n_capped_shingles = 0), while the sf1 replica corpus
+#: (max df 250) sheds 96% of sum df^2 (283.7M -> 11.8M).
+_CONTAIN_DF_CAP = 64
 
 
 @register(
@@ -803,17 +812,29 @@ frag AS (
 ),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM frag),
 post AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
-sizes AS (SELECT doc_id, len(sh) AS n_shingles FROM corpus),
+dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s),
+kept AS (
+  SELECT doc_id, s FROM post JOIN dfreq USING (s)
+  WHERE df <= {_CONTAIN_DF_CAP}
+),
+capped AS (
+  SELECT COUNT(*) FILTER (WHERE df > {_CONTAIN_DF_CAP})
+         AS n_capped_shingles
+  FROM dfreq
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM kept GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
          COUNT(*) AS shared
-  FROM post a JOIN post b USING (s)
+  FROM kept a JOIN kept b USING (s)
   WHERE a.doc_id != b.doc_id
   GROUP BY 1, 2
 )
 SELECT contained_id, container_id,
-       ROUND(CAST(shared AS DOUBLE) / n_shingles, 6) AS containment
+       ROUND(CAST(shared AS DOUBLE) / n_shingles, 6) AS containment,
+       n_capped_shingles
 FROM pairs JOIN sizes ON sizes.doc_id = contained_id
+CROSS JOIN capped
 WHERE shared >= {_CONTAIN_T} * n_shingles
 """,
 )
@@ -827,34 +848,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragment doc — the quoted-excerpt scenario.
 
     Plan shape is the INVERTED-INDEX join (new vs the banded-LSH keys):
-    explode shingles to a posting list, self-join on the shingle, count
-    shared shingles per ordered pair, divide by the contained side's set
-    size. At 100 TB the posting join's cost is sum over shingles of
-    df(s)^2 — kept linear-ish by the long tail of natural text (df ~ 1-5
-    for content shingles); the standard stop-shingle cap (drop s with
-    df > D before the join) is one added filter on the posting list and
-    does not change this contract's semantics on fixtures whose df is
-    already tail-shaped."""
+    explode shingles to a posting list, DROP STOP-SHINGLES (df >
+    {_CONTAIN_DF_CAP} documents — the standard production guard; see
+    _CONTAIN_DF_CAP for the measured effect), self-join on the shingle,
+    count shared shingles per ordered pair, divide by the contained
+    side's KEPT-set size — containment is computed in the informative-
+    shingle space on both numerator and denominator, so a true
+    contained fragment still scores ~1 after capping.  The cap bounds
+    the posting join's cost to Theta(vocab x cap^2) regardless of how
+    skewed the df head grows at 100 TB, where an uncapped join is
+    quadratic in the df of the most common boilerplate shingle.  The
+    number of capped-out shingles is on the surface
+    (``n_capped_shingles``, a corpus-level constant column) so the
+    approximation is visible to the consumer, and the DuckDB oracle
+    applies the identical cap — the twin stays hash-exact.  The df
+    filter joins the posting list to the vocabulary-sized df frame on
+    the shingle key, the same shuffle key the pair join needs next, so
+    the cap adds no extra exchange of the big side.
+
+    Two measured plan refinements (sf1, local[32], round 8): the token
+    array is materialized as a column BEFORE the shingle lambda —
+    ``slice(split(text), i, 3)`` inside ``transform`` re-splits the
+    text once per position, O(tokens^2) per doc (29.7s -> 16.5s per
+    shingling pass, outputs proven identical) — and the capped posting
+    list is persisted, because FOUR consumers branch from it (df count,
+    both join sides, set sizes) and each would otherwise re-run the
+    shingling scan (sf1 wall 122s -> ~45s; at 100 TB the posting list
+    is the inverted index a production pipeline materializes anyway)."""
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
-    base = d.select(
+    base = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+            "array_distinct(transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3))))"
         ).alias("sh"),
     )
-    frag = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.expr(
-            "array_distinct(transform(sequence(1, 4),"
-            " i -> concat_ws(' ', slice(slice(split(text, ' '), 1, 6), i, 3))))"
-        ).alias("sh"),
+    frag = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.slice(F.split("text", " "), 1, 6).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, 4),"
+                " i -> concat_ws(' ', slice(toks, i, 3))))"
+            ).alias("sh"),
+        )
     )
     corpus = base.unionByName(frag)
-    post = corpus.select("doc_id", F.explode("sh").alias("s"))
-    sizes = corpus.select("doc_id", F.size("sh").alias("n_shingles"))
-    a = post.select(F.col("doc_id").alias("contained_id"), "s")
-    b = post.select(F.col("doc_id").alias("container_id"), "s")
+    post = corpus.select("doc_id", F.explode("sh").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = post.join(
+        dfreq.filter(F.col("df") <= _CONTAIN_DF_CAP).select("s"), "s"
+    )
+    n_capped = dfreq.agg(
+        F.count_if(F.col("df") > _CONTAIN_DF_CAP).alias("n_capped_shingles")
+    )
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = kept.select(F.col("doc_id").alias("contained_id"), "s")
+    b = kept.select(F.col("doc_id").alias("container_id"), "s")
     pairs = (
         a.join(b, "s")
         .filter(F.col("contained_id") != F.col("container_id"))
@@ -873,6 +933,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "containment"
             ),
         )
+        .crossJoin(F.broadcast(n_capped))
     )
 
 

@@ -321,3 +321,66 @@ def test_temperature_sample_rates_capped_and_budgeted(spark, sf_dir):
     for r in rows:
         assert 0 < r["rate_ppm"] <= 1_000_000
         assert 0 <= r["realized_n"] <= r["n_docs"]
+
+
+@pytest.fixture(scope="module")
+def stop_shingle_dir(tmp_path_factory):
+    """70 docs sharing one boilerplate trigram (df=70 > the 64 cap) plus
+    a genuine contained/container pair built from unique shingles."""
+    d = tmp_path_factory.mktemp("stop_shingle")
+    ids, texts = [], []
+    for i in range(1, 71):
+        ids.append(i)
+        texts.append(f"boiler plate footer w{i}x w{i}y w{i}z w{i}q")
+    ids += [101, 103]
+    texts += [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta epsilon zeta eta",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "category": ["x"] * len(ids),
+            "published_at": [None] * len(ids),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_containment_df_cap_fires_and_stays_oracle_exact(
+    spark, stop_shingle_dir
+):
+    """The df>64 stop-shingle must be dropped by BOTH engines (capped
+    count on the surface), the spurious boilerplate-only pairs must not
+    appear, and the true contained pair must survive the cap — the
+    sf fixtures never reach the cap (max df 25), so only this corpus
+    proves the capped path itself."""
+    rows = e.queries()["dedup_containment"](spark, stop_shingle_dir).collect()
+    got = {
+        (r["contained_id"], r["container_id"],
+         r["containment"], r["n_capped_shingles"])
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{stop_shingle_dir}/documents.parquet')"
+    )
+    oracle = set(map(tuple, con.execute(
+        e.oracle_sql()["dedup_containment"]
+    ).fetchall()))
+    assert got == oracle
+    # exactly one shingle ('boiler plate footer', df=70) was capped out
+    assert rows and all(r["n_capped_shingles"] == 1 for r in rows)
+    # the unique-shingle containment pair survives the cap at 1.0
+    assert (101, 103, 1.0, 1) in got
+    # no pair is justified by the boilerplate shingle alone: every
+    # emitted contained doc shares >= 0.9 of its KEPT shingles, and the
+    # 70 base docs share ONLY the capped shingle pairwise
+    base_pairs = [
+        (a, b) for (a, b, _, _) in got if a <= 70 and b <= 70
+    ]
+    assert not base_pairs, f"boilerplate-only pairs leaked: {base_pairs[:5]}"
