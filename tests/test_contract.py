@@ -83,3 +83,23 @@ def test_no_oracle_exposes_pandas_hazard_dtypes(duck):
         "oracle output columns with pandas-canonicalizer hazard dtypes "
         "(cast them to BIGINT/DOUBLE/VARCHAR): " + "; ".join(failures)
     )
+
+
+def test_no_oracle_has_round_vs_truncate_int_cast():
+    """Structural gate for the r6 share_ppm class: DuckDB CAST(x AS
+    BIGINT) ROUNDS a fractional x while Spark .cast('bigint')
+    TRUNCATES, so an oracle casting a divisive/AVG expression straight
+    to BIGINT hash-diverges on .5 boundaries.  The fix patterns the
+    registry uses — FLOOR(...) before the cast, or all-integer
+    arithmetic with // floor division (integral-in-cents) — pass the
+    lint; anything else must be rewritten, not waived."""
+    from tools.oracle_dtype_lint import round_trunc_hazards
+
+    failures = []
+    for key, sql in e.oracle_sql().items():
+        for expr in round_trunc_hazards(sql):
+            failures.append(f"{key}: CAST of {expr!r}")
+    assert not failures, (
+        "oracles with round-vs-truncate int casts (pin with FLOOR or "
+        "integral // arithmetic): " + "; ".join(failures)
+    )
