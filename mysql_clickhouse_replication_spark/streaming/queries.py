@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +71,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+#: State-store partition count for the streaming contract keys.  A
+#: stateful streaming query pins its state partitioning to
+#: spark.sql.shuffle.partitions AT FIRST CHECKPOINT WRITE, and every
+#: micro-batch then opens/commits one state store instance per
+#: partition per stateful operator — pure fixed overhead when state is
+#: small.  Unlike batch shuffle width (sized to data volume), state
+#: parallelism is sized to retained-state volume and key cardinality:
+#: the fixture replays retain kilobytes, so 8 partitions is generous,
+#: while a 100 TB/day deployment raises the env knob at first deploy
+#: (it is pinned into the checkpoint thereafter).  Measured at sf0.1
+#: (local[32], round 8): the 7-key streaming extras set 17.9 s -> 12.3
+#: s (-31%), stream_stream_join alone 6.0 s -> 2.4 s, with hash-
+#: identical results at every gate SF.
+_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+
+
+@contextmanager
+def _state_scaled(spark: SparkSession):
+    """Temporarily pin shuffle partitions to the state-store knob while
+    a streaming query plans and runs (availableNow queries execute
+    synchronously inside the block; keys run serially in verify/bench,
+    so the save/restore cannot interleave)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     uniquely-named memory sink; return the final table (batch DataFrame).
@@ -80,14 +111,15 @@ def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     parquet/JDBC per micro-batch with a durable checkpoint — exactly what
     cdc_sink and cdc_checkpoint below demonstrate."""
     name = "s" + uuid.uuid4().hex
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_scaled(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -338,8 +370,13 @@ def cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("append").parquet(sink)
 
-    q = decoded.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with _state_scaled(spark):
+        q = (
+            decoded.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -418,12 +455,13 @@ def cdc_sink_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         encode_batches(bdf, types).write.mode("append").parquet(sink)
 
-    q = (
-        decoded.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_scaled(spark):
+        q = (
+            decoded.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     payloads = spark.read.parquet(sink)
     wire = decode_batches(
@@ -472,14 +510,15 @@ def cdc_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("append").parquet(sink)
 
-    for _ in range(2):  # initial run, then resume-from-checkpoint
-        q = (
-            decoded.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    with _state_scaled(spark):
+        for _ in range(2):  # initial run, then resume-from-checkpoint
+            q = (
+                decoded.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -616,12 +655,13 @@ def cdc_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(sink)
             )
 
-        q = (
-            decoded.writeStream.foreachBatch(write_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_scaled(spark):
+            q = (
+                decoded.writeStream.foreachBatch(write_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()
     run_once()  # full redelivery — must overwrite, not duplicate
@@ -688,15 +728,16 @@ def stream_resume_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("seq"),
             "value",
         )
-        q = (
-            decoded.writeStream.foreachBatch(
-                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+        with _state_scaled(spark):
+            q = (
+                decoded.writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     consume()  # run 1: first half only
     # new data lands while the stream is down (distinct file names —
