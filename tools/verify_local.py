@@ -58,6 +58,32 @@ SUPERLINEAR_ORACLES = {
     "events_funnel_window_sensitivity",
 }
 
+# Blocked-sample SCALE TWINS (round 8): for pair-output dedup keys the
+# brute-force oracle is quadratic in the corpus, but the pair metric is
+# DOC-LOCAL (shingles/fingerprints of the two docs only), so the oracle
+# restricted to any doc subset is itself an exact oracle for the
+# induced pair subgraph.  At big SFs (--no-superlinear-oracles) these
+# keys therefore get a real hash check instead of a skip: run the Spark
+# plan on the FULL corpus, keep only output pairs whose BOTH endpoints
+# fall in a deterministic content-keyed sample, and compare against the
+# unmodified registered oracle evaluated over the sampled `documents`
+# view.  The sample key is the 30-char text prefix: measured on the
+# fixture, every qualifying pair of all three metrics shares it (25/25
+# ngram J>=0.8, 25/25 word-shingle J>=0.5 at sf0.01), and sf1's clone
+# replicas share full text — so whole near-dup blocks co-sample and the
+# check is non-vacuous, while cross-block pairs are excluded from BOTH
+# sides consistently (soundness does not depend on the blocking).
+# Global-output keys (clusters, survivor picks, corpus aggregates,
+# funnel counts) cannot be endpoint-filtered and stay excluded.
+SCALE_TWIN_SAMPLE = "hash(substr(text, 1, 30)) % 64 = 7"
+SCALE_TWINS = {
+    # key -> the two doc-id output columns to endpoint-filter
+    "dedup_minhash": ("doc_a", "doc_b"),
+    "dedup_simhash": ("doc_a", "doc_b"),
+    "dedup_ngram_jaccard": ("doc_a", "doc_b"),
+    "dedup_incremental": ("new_doc", "corpus_doc"),
+}
+
 
 def _canon(v) -> str:
     if v is None:
@@ -112,12 +138,35 @@ def main(argv: list[str]) -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     keys = argv or sorted(qs)
+    scale_twin_keys: set[str] = set()
     if skip_superlinear:
-        skipped = [k for k in keys if k in SUPERLINEAR_ORACLES]
-        keys = [k for k in keys if k not in SUPERLINEAR_ORACLES]
+        scale_twin_keys = {
+            k for k in keys
+            if k in SUPERLINEAR_ORACLES and k in SCALE_TWINS
+        }
+        skipped = [k for k in keys
+                   if k in SUPERLINEAR_ORACLES and k not in SCALE_TWINS]
+        keys = [k for k in keys if k not in skipped]
+        if scale_twin_keys:
+            print(f"scale-twin oracles for {len(scale_twin_keys)} keys: "
+                  + " ".join(sorted(scale_twin_keys)))
         if skipped:
             print(f"skipping {len(skipped)} superlinear-oracle keys: "
                   + " ".join(skipped))
+    sample_con = None
+    if scale_twin_keys:
+        # same fixture views, but `documents` restricted to the sample
+        sample_con = duckdb.connect()
+        for t in TABLES:
+            pred = f" WHERE {SCALE_TWIN_SAMPLE}" if t == "documents" else ""
+            sample_con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet'){pred}"
+            )
+        sample_ids = {
+            r[0] for r in
+            sample_con.execute("SELECT doc_id FROM documents").fetchall()
+        }
     n_pass = n_fail = n_rows_only = 0
     for key in keys:
         t0 = time.time()
@@ -136,13 +185,24 @@ def main(argv: list[str]) -> int:
             results[key] = {"status": "rows_only", "rows": len(srows)}
             n_rows_only += 1
             continue
+        twin = key in scale_twin_keys
+        if twin:
+            ia, ib = (scols.index(c) for c in SCALE_TWINS[key])
+            srows = [r for r in srows
+                     if r[ia] in sample_ids and r[ib] in sample_ids]
         try:
-            res = con.execute(oracles[key])
+            res = (sample_con if twin else con).execute(oracles[key])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
             print(f"FAIL  {key}: duckdb error\n{traceback.format_exc()}")
             results[key] = {"status": "fail", "err": "duckdb error"}
+            n_fail += 1
+            continue
+        if twin and not orows:
+            print(f"FAIL  {key}: scale-twin sample is vacuous (0 expected "
+                  "pairs) — widen SCALE_TWIN_SAMPLE")
+            results[key] = {"status": "fail", "err": "vacuous scale twin"}
             n_fail += 1
             continue
         problems = []
@@ -171,9 +231,11 @@ def main(argv: list[str]) -> int:
             results[key] = {"status": "fail", "err": problems[0]}
             n_fail += 1
         else:
-            print(f"PASS  {key}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            tag = " (scale-twin)" if twin else ""
+            print(f"PASS  {key}: {len(srows)} rows{tag} "
+                  f"[{time.time()-t0:.1f}s]")
             results[key] = {
-                "status": "pass",
+                "status": "pass_scale_twin" if twin else "pass",
                 "rows": len(srows),
                 "secs": round(time.time() - t0, 2),
             }
