@@ -365,6 +365,11 @@ EXTRA = [
     # --- round 7.
     "cdc_ddl_apply",
     "cdc_sink_wire",
+    # --- round 8.
+    "agg_exact_median",
+    "cdc_wide_row_reassemble",
+    "multimodal_dedup",
+    "docs_balanced_downsample",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

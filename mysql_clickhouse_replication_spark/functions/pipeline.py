@@ -1660,3 +1660,69 @@ def docs_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(1) AS BIGINT)"
         ).alias("drop_rate_ppm"),
     )
+
+
+@register(
+    "docs_balanced_downsample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(text || ':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+),
+m AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS cap
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS keysum,
+       cap
+FROM ranked CROSS JOIN m
+WHERE rn <= cap
+GROUP BY lang, cap
+""",
+)
+def docs_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — equalize a skewed class mix (the
+    en-heavy fixture) by keeping exactly min-class-size docs per
+    language, selected by a CONTENT-KEYED deterministic rank (md5 of
+    text + id), not head-of-file order: a re-run, a re-partition, or a
+    re-crawl with reordered input keeps the identical sample, which is
+    what makes the training mix reproducible.  docs_language_balance
+    reports the imbalance; this key FIXES it.
+
+    Surface is the keysum convention: per-language kept count (equal to
+    the broadcast cap for every row by construction) plus the sum of
+    kept doc_ids, so the EXACT membership of the sample is pinned, not
+    just its size.  Plan: one count aggregation for the cap (broadcast,
+    1 row), one rank window partitioned by lang.  The window sorts
+    |corpus|/|classes| rows per class — the honest cost of EXACT
+    per-class ranks; the 100 TB variant replaces the rank with a
+    digest-threshold filter (keep md5 < cap/count-scaled bound —
+    one scan, no sort) at the price of +-binomial-noise class sizes,
+    and this exact-rank form is its correctness reference."""
+    d = table(spark, sf_dir, "documents")
+    cap = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("cap"))
+    )
+    rank_key = F.md5(
+        F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id"))
+    ranked = d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("cap"))
+        .groupBy("lang", "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("keysum"),
+        )
+        .select("lang", "n_kept", "keysum", "cap")
+    )

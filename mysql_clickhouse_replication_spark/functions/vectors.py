@@ -1326,3 +1326,59 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+WITH assets AS (
+  SELECT doc_id AS asset_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(asset_id) AS canonical_id,
+       CAST(SUM(asset_id) AS BIGINT) AS id_sum
+FROM assets
+GROUP BY md5(text), octet_length(encode(text))
+""",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over an opaque BINARY asset column — the
+    first pass of any multimodal training-data pipeline (identical
+    image/audio/video bytes re-crawled under different ids): digest the
+    payload, group by digest, keep one canonical copy.  The fixture's
+    assets are the documents' utf-8 bytes (ASCII word salad, so
+    DuckDB's md5(text) is byte-identical to Spark's md5(binary)); every
+    7th doc re-enters under a shifted id — the re-crawl duplicate.
+
+    The 100 TB property is WHAT SHUFFLES: the digest is computed
+    executor-side during the scan, and only (16-byte digest, 8-byte id,
+    length) rows ever reach the exchange — the payloads themselves
+    never move, which is the entire difference between this plan and a
+    groupBy on the binary column (that would shuffle the corpus).
+    Grouping includes the byte length alongside the digest (the
+    standard belt-and-braces guard: an md5 collision with equal length
+    is the only remaining false merge).  ``id_sum`` puts every group
+    MEMBER on the surface (keysum convention), not just the canonical
+    pick, so a wrong grouping cannot hide behind a right count."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").alias("asset_id"),
+                    F.encode("text", "utf-8").alias("payload"))
+    recrawl = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    assets = base.unionByName(recrawl)
+    digested = assets.select(
+        "asset_id",
+        F.md5("payload").alias("content_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return digested.groupBy("content_md5", "n_bytes").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("asset_id").alias("canonical_id"),
+        F.sum("asset_id").alias("id_sum"),
+    )

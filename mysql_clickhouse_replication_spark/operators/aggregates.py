@@ -1068,3 +1068,67 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_rev")
     )
+
+
+@register(
+    "agg_exact_median",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY grp),
+cum AS (
+  SELECT grp, v,
+         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+  FROM c
+)
+SELECT t.grp AS grp, t.n AS n_rows,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median_lo,
+       MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) AS median_hi
+FROM cum JOIN t ON cum.grp = t.grp
+GROUP BY t.grp, t.n
+""",
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median per group (ClickHouse
+    ``quantileExact(0.5)`` parity) — the op Spark only ships
+    approximately (percentile_approx): both order statistics that
+    bracket the median (lower = k-th smallest with k=(n+1)//2, upper =
+    k=n//2+1; equal for odd n) computed exactly with NO global sort.
+
+    Plan: the classic distributed counting selection — (1) map-combined
+    count per (group, value): the only corpus-sized pass, reduced to
+    |groups| x |distinct values| rows; (2) running count over the tiny
+    per-group value histogram (window over <=50 rows per group here;
+    bounded by the value domain, not the row count); (3) the first
+    value whose running count reaches k.  At 100 TB this is one
+    aggregation shuffle of histogram-sized state — the same reason
+    ClickHouse's quantileExact keeps a value multiset, not row copies.
+    For unbounded/continuous domains the production variant buckets
+    values first and recurses into the median bucket; the fixture's
+    integral quantities (TPC-H 1..50) need no second round.  Both
+    medians are exact BIGINTs — no interpolation float on the surface."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select("grp", "v", F.sum("cnt").over(w).alias("cum"))
+    return (
+        cum.join(t, "grp")
+        .groupBy("grp", F.col("n").alias("n_rows"))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v"))
+            ).alias("median_lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
+            ).alias("median_hi"),
+        )
+    )

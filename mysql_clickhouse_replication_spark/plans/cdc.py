@@ -1328,3 +1328,81 @@ def cdc_snapshot_overlap_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_hash", consistent.cast("int").alias("consistent"),
         )
     )
+
+
+@register(
+    "cdc_wide_row_reassemble",
+    oracle="""
+WITH exploded AS (
+  SELECT doc_id,
+         unnest([{'chunk_no': i, 'part': substr(text, (i - 1) * 40 + 1, 40)}
+                 FOR i IN range(1, CAST(ceil(length(text) / 40.0) AS BIGINT)
+                                  + 1)]) AS c
+  FROM documents
+),
+chunks AS (SELECT doc_id, c.chunk_no AS chunk_no, c.part AS part
+           FROM exploded),
+reassembled AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         md5(string_agg(part, '' ORDER BY chunk_no)) AS reassembled_md5
+  FROM chunks GROUP BY doc_id
+)
+SELECT r.doc_id AS doc_id, n_chunks, reassembled_md5,
+       CAST(reassembled_md5 = md5(d.text) AS INT) AS intact
+FROM reassembled r JOIN documents d ON r.doc_id = d.doc_id
+""",
+)
+def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked wide-value reassembly — the CDC pattern for values larger
+    than one changelog record (Postgres TOAST pointers, Debezium's
+    chunked-BLOB re-reads, MySQL rows split by max_allowed_packet-sized
+    readers): the changelog carries (pk, chunk_no, part) fragments,
+    arrival order is NOT chunk order after a keyed shuffle, and the
+    sink must reconstruct each value exactly once and prove integrity.
+
+    Plan: explode each document into 40-char fragments (the simulated
+    changelog), then reassemble with collect_list of (chunk_no, part)
+    structs + array_sort + a post-sort projection — the Spark spelling
+    of ORDER-SENSITIVE string aggregation (DuckDB twin: string_agg
+    ORDER BY chunk_no).  collect_list alone is arrival-order-
+    nondeterministic; sorting the struct array pins it, which is the
+    entire correctness point of the operator.  Integrity is the md5 of
+    the reassembled value vs the md5 of the original (the
+    cdc_row_checksum convention), surfaced per row as ``intact`` so one
+    corrupted fragment flips exactly its own row, never a global flag.
+    At 100 TB: fragments shuffle once on pk (the groupBy), per-group
+    state is one value's fragments (bounded by the wide value's size,
+    not the table), and no global sort exists anywhere."""
+    d = table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, CAST(ceil(length(text) / 40.0) AS INT)),"
+                " i -> substring(text, (i - 1) * 40 + 1, 40))"
+            )
+        ).alias("pos", "part"),
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_no"), "part")
+    reassembled = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_no, part))),"
+                    " x -> x.part)"
+                ),
+            )
+        ).alias("reassembled_md5"),
+    )
+    return reassembled.join(
+        d.select("doc_id", F.md5("text").alias("orig_md5")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "reassembled_md5",
+        (F.col("reassembled_md5") == F.col("orig_md5")).cast("int").alias(
+            "intact"
+        ),
+    )
