@@ -1115,20 +1115,23 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("bigint").alias("v"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy("grp").agg(F.sum("cnt").alias("n"))
     w = Window.partitionBy("grp").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = c.select("grp", "v", F.sum("cnt").over(w).alias("cum"))
-    return (
-        cum.join(t, "grp")
-        .groupBy("grp", F.col("n").alias("n_rows"))
-        .agg(
-            F.min(
-                F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v"))
-            ).alias("median_lo"),
-            F.min(
-                F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
-            ).alias("median_hi"),
-        )
+    # group total n = the last running count — a second unordered window
+    # over the SAME tiny histogram partitioning (plan shows one Exchange
+    # feeding both Window nodes), instead of re-aggregating the corpus:
+    # a naive c.groupBy(grp).sum join made Catalyst scan lineitem twice.
+    cum = c.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+    ).withColumn("n", F.max("cum").over(Window.partitionBy("grp")))
+    return cum.groupBy("grp", F.col("n").alias("n_rows")).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v"))
+        ).alias("median_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
+        ).alias("median_hi"),
     )
