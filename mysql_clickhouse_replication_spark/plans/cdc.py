@@ -1342,15 +1342,16 @@ WITH exploded AS (
 ),
 chunks AS (SELECT doc_id, c.chunk_no AS chunk_no, c.part AS part
            FROM exploded),
-reassembled AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_chunks,
-         md5(string_agg(part, '' ORDER BY chunk_no)) AS reassembled_md5
-  FROM chunks GROUP BY doc_id
+chunked AS (
+  SELECT c.doc_id AS doc_id, chunk_no, part, md5(d.text) AS expected_md5
+  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
 )
-SELECT r.doc_id AS doc_id, n_chunks, reassembled_md5,
-       CAST(reassembled_md5 = md5(d.text) AS INT) AS intact
-FROM reassembled r JOIN documents d ON r.doc_id = d.doc_id
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       md5(string_agg(part, '' ORDER BY chunk_no)) AS reassembled_md5,
+       CAST(md5(string_agg(part, '' ORDER BY chunk_no)) = expected_md5
+            AS INT) AS intact
+FROM chunked GROUP BY doc_id, expected_md5
 """,
 )
 def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,9 +1368,12 @@ def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ORDER-SENSITIVE string aggregation (DuckDB twin: string_agg
     ORDER BY chunk_no).  collect_list alone is arrival-order-
     nondeterministic; sorting the struct array pins it, which is the
-    entire correctness point of the operator.  Integrity is the md5 of
-    the reassembled value vs the md5 of the original (the
-    cdc_row_checksum convention), surfaced per row as ``intact`` so one
+    entire correctness point of the operator.  The expected checksum
+    RIDES WITH the fragments (a grouping key), exactly as chunked CDC
+    streams ship it (Debezium's chunked-value checksum field) — so the
+    whole operator is ONE scan, one pk shuffle, no join back to a
+    source table (an earlier join spelling made Catalyst scan the
+    table twice).  Integrity surfaces per row as ``intact``: one
     corrupted fragment flips exactly its own row, never a global flag.
     At 100 TB: fragments shuffle once on pk (the groupBy), per-group
     state is one value's fragments (bounded by the wide value's size,
@@ -1377,32 +1381,37 @@ def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     chunks = d.select(
         "doc_id",
+        F.md5("text").alias("expected_md5"),
         F.posexplode(
             F.expr(
                 "transform(sequence(1, CAST(ceil(length(text) / 40.0) AS INT)),"
                 " i -> substring(text, (i - 1) * 40 + 1, 40))"
             )
         ).alias("pos", "part"),
-    ).select("doc_id", (F.col("pos") + 1).alias("chunk_no"), "part")
-    reassembled = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.md5(
-            F.concat_ws(
-                "",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(chunk_no, part))),"
-                    " x -> x.part)"
-                ),
-            )
-        ).alias("reassembled_md5"),
-    )
-    return reassembled.join(
-        d.select("doc_id", F.md5("text").alias("orig_md5")), "doc_id"
     ).select(
-        "doc_id",
-        "n_chunks",
-        "reassembled_md5",
-        (F.col("reassembled_md5") == F.col("orig_md5")).cast("int").alias(
-            "intact"
-        ),
+        "doc_id", "expected_md5", (F.col("pos") + 1).alias("chunk_no"), "part"
+    )
+    reassembled_md5 = F.md5(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(chunk_no, part))),"
+                " x -> x.part)"
+            ),
+        )
+    )
+    return (
+        chunks.groupBy("doc_id", "expected_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            reassembled_md5.alias("reassembled_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "reassembled_md5",
+            (F.col("reassembled_md5") == F.col("expected_md5"))
+            .cast("int")
+            .alias("intact"),
+        )
     )
