@@ -1566,3 +1566,48 @@ def test_backlog_aging_bounded_agg_no_window(plans):
     assert "Window" not in p
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_exact_median_single_scan_shared_window_exchange(plans):
+    """agg_exact_median: one corpus scan, one aggregation shuffle, both
+    Window nodes fed by ONE exchange on grp (the totals come from the
+    running count, not a second aggregation of the table — an earlier
+    join spelling scanned lineitem twice)."""
+    p = plans("agg_exact_median")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert tree.count("Window") == 2, p
+    assert tree.count("Exchange") == 2, p  # histogram agg + window partitioning
+    assert "Join" not in tree, p
+
+
+def test_wide_row_reassemble_single_scan_no_join(plans):
+    """cdc_wide_row_reassemble: the expected checksum rides with the
+    fragments, so the plan is one scan + one pk shuffle, never a join
+    back to the source table."""
+    p = plans("cdc_wide_row_reassemble")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert "Join" not in tree, p
+    assert tree.count("Exchange") == 1, p
+
+
+def test_multimodal_dedup_shuffles_digests_not_payloads(plans):
+    """multimodal_dedup: the md5 digest must be computed below the
+    exchange (scan-side projection) so only (digest, id, length) rows
+    shuffle — the payload column may not appear in the exchange input."""
+    p = plans("multimodal_dedup")
+    # the partial aggregate below the shuffle already groups by digest
+    m = re.search(r"\(\d+\) Exchange\nInput(.*?)\n", p)
+    assert m, p
+    assert "md5" in m.group(1) or "content_md5" in m.group(1), p
+    assert "payload" not in m.group(1), p
+
+
+def test_balanced_downsample_partitioned_rank_and_broadcast_cap(plans):
+    """docs_balanced_downsample: the rank window is partitioned by lang
+    (never a single global partition) and the cap joins via broadcast."""
+    p = plans("docs_balanced_downsample")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    w = re.search(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[(.*?)\]", p)
+    assert w and "lang" in w.group(1), p
