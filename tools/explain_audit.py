@@ -83,6 +83,17 @@ AUDIT = {
     "corpus scan; the only corpus-sized work is two map-combined lang aggs",
     "cdc_snapshot_overlap_resolve": "three pk-keyed compaction windows + "
     "per-table rollups; cut scalars enter via 1-row broadcasts",
+    "agg_exact_median": "distributed counting selection: ONE corpus scan, "
+    "one (grp,value) histogram shuffle, both Window nodes share one "
+    "hashpartitioning(grp) exchange — totals from the running count, "
+    "never a second table aggregation",
+    "cdc_wide_row_reassemble": "expected checksum rides the fragments as a "
+    "grouping key: one scan + one pk shuffle, no join back to the source",
+    "multimodal_dedup": "digest computed in the scan projection; exchange "
+    "input carries (md5, id, length) only — payload bytes never shuffle",
+    "docs_balanced_downsample": "rank window partitioned by lang; 1-row cap "
+    "enters via broadcast; exact-rank reference of the digest-threshold "
+    "production sampler",
 }
 
 
