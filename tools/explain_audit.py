@@ -146,6 +146,39 @@ candidates per lang, and no pinned broadcast of the Heaps-unbounded
 doc-frequency side.
 """
 
+ATSCALE_SECTION = """\
+## At-scale hash verification (round 8)
+
+The full registry is value-hash-compared against DuckDB at sf1 (10x the
+bench fixture, ~100x the driver gate) every round:
+`VERIFY_LOCAL_r8_sf1.json` — see the summary line there for the pass
+count. Round 8 changes to the sweep's coverage and cost:
+
+* `dedup_containment` left the slow list: the df-capped posting join
+  (stop-shingles with df > 64 dropped on both engines, capped count on
+  the surface) plus a materialized token array and a persisted posting
+  list took its sf1 wall from 930 s to 63 s, hash-exact at all SFs.
+* Four LSH dedup keys (`dedup_minhash`, `dedup_simhash`,
+  `dedup_ngram_jaccard`, `dedup_incremental`) graduated from SKIPPED to
+  hash-checked via blocked-sample scale twins
+  (tools/verify_local.py::SCALE_TWINS): the unmodified brute-force
+  oracle over a content-keyed doc sample is an exact oracle for the
+  induced pair subgraph (pair metrics are doc-local), so sf1 now checks
+  thousands of pairs per key in seconds. The remaining exclusions are
+  global-output keys (clusters, funnels, corpus aggregates) where
+  endpoint filtering cannot apply — listed with reasons in
+  SUPERLINEAR_ORACLES.
+* Remaining notable sf1 costs are full-surface collects
+  (cdc_type_cast ~150 s at 6 M output rows on both engines) — the cost
+  is the hash compare, not the plan.
+
+The sweep (with round 6's execution-only sweep that caught
+orders_backlog_aging's ANSI overflow and round 7's 2^53 decimal-sum ulp
+catch) is the standing evidence that plans survive a 100x scale-up with
+values, not just exit codes, intact.
+"""
+
+
 
 def main() -> int:
     import __spark_entry__ as e
@@ -170,7 +203,7 @@ def main() -> int:
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         out += [f"## {key}", "", f"*Audit: {note}*", "", "```", tree, "```", ""]
-    out += ["", ALLOWLIST_SECTION]
+    out += ["", ALLOWLIST_SECTION, "", ATSCALE_SECTION]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
