@@ -168,9 +168,12 @@ count. Round 8 changes to the sweep's coverage and cost:
   global-output keys (clusters, funnels, corpus aggregates) where
   endpoint filtering cannot apply — listed with reasons in
   SUPERLINEAR_ORACLES.
-* Remaining notable sf1 costs are full-surface collects
-  (cdc_type_cast ~150 s at 6 M output rows on both engines) — the cost
-  is the hash compare, not the plan.
+* Remaining notable sf1 costs are oracle-side or output-bound, not
+  Spark-plan problems: docs_substring_dedup 235 s total but 22.6 s
+  Spark-side (the DuckDB twin re-derives the winnowing argmin with a
+  100 M-row SQL window — the documented price of an exact oracle);
+  fn_math / cdc_type_cast / project_compute are 80–150 s full-surface
+  collects of ~1–6 M rows hashed on both engines.
 
 The sweep (with round 6's execution-only sweep that caught
 orders_backlog_aging's ANSI overflow and round 7's 2^53 decimal-sum ulp
