@@ -367,6 +367,7 @@ EXTRA = [
     "cdc_sink_wire",
     # --- round 8.
     "agg_exact_median",
+    "agg_exact_quantiles",
     "cdc_wide_row_reassemble",
     "multimodal_dedup",
     "docs_balanced_downsample",

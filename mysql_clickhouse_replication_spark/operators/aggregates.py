@@ -1135,3 +1135,67 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
         ).alias("median_hi"),
     )
+
+
+_EXACT_QS = (25, 50, 75, 90, 99)  # percent levels, exact lower quantiles
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag AS grp, CAST(l_extendedprice * 100 AS BIGINT) AS v,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v,
+         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM c
+)
+SELECT grp, n AS n_rows,
+  {",".join(
+      f"MIN(CASE WHEN cum * 100 >= {q} * n THEN v END) AS p{q}_cents"
+      for q in _EXACT_QS
+  )}
+FROM cum GROUP BY grp, n
+""",
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantile vector per group (ClickHouse
+    ``quantilesExact(0.25, 0.5, 0.75, 0.9, 0.99)`` parity) — the same
+    distributed counting selection as agg_exact_median, generalized:
+    ALL five levels come from ONE histogram pass and ONE running-count
+    window, because the k-th order statistic for every level reads the
+    same cumulative counts (each level is one conditional min over the
+    histogram — adding a level costs one expression, not a pass).
+
+    The value domain here is price CENTS (exact integers via the
+    decimal-cents cast), so the histogram is |groups| x |distinct
+    prices| — bigger than the median key's 50-value domain but still
+    data-bounded, and the 100 TB variant is the same two-round
+    bucket-then-recurse selection documented there.  The level test is
+    all-integer (cum * 100 >= q * n), so no float ever touches the
+    selection; surfaces are exact cents BIGINTs."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+    ).withColumn("n", F.max("cum").over(Window.partitionBy("grp")))
+    return cum.groupBy("grp", F.col("n").alias("n_rows")).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("v"))
+            ).alias(f"p{q}_cents")
+            for q in _EXACT_QS
+        ]
+    )

@@ -1611,3 +1611,14 @@ def test_balanced_downsample_partitioned_rank_and_broadcast_cap(plans):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     w = re.search(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[(.*?)\]", p)
     assert w and "lang" in w.group(1), p
+
+
+def test_exact_quantiles_single_scan_one_histogram_pass(plans):
+    """agg_exact_quantiles: all five levels from one scan + one
+    histogram shuffle + one shared window exchange — a level must never
+    add a pass."""
+    p = plans("agg_exact_quantiles")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert tree.count("Exchange") == 2, p
+    assert "Join" not in tree, p

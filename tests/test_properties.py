@@ -498,3 +498,27 @@ def test_rowbinary_size_matches_spec_prediction(rows):
         for s, i, f, a in rows
     )
     assert len(rb.encode_rows(_rb_types, rows)) == expect
+
+
+_rb_bytes_row = st.tuples(
+    st.one_of(st.none(), st.binary(max_size=300)),
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.one_of(st.none(), st.lists(st.binary(max_size=40), max_size=8)),
+)
+_rb_bytes_types = [
+    "Nullable(String)", "Nullable(Int64)", "Nullable(Array(String))",
+]
+
+
+@given(st.lists(_rb_bytes_row, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_rowbinary_binary_roundtrip_identity(rows):
+    """Arbitrary (non-UTF-8 included) byte strings roundtrip exactly
+    through the String wire type when decoded with bytes_cols — the
+    Spark binary mapping's decode path (r7 ADVICE fix), including
+    through Array wrappers."""
+    from mysql_clickhouse_replication_spark.sources import rowbinary as rb
+
+    buf = rb.encode_rows(_rb_bytes_types, rows)
+    out = list(rb.decode_rows(_rb_bytes_types, buf, bytes_cols=frozenset({0, 2})))
+    assert out == rows
