@@ -371,6 +371,7 @@ EXTRA = [
     "cdc_wide_row_reassemble",
     "multimodal_dedup",
     "docs_balanced_downsample",
+    "source_parquet_schema_merge",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery
