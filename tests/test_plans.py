@@ -1622,3 +1622,25 @@ def test_exact_quantiles_single_scan_one_histogram_pass(plans):
     assert tree.count("Scan parquet") == 1, p
     assert tree.count("Exchange") == 2, p
     assert "Join" not in tree, p
+
+
+def test_state_partitions_knob_restores_batch_shuffle_width(spark, sf_dir):
+    """The streaming keys plan under SPARK_GRAFT_STATE_PARTITIONS via a
+    save/restore context; a leak would silently shrink every subsequent
+    BATCH key's shuffle width to 8."""
+    from mysql_clickhouse_replication_spark.streaming import queries as sq
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    e.queries()["stream_tumbling"](spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # and the context itself restores even when the body raises
+    try:
+        with sq._state_scaled(spark):
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions")
+                == sq._STATE_PARTITIONS
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
