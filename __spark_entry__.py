@@ -28,10 +28,11 @@ proof rotates through the registry in 50-key windows:
   key that existed in round 7: 285 + 19 = 304.
 * keys first registered in round 8 (agg_exact_median,
   agg_exact_quantiles, cdc_wide_row_reassemble, multimodal_dedup,
-  docs_balanced_downsample, source_parquet_schema_merge — not in
-  either list) sort next in registration order, so the r08 window
-  covers 19 + 6 = 25 unproven keys plus 25 green re-samples; the
-  driver-green tail fills the remaining window slots.
+  docs_balanced_downsample, source_parquet_schema_merge,
+  graph_pagerank — not in either list) sort next in registration
+  order, so the r08 window covers 19 + 7 = 26 unproven keys plus 24
+  green re-samples; the driver-green tail fills the remaining window
+  slots.
   tools/oracle_dtype_lint.py (also enforced in
   tests/test_contract.py) makes the HUGEINT/DECIMAL dtype-class
   hazard structurally impossible to reintroduce.

@@ -372,6 +372,7 @@ EXTRA = [
     "multimodal_dedup",
     "docs_balanced_downsample",
     "source_parquet_schema_merge",
+    "graph_pagerank",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -2597,3 +2597,118 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total_cents_x")
     )
+
+
+_PR_BASE = 10**9  # rank fixed-point scale
+_PR_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM edges0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges0
+),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM outdeg),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({_PR_BASE} // n AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn
+),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST({15 * _PR_BASE} // (100 * n)
+              + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+  FROM edges e JOIN r0 r ON e.src = r.node
+  JOIN outdeg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY e.dst, n
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST({15 * _PR_BASE} // (100 * n)
+              + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+  FROM edges e JOIN r1 r ON e.src = r.node
+  JOIN outdeg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY e.dst, n
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST({15 * _PR_BASE} // (100 * n)
+              + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+  FROM edges e JOIN r2 r ON e.src = r.node
+  JOIN outdeg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY e.dst, n
+)
+SELECT node, rank AS rank_e9
+FROM r3 ORDER BY rank DESC, node LIMIT 20
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer—supplier trade graph (who anchors the
+    network) — the iterative-graph-algorithm family (ClickHouse has no
+    native answer; Spark's GraphX is RDD-land): {_PR_ITERS} power
+    iterations expressed as the canonical Pregel-as-DataFrame loop —
+    join ranks to edges on src, aggregate contributions by dst.
+
+    Determinism is the designed-in property: the recurrence is ALL
+    INTEGER fixed-point (rank scaled by 1e9; per-edge contribution =
+    rank // outdeg; new rank = (15·BASE)//(100·N) + (85·Σcontrib)//100)
+    so both engines compute bit-identical ranks — a float PageRank can
+    never hash-match across engines because Σcontrib is summation-order
+    sensitive.  Fixed iteration count (not convergence-tested) keeps
+    the plan static and the oracle a finite CTE unroll.
+
+    Scale shape: edges are built once (distinct custkey—suppkey pairs,
+    symmetrized) and re-used every iteration — persisted, exactly the
+    frontier-reuse a 100 TB PageRank needs; each iteration is one
+    shuffle join on src plus one aggregation shuffle on dst, and ranks
+    stay (node, bigint) rows.  Dangling nodes cannot exist here by
+    construction (symmetrized edges give every node outdegree >= 1)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = outdeg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({_PR_BASE} DIV n AS BIGINT)").alias("rank"),
+    )
+    contrib_edges = edges.join(outdeg, "src")
+    for _ in range(_PR_ITERS):
+        ranks = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank DIV deg")).alias("contrib"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({15 * _PR_BASE} DIV (100 * n)"
+                    " + (85 * contrib) DIV 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.col("rank").alias("rank_e9"))
+    )

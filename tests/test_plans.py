@@ -1644,3 +1644,13 @@ def test_state_partitions_knob_restores_batch_shuffle_width(spark, sf_dir):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pagerank_no_cartesian_persisted_edges(plans):
+    """graph_pagerank: every iteration joins ranks to edges on src —
+    never a CartesianProduct (the broadcast 1-row node count rides a
+    BroadcastNestedLoopJoin, which is fine); the edge frame is built
+    once and persisted (InMemoryTableScan in later iterations)."""
+    p = plans("graph_pagerank")
+    assert "CartesianProduct" not in p, p
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
