@@ -15,27 +15,24 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-7 proved 285 distinct keys green (the ``_DRIVER_GREEN``
-  list below, extracted from CORRECTNESS_r01..r07; rounds 6 and 7
-  were both fully-green 50/50 windows) -- those go LAST.
-* ``_R08_FRONT`` holds the 19 keys never yet driver-sampled (the
-  streaming/funnel/gap-fill block, registration positions 50-68 of
-  the r7 ordering).  All 19 are green in the full local hash sweeps
-  (VERIFY_LOCAL_r7_sf001: 304/304 at sf0.01; VERIFY_LOCAL_r7_sf1:
-  291/291 at sf1) and were pre-flighted through
-  tools/pandas_gate_sim.py + tools/oracle_dtype_lint.py this round.
-  They go FIRST so CORRECTNESS_r08 completes driver proof of every
-  key that existed in round 7: 285 + 19 = 304.
-* keys first registered in round 8 (agg_exact_median,
-  agg_exact_quantiles, cdc_wide_row_reassemble, multimodal_dedup,
-  docs_balanced_downsample, source_parquet_schema_merge,
-  graph_pagerank — not in either list) sort next in registration
-  order, so the r08 window covers 19 + 7 = 26 unproven keys plus 24
-  green re-samples; the driver-green tail fills the remaining window
-  slots.
-  tools/oracle_dtype_lint.py (also enforced in
-  tests/test_contract.py) makes the HUGEINT/DECIMAL dtype-class
-  hazard structurally impossible to reintroduce.
+* rounds 1-8 proved ALL 311 then-registered keys green (the
+  ``_DRIVER_GREEN`` list below is the union of green rows across
+  CORRECTNESS_r01..r08; round 8 closed the contract at 311/311 with a
+  50/50 window).
+* with coverage complete, the remaining contract risk is REGRESSION:
+  code and fixtures change under keys whose only driver proof is
+  rounds old.  ``_R09_FRONT`` holds the 50 keys whose NEWEST green
+  row is stalest (38 keys last proven in round 2 - the r1 relational/
+  join/tpch vintage re-sampled once in r2 - plus the 12 oldest r3
+  CDC keys), ordered stalest-first.  They are re-sampled this round
+  per the r8 verdict's freshness prescription.
+* keys first registered in round 9 (not in ``_DRIVER_GREEN``) have
+  no driver proof at all, so they sort FIRST, displacing the tail of
+  ``_R09_FRONT`` from the 50-key window one-for-one; the remaining
+  driver greens fill the tail in list order.
+  All window keys were pre-flighted through tools/pandas_gate_sim.py
+  + tools/oracle_dtype_lint.py (PREFLIGHT_r9.txt) before this file
+  changed the ordering, per the established hazard-gate discipline.
 """
 
 from __future__ import annotations
@@ -46,80 +43,87 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Keys with a green driver row in CORRECTNESS_r01..r07 (285) -- go last.
+# Union of driver-green keys across CORRECTNESS_r01..r08 (311).
 _DRIVER_GREEN = [
-    "agg_approx_distinct", "agg_approx_percentiles",
-    "agg_array_topk", "agg_bitmap_distinct", "agg_bool_family",
-    "agg_collect", "agg_conditional", "agg_count_distinct",
-    "agg_countmin_prefilter", "agg_cube", "agg_distinct_rows",
-    "agg_groupby_multi", "agg_grouping_sets", "agg_hash_global",
-    "agg_heavy_hitters", "agg_histogram_quantile",
+    "agg_approx_distinct", "agg_approx_percentiles", "agg_array_topk",
+    "agg_bitmap_distinct", "agg_bool_family", "agg_collect",
+    "agg_conditional", "agg_count_distinct", "agg_countmin_prefilter",
+    "agg_cube", "agg_distinct_rows", "agg_exact_median",
+    "agg_exact_quantiles", "agg_groupby_multi", "agg_grouping_sets",
+    "agg_hash_global", "agg_heavy_hitters", "agg_histogram_quantile",
     "agg_hll_mergeable", "agg_hll_overlap_estimate", "agg_linreg",
-    "agg_map_sum", "agg_mergeable_moments", "agg_minmax_by",
-    "agg_mode", "agg_percentiles", "agg_rollup", "agg_skew_salted",
-    "agg_stats", "agg_topk_weighted", "agg_weighted_avg",
-    "agg_weighted_percentile", "agg_wow_change", "analytics_rfm",
-    "analytics_segment_migration", "case_when", "cdc_apply_delete",
-    "cdc_apply_upsert", "cdc_backfill_plan", "cdc_batch_window",
+    "agg_map_sum", "agg_mergeable_moments", "agg_minmax_by", "agg_mode",
+    "agg_percentiles", "agg_rollup", "agg_skew_salted", "agg_stats",
+    "agg_topk_weighted", "agg_weighted_avg", "agg_weighted_percentile",
+    "agg_wow_change", "analytics_rfm", "analytics_segment_migration",
+    "case_when", "cdc_apply_delete", "cdc_apply_upsert",
+    "cdc_backfill_plan", "cdc_batch_window",
     "cdc_binlog_position_order", "cdc_checkpoint",
-    "cdc_collapsing_sign", "cdc_column_mask_policy",
-    "cdc_compaction_ratio", "cdc_conflict_lww", "cdc_ddl_apply",
-    "cdc_ddl_route", "cdc_decode", "cdc_dedup_bounded_window",
-    "cdc_dedup_exact", "cdc_dlq_replay_merge", "cdc_dlq_split",
-    "cdc_filter_tables", "cdc_gap_check", "cdc_gtid_resume",
+    "cdc_collapsing_sign", "cdc_column_drift_stats",
+    "cdc_column_mask_policy", "cdc_compaction_ratio",
+    "cdc_conflict_lww", "cdc_ddl_apply", "cdc_ddl_route", "cdc_decode",
+    "cdc_dedup_bounded_window", "cdc_dedup_exact",
+    "cdc_dlq_replay_merge", "cdc_dlq_split", "cdc_filter_tables",
+    "cdc_freshness", "cdc_gap_check", "cdc_gtid_resume",
     "cdc_incremental_agg", "cdc_lag_percentiles", "cdc_merge_into",
     "cdc_minimal_image_reconstruct", "cdc_multi_table_route",
     "cdc_order_violations", "cdc_partitioned_changelog_prune",
     "cdc_pit_join", "cdc_replace_partition", "cdc_row_checksum",
-    "cdc_scd2_history", "cdc_schema_evolution", "cdc_sink",
+    "cdc_scd2_history", "cdc_schema_evolution",
+    "cdc_seq_coverage_ranges", "cdc_sink", "cdc_sink_idempotent",
     "cdc_sink_wire", "cdc_snapshot", "cdc_snapshot_chunks",
-    "cdc_snapshot_increment", "cdc_snapshot_overlap_resolve",
-    "cdc_stream_source", "cdc_summing_merge", "cdc_tombstone_gc",
+    "cdc_snapshot_diff", "cdc_snapshot_increment",
+    "cdc_snapshot_overlap_resolve", "cdc_stream_source",
+    "cdc_summing_merge", "cdc_tombstone_gc", "cdc_ttl_expiry",
     "cdc_tx_batches", "cdc_type_cast", "cdc_type_edges",
-    "dedup_cluster", "dedup_containment", "dedup_embedding",
-    "dedup_exact_text", "dedup_incremental", "dedup_minhash",
-    "dedup_minhash_accuracy", "dedup_ngram_jaccard",
+    "cdc_wide_row_reassemble", "dedup_cluster", "dedup_containment",
+    "dedup_embedding", "dedup_exact_text", "dedup_incremental",
+    "dedup_minhash", "dedup_minhash_accuracy", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_source_matrix", "dedup_survivor_pick",
-    "docs_block_dedup", "docs_chunk_overlap",
-    "docs_contamination_check", "docs_dedup_pipeline",
-    "docs_language_balance", "docs_length_mad_outliers",
-    "docs_license_filter", "docs_mix_weighted",
-    "docs_ngram_coverage_eval", "docs_novelty_ratio",
-    "docs_pack_sequences", "docs_quality_filter_pipeline",
-    "docs_repetition_ratio", "docs_shard_balance",
-    "docs_split_leakage_safe", "docs_substring_dedup",
-    "docs_temperature_sample", "docs_url_dedup",
+    "docs_balanced_downsample", "docs_block_dedup",
+    "docs_chunk_overlap", "docs_contamination_check",
+    "docs_dedup_pipeline", "docs_language_balance",
+    "docs_length_mad_outliers", "docs_license_filter",
+    "docs_mix_weighted", "docs_ngram_coverage_eval",
+    "docs_novelty_ratio", "docs_pack_sequences",
+    "docs_quality_filter_pipeline", "docs_repetition_ratio",
+    "docs_shard_balance", "docs_split_leakage_safe",
+    "docs_substring_dedup", "docs_temperature_sample", "docs_url_dedup",
     "docs_vocab_growth", "embedding_hard_negatives",
     "embedding_quantize", "events_ab_ztest", "events_alert_rules",
-    "events_attribution", "events_audience_overlap",
-    "events_bot_detection", "events_changepoint_cusum",
-    "events_cohort_ltv", "events_conversion_latency",
-    "events_counter_delta_sum", "events_distribution_drift",
-    "events_dormant_reactivation", "events_error_budget_burn",
-    "events_funnel", "events_funnel_strict",
-    "events_growth_accounting", "events_histogram",
+    "events_anomaly_zscore", "events_attribution",
+    "events_audience_overlap", "events_bot_detection",
+    "events_changepoint_cusum", "events_cohort_ltv",
+    "events_conversion_latency", "events_counter_delta_sum",
+    "events_distribution_drift", "events_dormant_reactivation",
+    "events_ema_daily", "events_error_budget_burn", "events_funnel",
+    "events_funnel_by_segment", "events_funnel_strict",
+    "events_funnel_unordered", "events_funnel_window_sensitivity",
+    "events_gap_fill", "events_growth_accounting", "events_histogram",
     "events_markov_transitions", "events_new_vs_returning",
     "events_peak_concurrency", "events_rate_limit_scan",
     "events_record_highs", "events_retention",
-    "events_rolling_distinct", "events_seasonality",
-    "events_sequence_match", "events_sliding_uniques_sketch",
-    "events_streaks", "events_time_weighted_avg",
-    "filter_conjunctive", "filter_in_between_like",
-    "filter_null_semantics", "fn_array", "fn_bitwise",
-    "fn_business_days", "fn_date", "fn_encoding", "fn_format",
-    "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip", "fn_json",
-    "fn_map", "fn_math", "fn_null_family", "fn_string", "fn_struct",
-    "fn_time_bucket", "fn_timezone", "fn_try_cast", "fn_url",
-    "fn_variant", "join_anti", "join_anti_null_aware", "join_asof",
-    "join_asof_nearest", "join_asof_tolerance",
-    "join_bloom_prefilter", "join_broadcast",
+    "events_rolling_distinct", "events_rollup_hierarchy",
+    "events_seasonality", "events_sequence_match",
+    "events_session_duration", "events_sliding_batch",
+    "events_sliding_uniques_sketch", "events_streaks",
+    "events_time_weighted_avg", "events_top_paths",
+    "events_watermark_lateness", "filter_conjunctive",
+    "filter_in_between_like", "filter_null_semantics", "fn_array",
+    "fn_bitwise", "fn_business_days", "fn_date", "fn_encoding",
+    "fn_format", "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip",
+    "fn_json", "fn_map", "fn_math", "fn_null_family", "fn_string",
+    "fn_struct", "fn_time_bucket", "fn_timezone", "fn_try_cast",
+    "fn_url", "fn_variant", "graph_pagerank", "join_anti",
+    "join_anti_null_aware", "join_asof", "join_asof_nearest",
+    "join_asof_tolerance", "join_bloom_prefilter", "join_broadcast",
     "join_bucketed_colocated", "join_cross",
     "join_dynamic_partition_prune", "join_full_outer",
     "join_inner_equi", "join_interval_overlap", "join_left_outer",
     "join_multiway", "join_null_skew_split", "join_range_bucketed",
     "join_semi", "join_skew_salted", "join_spatial_grid",
     "join_theta_range", "limit_offset", "multimodal_decode",
-    "multimodal_framesample", "multimodal_join",
+    "multimodal_dedup", "multimodal_framesample", "multimodal_join",
     "orders_active_coverage", "orders_backlog_aging",
     "orders_basket_lift", "orders_purchase_cadence",
     "orders_revenue_concentration", "profile_skew", "profile_table",
@@ -136,53 +140,59 @@ _DRIVER_GREEN = [
     "sim_matryoshka_recall", "sim_pq_adc_search",
     "sim_product_quantize", "sim_range_search", "sort_multi_key",
     "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
+    "source_orc_roundtrip", "source_parquet_schema_merge",
+    "stream_dedup", "stream_output_modes", "stream_resume_incremental",
     "stream_session", "stream_sliding", "stream_stateful",
-    "stream_static_join", "stream_triggers", "stream_tumbling",
-    "text_bm25_search", "text_collocations_pmi", "text_entropy",
-    "text_entropy_rate", "text_fingerprint", "text_langid",
-    "text_langid_eval", "text_lm_score", "text_normalize",
-    "text_pii_scrub", "text_quality", "text_stats",
+    "stream_static_join", "stream_stream_join", "stream_triggers",
+    "stream_tumbling", "text_bm25_search", "text_collocations_pmi",
+    "text_entropy", "text_entropy_rate", "text_fingerprint",
+    "text_langid", "text_langid_eval", "text_lm_score",
+    "text_normalize", "text_pii_scrub", "text_quality", "text_stats",
     "text_tfidf_terms", "text_token_count", "text_topn_ngrams",
-    "topk_global", "topk_per_group", "tpch_q10_shape",
-    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
-    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
-    "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
-    "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape",
-    "tpch_q5_shape", "tpch_q6_shape", "tpch_q7_shape",
-    "tpch_q8_shape", "tpch_q9_shape", "vector_group_rank",
-    "win_analytic", "win_frame_range", "win_frame_rows",
-    "win_ignore_nulls", "win_ntile", "win_percent", "win_ranking",
-    "win_reset_running_sum", "win_time_range_frame"
+    "topk_global", "topk_per_group", "tpch_q10_shape", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q13_shape", "tpch_q14_shape",
+    "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape",
+    "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape",
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+    "vector_group_rank", "win_analytic", "win_frame_range",
+    "win_frame_rows", "win_ignore_nulls", "win_ntile", "win_percent",
+    "win_ranking", "win_reset_running_sum", "win_time_range_frame"
 ]
 
-# The 19 keys never driver-sampled through round 7 -- front-loaded so
-# round 8 completes full 304/304 driver-recorded proof.
-_R08_FRONT = [
-    "cdc_freshness", "cdc_column_drift_stats",
-    "cdc_seq_coverage_ranges", "cdc_ttl_expiry",
-    "cdc_snapshot_diff", "events_top_paths",
-    "events_anomaly_zscore", "events_rollup_hierarchy",
-    "events_gap_fill", "events_ema_daily",
-    "events_session_duration", "events_funnel_by_segment",
-    "events_funnel_window_sensitivity", "events_sliding_batch",
-    "events_funnel_unordered", "events_watermark_lateness",
-    "stream_stream_join", "cdc_sink_idempotent",
-    "stream_resume_incremental"
+# The 50 stalest driver greens (newest green row r2/r3) -- re-sampled
+# first this round; see module docstring.
+_R09_FRONT = [
+    "agg_rollup", "agg_skew_salted", "agg_stats", "case_when",
+    "filter_conjunctive", "filter_in_between_like",
+    "filter_null_semantics", "join_anti", "join_asof", "join_broadcast",
+    "join_bucketed_colocated", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_interval_overlap", "join_left_outer",
+    "join_multiway", "join_semi", "join_skew_salted",
+    "join_theta_range", "project_compute", "reshape_pivot",
+    "reshape_unpivot", "sample_hash_based", "scan_parquet",
+    "scan_partition_filter", "scan_projection_pushdown",
+    "set_union_all", "set_union_distinct", "tpch_q10_shape",
+    "tpch_q12_shape", "tpch_q14_shape", "tpch_q18_shape",
+    "tpch_q19_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+    "tpch_q6_shape", "cdc_apply_delete", "cdc_apply_upsert",
+    "cdc_batch_window", "cdc_checkpoint", "cdc_decode",
+    "cdc_dedup_exact", "cdc_filter_tables", "cdc_incremental_agg",
+    "cdc_merge_into", "cdc_scd2_history", "cdc_schema_evolution",
+    "cdc_sink"
 ]
 
 
 def _ordered_keys() -> list[str]:
-    """Never-driver-sampled keys first (in registration order), then
-    any keys new this round, driver-green re-samples last."""
-    front = set(_R08_FRONT) | set(_DRIVER_GREEN)
-    unproven = [k for k in QUERIES if k not in front]
-    return (
-        [k for k in _R08_FRONT if k in QUERIES]
-        + unproven
-        + [k for k in _DRIVER_GREEN if k in QUERIES]
-    )
+    """Never-driver-proven keys first (registration order), then the
+    stalest greens, then the remaining driver greens."""
+    proven = set(_DRIVER_GREEN)
+    unproven = [k for k in QUERIES if k not in proven]
+    front = [k for k in _R09_FRONT if k in QUERIES]
+    tail = [k for k in _DRIVER_GREEN
+            if k in QUERIES and k not in set(_R09_FRONT)]
+    return unproven + front + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:
