@@ -874,7 +874,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is persisted, because FOUR consumers branch from it (df count,
     both join sides, set sizes) and each would otherwise re-run the
     shingling scan (sf1 wall 122s -> ~45s; at 100 TB the posting list
-    is the inverted index a production pipeline materializes anyway)."""
+    is the inverted index a production pipeline materializes anyway).
+
+    Cache lifetime contract (r8 ADVICE): the persisted posting list
+    must outlive this function's lazy return, so it cannot unpersist
+    here; single-session multi-key sweeps release it via
+    ``spark.catalog.clearCache()`` after materializing each key
+    (tools/verify_local.py), and one-shot sessions reclaim blocks at
+    session stop / LRU eviction."""
     from pyspark import StorageLevel
 
     d = table(spark, sf_dir, "documents")

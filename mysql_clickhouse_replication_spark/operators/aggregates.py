@@ -1074,7 +1074,7 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_median",
     oracle="""
 WITH c AS (
-  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+  SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS v,
          COUNT(*) AS cnt
   FROM lineitem GROUP BY 1, 2
 ),
@@ -1144,7 +1144,8 @@ _EXACT_QS = (25, 50, 75, 90, 99)  # percent levels, exact lower quantiles
     "agg_exact_quantiles",
     oracle=f"""
 WITH c AS (
-  SELECT l_returnflag AS grp, CAST(l_extendedprice * 100 AS BIGINT) AS v,
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
          COUNT(*) AS cnt
   FROM lineitem GROUP BY 1, 2
 ),

@@ -2670,7 +2670,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-reuse a 100 TB PageRank needs; each iteration is one
     shuffle join on src plus one aggregation shuffle on dst, and ranks
     stay (node, bigint) rows.  Dangling nodes cannot exist here by
-    construction (symmetrized edges give every node outdegree >= 1)."""
+    construction (symmetrized edges give every node outdegree >= 1).
+    The persisted edge frame must outlive this function's lazy return
+    (every iteration of the returned plan reads it), so it is released
+    harness-side: multi-key sweeps call spark.catalog.clearCache()
+    after materializing each key (tools/verify_local.py, r8 ADVICE)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (

@@ -1336,8 +1336,8 @@ def cdc_snapshot_overlap_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH exploded AS (
   SELECT doc_id,
          unnest([{'chunk_no': i, 'part': substr(text, (i - 1) * 40 + 1, 40)}
-                 FOR i IN range(1, CAST(ceil(length(text) / 40.0) AS BIGINT)
-                                  + 1)]) AS c
+                 FOR i IN range(1, CAST(greatest(1, ceil(length(text) / 40.0))
+                                        AS BIGINT) + 1)]) AS c
   FROM documents
 ),
 chunks AS (SELECT doc_id, c.chunk_no AS chunk_no, c.part AS part
@@ -1375,6 +1375,14 @@ def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table (an earlier join spelling made Catalyst scan the
     table twice).  Integrity surfaces per row as ``intact``: one
     corrupted fragment flips exactly its own row, never a global flag.
+    Empty-value edge (r8 ADVICE): without a floor, Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (two phantom
+    chunks) while DuckDB's ``range(1, 1)`` is empty (doc dropped) — a
+    latent row-count divergence.  Both engines therefore pin
+    ``greatest(1, ceil(len/40))``: an empty wide value reassembles as
+    exactly one empty chunk (n_chunks=1, intact=1), the semantics a
+    real chunked-CDC sink wants (the row exists; its value is '').
+    Covered by tests/test_edges.py::test_wide_row_reassemble_empty_text.
     At 100 TB: fragments shuffle once on pk (the groupBy), per-group
     state is one value's fragments (bounded by the wide value's size,
     not the table), and no global sort exists anywhere."""
@@ -1384,7 +1392,8 @@ def cdc_wide_row_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("expected_md5"),
         F.posexplode(
             F.expr(
-                "transform(sequence(1, CAST(ceil(length(text) / 40.0) AS INT)),"
+                "transform(sequence(1, greatest(1,"
+                " CAST(ceil(length(text) / 40.0) AS INT))),"
                 " i -> substring(text, (i - 1) * 40 + 1, 40))"
             )
         ).alias("pos", "part"),

@@ -167,6 +167,7 @@ def post_rowbinary_http(
     user: str = "default",
     password: str = "",
     timeout: float = 60.0,
+    token_salt: str = "",
 ) -> None:
     """Ship a (micro-)batch as ``INSERT INTO t FORMAT RowBinary`` POST
     bodies — the sink's wire-level path (sources/rowbinary.py encodes
@@ -190,7 +191,16 @@ def post_rowbinary_http(
     window, upgrading the effect to exactly-once there; on engines
     without insert dedup the path stays at-least-once and the
     downstream merge (cdc_apply_upsert's ReplacingMergeTree contract)
-    absorbs the duplicates.  Every request carries ``timeout`` so a
+    absorbs the duplicates.  Content-hash tokens are an INTENTIONAL
+    trade-off (matching ClickHouse's own default block-hash dedup):
+    two legitimately distinct micro-batches that serialize to
+    byte-identical payloads inside the server's dedup window are
+    treated as one insert.  When once-PER-BATCH delivery of identical
+    payloads matters (e.g. idempotent counters re-emitting the same
+    delta each epoch), pass ``token_salt`` — typically the
+    foreachBatch ``batch_id`` — and the token becomes
+    sha256(salt || payload), distinct across batches while retries of
+    the SAME batch still dedup exactly.  Every request carries ``timeout`` so a
     hung endpoint fails the task (and triggers the retry) instead of
     blocking the executor forever.  The byte layer itself is
     oracle-proven offline by the ``cdc_sink_wire`` contract key.
@@ -216,7 +226,7 @@ def post_rowbinary_http(
 
         for row in rows:
             body = bytes(row.payload)
-            token = hashlib.sha256(body).hexdigest()
+            token = hashlib.sha256(token_salt.encode() + body).hexdigest()
             req = urllib.request.Request(
                 f"{endpoint}&insert_deduplication_token={token}",
                 data=body,

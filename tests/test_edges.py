@@ -87,6 +87,32 @@ def test_text_fingerprint_short_docs(spark, short_docs_dir):
     assert srows == orows
 
 
+def test_wide_row_reassemble_empty_text(spark, tmp_path_factory):
+    """Empty wide value (r8 ADVICE): unguarded, Spark's sequence(1, 0)
+    is the DESCENDING [1, 0] (two phantom chunks) while DuckDB's
+    range(1, 1) drops the doc entirely.  Both engines pin
+    greatest(1, ...) so an empty text reassembles as exactly one empty
+    chunk — present, n_chunks=1, intact=1 — and the engines agree."""
+    d = tmp_path_factory.mktemp("empty_text_docs")
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["", "forty-one chars of text to straddle a chunk"],
+            "lang": ["en"] * 2,
+            "category": ["x"] * 2,
+            "published_at": [None] * 2,
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    sdf = e.queries()["cdc_wide_row_reassemble"](spark, str(d)).orderBy("doc_id")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = _oracle_rows(str(d), "cdc_wide_row_reassemble", "doc_id")
+    assert srows == orows
+    empty = srows[0]
+    assert empty[0] == 1 and empty[1] == 1 and empty[3] == 1  # one intact chunk
+    assert srows[1][1] == 2  # 44 chars -> 2 chunks
+
+
 # ---- round-3 second wave edges -----------------------------------------
 
 

@@ -69,6 +69,57 @@ _PINNED = ("FLOOR", "CEIL", "CEILING", "ROUND", "TRUNC", "LEN", "LENGTH",
            "COUNT")
 _CAST_RE = re.compile(r"CAST\s*\(", re.IGNORECASE)
 
+#: Call heads whose RESULT cannot carry an unpinned fraction — their
+#: argument spans are stripped before the double-column reference scan
+#: (r9 lint accretion, r8 ADVICE: the division/AVG/literal heuristic
+#: missed integer casts of fractional DOUBLE columns such as
+#: CAST(l_extendedprice * 100 AS BIGINT)).
+_PIN_CALL_RE = re.compile(
+    r"\b(FLOOR|CEIL|CEILING|ROUND|TRUNC|COUNT_IF|COUNT|LEN|LENGTH"
+    r"|OCTET_LENGTH)\s*\(",
+    re.IGNORECASE,
+)
+#: CAST(x AS DECIMAL(p,s)) is itself a pin — exact decimal arithmetic
+#: is the documented integral-cents pattern (fn_try_cast).
+_DEC_CAST_RE = re.compile(r"CAST\s*\(", re.IGNORECASE)
+
+
+def _strip_pinned_spans(expr: str) -> str:
+    """Remove the balanced-paren argument spans of pinning calls and of
+    CAST(... AS DECIMAL(...)) so a double-column reference inside them
+    does not count as unpinned."""
+    out = expr
+    changed = True
+    while changed:
+        changed = False
+        for m in _PIN_CALL_RE.finditer(out):
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            out = out[: m.start()] + out[i:]
+            changed = True
+            break
+        if changed:
+            continue
+        for m in _DEC_CAST_RE.finditer(out):
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = out[m.end(): i - 1]
+            if re.search(r"\s+AS\s+DECIMAL\s*\(", inner, re.IGNORECASE):
+                out = out[: m.start()] + out[i:]
+                changed = True
+                break
+    return out
+
 
 def _cast_exprs(sql: str):
     """Yield the inner expression of every CAST(<expr> AS BIGINT/INT...)
@@ -91,7 +142,20 @@ def _cast_exprs(sql: str):
             yield inner[: mm.start()].strip()
 
 
-def round_trunc_hazards(sql: str) -> list[str]:
+def double_fixture_columns(con: duckdb.DuckDBPyConnection) -> frozenset[str]:
+    """Lower-cased names of DOUBLE/FLOAT columns across the fixture
+    tables — the columns whose integer casts need a fraction pin."""
+    cols = set()
+    for t in TABLES:
+        for name, typ, *_ in con.execute(f"DESCRIBE {t}").fetchall():
+            if typ.upper() in ("DOUBLE", "FLOAT", "REAL"):
+                cols.add(name.lower())
+    return frozenset(cols)
+
+
+def round_trunc_hazards(
+    sql: str, double_cols: frozenset[str] = frozenset()
+) -> list[str]:
     """Round-vs-truncate divergence lint (r6 share_ppm class): DuckDB
     CAST(x AS BIGINT) ROUNDS a fractional x while Spark's
     .cast('bigint') TRUNCATES, so any oracle casting an expression that
@@ -102,19 +166,90 @@ def round_trunc_hazards(sql: str) -> list[str]:
     Integer-only arithmetic (SUM/COUNT/*, +, -) cannot carry a
     fraction, and DuckDB's ``//`` is FLOOR division — the safe
     integral-ppm pattern itself (its Spark twins use F.floor) — so
-    both pass."""
+    both pass.
+
+    Second class (r9, r8 ADVICE): an expression referencing a known
+    DOUBLE fixture column (``double_cols``) is flagged even without
+    division or a fractional literal — CAST(l_extendedprice * 100 AS
+    BIGINT) carries FP representation error that DuckDB rounds and
+    Spark truncates — unless every such reference sits inside a
+    pinning call (FLOOR/ROUND/...) or an exact DECIMAL cast."""
     out = []
     for expr in _cast_exprs(sql):
         head = expr.split("(", 1)[0].strip().upper()
         if head in _PINNED:
             continue
-        true_div = expr.replace("//", "")  # drop floor-division tokens
+        # All heuristics scan the PIN-STRIPPED residue: division or a
+        # double-column reference inside FLOOR/CEIL/ROUND/... spans is
+        # pinned wherever it nests (r9: greatest(1, ceil(x/40.0)) must
+        # not flag).  IS [NOT] NULL tests of double columns yield
+        # integers, so they are erased too.
+        residue = _strip_pinned_spans(expr)
+        residue = re.sub(
+            r"\b\w+\s+IS\s+(NOT\s+)?NULL", "TRUE", residue, flags=re.I
+        )
+        true_div = residue.replace("//", "")  # drop floor-division tokens
         fractional = ("/" in true_div
-                      or re.search(r"\b\d+\.\d+", expr) is not None
-                      or re.search(r"\bAVG\s*\(", expr, re.I) is not None)
+                      or re.search(r"\b\d+\.\d+", residue) is not None
+                      or re.search(r"\bAVG\s*\(", residue, re.I) is not None
+                      or any(re.search(rf"\b{c}\b", residue, re.I)
+                             for c in double_cols))
         if fractional:
             out.append(expr if len(expr) <= 80 else expr[:77] + "...")
     return out
+
+
+_ORDER_LIMIT_RE = re.compile(
+    r"ORDER\s+BY\s+(.*?)\s+LIMIT\b", re.IGNORECASE | re.DOTALL
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def float_topk_tie_warns(
+    sql: str,
+    float_out_cols: frozenset[str],
+    double_cols: frozenset[str],
+) -> list[str]:
+    """WARN on float-valued final sort keys in top-k oracles (the one
+    divergence class the dtype lints can't see: equal-to-the-engine
+    floats that differ in the last ULP flip which rows survive LIMIT).
+    A top-k ORDER BY is safe when its LAST key is a deterministic
+    integer/string tiebreaker; it is suspect when the last key is a
+    float output column, a known DOUBLE fixture column, or a division
+    expression."""
+    warns = []
+    for m in _ORDER_LIMIT_RE.finditer(sql):
+        keys = _split_top_level(m.group(1))
+        if not keys:
+            continue
+        last = re.sub(
+            r"\s+(ASC|DESC)\b.*$", "", keys[-1], flags=re.IGNORECASE
+        ).strip().strip('"')
+        lname = last.lower()
+        floaty = (
+            lname in float_out_cols
+            or lname in double_cols
+            or "/" in last.replace("//", "")
+        )
+        if floaty:
+            warns.append(last if len(last) <= 60 else last[:57] + "...")
+    return warns
 
 
 def main() -> int:
@@ -122,6 +257,7 @@ def main() -> int:
 
     con = connect()
     oracles = ent.oracle_sql()
+    dbl_cols = double_fixture_columns(con)
     bad = warned = 0
     for key, sql in oracles.items():
         try:
@@ -132,7 +268,12 @@ def main() -> int:
             continue
         hits = [(c, t) for c, t, *_ in rows if any(b in t.upper() for b in BANNED)]
         warns = [(c, t) for c, t, *_ in rows if any(w in t.upper() for w in WARN)]
-        rt = round_trunc_hazards(sql)
+        rt = round_trunc_hazards(sql, dbl_cols)
+        float_out = frozenset(
+            c.lower() for c, t, *_ in rows
+            if t.upper() in ("DOUBLE", "FLOAT", "REAL")
+        )
+        tie = float_topk_tie_warns(sql, float_out, dbl_cols)
         if hits:
             bad += 1
             print(f"HAZARD {key}: " + ", ".join(f"{c}:{t}" for c, t in hits))
@@ -140,9 +281,12 @@ def main() -> int:
             bad += 1
             print(f"HAZARD {key}: round-vs-truncate int cast of "
                   + "; ".join(rt))
-        elif warns:
+        elif warns or tie:
             warned += 1
-            print(f"warn   {key}: " + ", ".join(f"{c}:{t}" for c, t in warns))
+            msgs = [f"{c}:{t}" for c, t in warns] + [
+                f"float top-k tiebreak: ORDER BY ... {k} LIMIT" for k in tie
+            ]
+            print(f"warn   {key}: " + ", ".join(msgs))
     print(f"\n{bad} hazardous oracles, {warned} warnings of {len(oracles)}")
     return 1 if bad else 0
 

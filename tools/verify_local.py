@@ -174,6 +174,14 @@ def main(argv: list[str]) -> int:
             sdf = qs[key](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # Keys that persist intermediates (dedup_containment's
+            # posting list, graph_pagerank's edge frame) rely on the
+            # harness to release them once the result is materialized;
+            # without this a full 311-key single-session sweep
+            # accumulates MEMORY_AND_DISK blocks across keys (r8
+            # ADVICE).  Recompute-on-reuse keys (dedup_incremental's
+            # capped corpus cache) just repopulate lazily.
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL  {key}: spark error\n{traceback.format_exc()}")
             results[key] = {"status": "fail", "err": "spark error"}
