@@ -373,6 +373,9 @@ EXTRA = [
     "docs_balanced_downsample",
     "source_parquet_schema_merge",
     "graph_pagerank",
+    # --- round 9.
+    "agg_exact_quantiles_bucketed",
+    "docs_balanced_downsample_digest",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

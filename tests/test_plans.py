@@ -1654,3 +1654,36 @@ def test_pagerank_no_cartesian_persisted_edges(plans):
     p = plans("graph_pagerank")
     assert "CartesianProduct" not in p, p
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+
+
+def test_exact_quantiles_bucketed_no_value_domain_window(plans):
+    """agg_exact_quantiles_bucketed: the bucket-then-recurse selection
+    must never sort |distinct values| rows — every Window partitions by
+    a bounded key (grp -> bucket histogram; (grp, q) -> one bucket's
+    values), the bucket->value recursion joins via broadcast, the
+    persisted histogram pins pass 1 to one lineitem scan, and no
+    CartesianProduct appears anywhere."""
+    p = plans("agg_exact_quantiles_bucketed")
+    assert "CartesianProduct" not in p, p
+    # the value histogram is persisted and reused (one corpus pass)
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+    # the recursion join onto the |groups| x |levels| targets broadcasts
+    assert "BroadcastHashJoin" in p, p
+    # every window is partitioned (never a global single partition)
+    for m in re.finditer(
+        r"Arguments: \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", p
+    ):
+        part = m.group(1)
+        assert part.strip(), f"unpartitioned window: {m.group(0)}\n{p}"
+
+
+def test_balanced_downsample_digest_no_sort_one_filter_pass(plans):
+    """docs_balanced_downsample_digest: the whole point of the digest
+    form is NO rank window and NO per-class sort — the plan may contain
+    no Window node and no Sort except inside aggregation, and the class
+    counts join back via broadcast."""
+    p = plans("docs_balanced_downsample_digest")
+    assert "Window" not in p, p
+    assert "row_number" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
