@@ -46,6 +46,10 @@ TABLES = (
 # at ~110 GB of DuckDB state).  The SPARK side of every one of these is
 # banded/bucketed/windowed and sweeps sf1 clean (BASELINE.md execution
 # sweeps); it is only the obviously-correct oracle that cannot follow.
+# As of round 9 NO key is skipped at big SFs: pair-output keys get the
+# r8 endpoint-filter twins (SCALE_TWINS below), and the global-output
+# remainder gets the r9 sampled-fixture twins (SAMPLED_FIXTURE_TWINS) —
+# every membership below must appear in exactly one of the two maps.
 SUPERLINEAR_ORACLES = {
     # all-pairs / recursive-closure dedup oracles (|dup-mass|^2)
     "dedup_cluster", "dedup_minhash", "dedup_minhash_accuracy",
@@ -83,6 +87,90 @@ SCALE_TWINS = {
     "dedup_ngram_jaccard": ("doc_a", "doc_b"),
     "dedup_incremental": ("new_doc", "corpus_doc"),
 }
+
+# SAMPLED-FIXTURE scale twins (round 9): the remaining superlinear
+# oracles have GLOBAL outputs (connected-component clusters, survivor
+# picks, corpus aggregates, funnel step counts) that the r8
+# endpoint-filter trick structurally can't touch.  But every one is
+# BLOCK-LOCAL in its base table's natural key: the dedup metrics and
+# their transitive closures depend only on the sampled docs (clone
+# groups share full text at sf1, so the prefix-hash block keeps whole
+# groups intact — 760 docs / ~76 groups in the 1/64 sample), and
+# funnel state is user-local (a user-id block sample induces an exact
+# sub-corpus — 235 users, all five event types present).  So at big
+# SFs BOTH engines run over the SAME deterministically sampled fixture
+# directory: the registered Spark plan and the unmodified registered
+# oracle, byte-identical comparison semantics, with the oracle's
+# quadratic term shrunk 64x to feasibility while the sample keeps
+# sf1's full per-group clone density (the thing sf0.01 lacks).
+# Whatever subgraph the block induces, both engines compute it — the
+# comparison's soundness does not depend on the blocking; a vacuous
+# sample (no dup groups / zero funnel mass) FAILS the run instead of
+# passing it silently.
+#
+# events is sampled via pyarrow (bit-mask on user_id) so the parquet
+# schema/physical types stay byte-identical to the fixture; documents
+# (strings + ints only) samples via DuckDB COPY with the same
+# prefix-hash predicate the endpoint twins use.
+SAMPLED_FIXTURE_TWINS = {
+    "dedup_cluster": "documents",
+    "dedup_minhash_accuracy": "documents",
+    "dedup_source_matrix": "documents",
+    "dedup_survivor_pick": "documents",
+    "docs_dedup_pipeline": "documents",
+    "docs_split_leakage_safe": "documents",
+    "events_funnel_strict": "events",
+    "events_funnel_unordered": "events",
+    "events_funnel_window_sensitivity": "events",
+}
+_EVENTS_USER_MASK = 63  # keep (user_id & 63) == 7 — 1/64 user blocks
+_EVENTS_USER_KEEP = 7
+
+
+def _build_twin_fixture(sf_dir: str, tbl: str) -> str:
+    """Materialize <sf_dir-twin>/{tbl sampled, other tables symlinked}
+    and return the directory path.  Cheap (the samples are 1/64) and
+    rebuilt per run so a stale sample can never mask a fixture change."""
+    import shutil
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir,
+        ".scratch", "twin_fix",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tbl}",
+    )
+    out = os.path.normpath(out)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t != tbl:
+            os.symlink(os.path.abspath(src), dst)
+        elif t == "events":
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            full = pq.read_table(src)
+            mask = pc.equal(
+                pc.bit_wise_and(full.column("user_id"), _EVENTS_USER_MASK),
+                _EVENTS_USER_KEEP,
+            )
+            sampled = full.filter(mask)
+            if sampled.num_rows == 0:
+                raise RuntimeError(f"vacuous events sample from {src}")
+            pq.write_table(sampled, dst)
+        else:
+            c = duckdb.connect()
+            c.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') "
+                f"WHERE {SCALE_TWIN_SAMPLE}) TO '{dst}' (FORMAT PARQUET)"
+            )
+            n = c.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            if n == 0:
+                raise RuntimeError(f"vacuous {tbl} sample from {src}")
+    return out
 
 
 def _canon(v) -> str:
@@ -139,20 +227,42 @@ def main(argv: list[str]) -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     keys = argv or sorted(qs)
     scale_twin_keys: set[str] = set()
+    sampled_fixture_keys: set[str] = set()
     if skip_superlinear:
         scale_twin_keys = {
             k for k in keys
             if k in SUPERLINEAR_ORACLES and k in SCALE_TWINS
         }
+        sampled_fixture_keys = {
+            k for k in keys
+            if k in SUPERLINEAR_ORACLES and k in SAMPLED_FIXTURE_TWINS
+        }
         skipped = [k for k in keys
-                   if k in SUPERLINEAR_ORACLES and k not in SCALE_TWINS]
+                   if k in SUPERLINEAR_ORACLES and k not in SCALE_TWINS
+                   and k not in SAMPLED_FIXTURE_TWINS]
         keys = [k for k in keys if k not in skipped]
         if scale_twin_keys:
             print(f"scale-twin oracles for {len(scale_twin_keys)} keys: "
                   + " ".join(sorted(scale_twin_keys)))
+        if sampled_fixture_keys:
+            print(f"sampled-fixture oracles for {len(sampled_fixture_keys)} "
+                  "keys: " + " ".join(sorted(sampled_fixture_keys)))
         if skipped:
             print(f"skipping {len(skipped)} superlinear-oracle keys: "
                   + " ".join(skipped))
+    twin_dirs: dict[str, str] = {}
+    twin_cons: dict[str, duckdb.DuckDBPyConnection] = {}
+    for k in sorted(sampled_fixture_keys):
+        tbl = SAMPLED_FIXTURE_TWINS[k]
+        if tbl not in twin_dirs:
+            twin_dirs[tbl] = _build_twin_fixture(SF_DIR, tbl)
+            tc = duckdb.connect()
+            for t in TABLES:
+                tc.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{twin_dirs[tbl]}/{t}.parquet')"
+                )
+            twin_cons[tbl] = tc
     sample_con = None
     if scale_twin_keys:
         # same fixture views, but `documents` restricted to the sample
@@ -170,8 +280,10 @@ def main(argv: list[str]) -> int:
     n_pass = n_fail = n_rows_only = 0
     for key in keys:
         t0 = time.time()
+        sampled = key in sampled_fixture_keys
+        key_sf = twin_dirs[SAMPLED_FIXTURE_TWINS[key]] if sampled else SF_DIR
         try:
-            sdf = qs[key](spark, SF_DIR)
+            sdf = qs[key](spark, key_sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             # Keys that persist intermediates (dedup_containment's
@@ -198,8 +310,13 @@ def main(argv: list[str]) -> int:
             ia, ib = (scols.index(c) for c in SCALE_TWINS[key])
             srows = [r for r in srows
                      if r[ia] in sample_ids and r[ib] in sample_ids]
+        key_con = con
+        if twin:
+            key_con = sample_con
+        elif sampled:
+            key_con = twin_cons[SAMPLED_FIXTURE_TWINS[key]]
         try:
-            res = (sample_con if twin else con).execute(oracles[key])
+            res = key_con.execute(oracles[key])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
@@ -213,6 +330,26 @@ def main(argv: list[str]) -> int:
             results[key] = {"status": "fail", "err": "vacuous scale twin"}
             n_fail += 1
             continue
+        if sampled:
+            # vacuity guard: the induced sub-corpus must carry signal —
+            # a non-empty result whose numeric surfaces are not all
+            # zero (an all-zero funnel means the user block sampled no
+            # funnel mass and the "pass" would be contentless).
+            def _mag(v) -> float:
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return 0.0
+                if isinstance(v, float) and math.isnan(v):
+                    return 0.0
+                return abs(v)
+
+            total = sum(_mag(v) for r in orows for v in r)
+            if not orows or not total:
+                print(f"FAIL  {key}: sampled-fixture twin is vacuous "
+                      "(empty / all-zero oracle output) — widen the block")
+                results[key] = {"status": "fail",
+                                "err": "vacuous sampled fixture"}
+                n_fail += 1
+                continue
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
@@ -239,11 +376,17 @@ def main(argv: list[str]) -> int:
             results[key] = {"status": "fail", "err": problems[0]}
             n_fail += 1
         else:
-            tag = " (scale-twin)" if twin else ""
+            tag = (" (scale-twin)" if twin
+                   else " (sampled-fixture)" if sampled else "")
             print(f"PASS  {key}: {len(srows)} rows{tag} "
                   f"[{time.time()-t0:.1f}s]")
+            status = "pass"
+            if twin:
+                status = "pass_scale_twin"
+            elif sampled:
+                status = "pass_sampled_fixture"
             results[key] = {
-                "status": "pass_scale_twin" if twin else "pass",
+                "status": status,
                 "rows": len(srows),
                 "secs": round(time.time() - t0, 2),
             }
