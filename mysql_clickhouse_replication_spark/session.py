@@ -33,6 +33,10 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: scratch families already stale-pruned by this process (see
+#: scratch_path) — prune once per session, not once per key.
+_PRUNED_FAMILIES: set[str] = set()
+
 
 def get_spark(app_name: str = "mysql_clickhouse_replication_spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession with scale-aware defaults."""
@@ -70,7 +74,12 @@ def scratch_path(*parts: str, unique: bool = True) -> str:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(repo, ".scratch", parts[0]) if parts else None
-    if base and os.path.isdir(base):
+    # Prune each family ONCE per process: stale siblings are >2 h old
+    # by definition, so nothing new becomes prunable within one run and
+    # repeating the listdir/mtime walk per key is pure per-key overhead
+    # (the r8-prescribed session-scoped scratch discipline).
+    if base and base not in _PRUNED_FAMILIES and os.path.isdir(base):
+        _PRUNED_FAMILIES.add(base)
         cutoff = time.time() - 7200
         for entry in os.listdir(base):
             p = os.path.join(base, entry)

@@ -49,6 +49,12 @@ def _scratch(*parts: str) -> str:
     return scratch_path(*parts, unique=False)
 
 
+#: fixture schemas are immutable within a session; memoizing saves one
+#: batch footer-read per STREAMING KEY in multi-key sweeps (part of the
+#: r8-prescribed shared session-scoped setup).
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of session.table(spark, sf_dir, 'events'): file
     source over the fixture dir (glob-filtered to events.parquet).  The
@@ -58,7 +64,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = raw_schema
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
