@@ -370,18 +370,29 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "vec", "cid", F.coalesce(F.col("sub_id"), F.lit(0)).alias("scid")
         )
     )
-    a = bucketed.select(
-        "cid", "scid", F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")
-    )
-    b = bucketed.select(
-        "cid", "scid", F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")
-    )
+    # Self-join via .alias() so BOTH sides are the IDENTICAL plan
+    # subtree: Spark's ReuseExchange then computes the whole
+    # assignment pipeline ONCE and replays the shuffle files for the
+    # other side (the earlier column-renaming spelling made the sides
+    # structurally different and re-ran assignment twice; a persist()
+    # was measured slower still — cache write + barrier, see above).
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        a.join(b, ["cid", "scid"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(_cos(F.col("vec_a"), F.col("vec_b")), 6))
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.scid") == F.col("b.scid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", F.round(_cos(F.col("a.vec"), F.col("b.vec")), 6)
+        )
         .filter(F.col("cos") >= _DUP_COS)
-        .select("id_a", "id_b", "cos")
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos",
+        )
     )
 
 
