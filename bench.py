@@ -376,6 +376,8 @@ EXTRA = [
     # --- round 9.
     "agg_exact_quantiles_bucketed",
     "docs_balanced_downsample_digest",
+    "dedup_semantic_prune",
+    "docs_perplexity_buckets",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1821,3 +1821,82 @@ def docs_balanced_downsample_digest(
             F.expr("abs(n_kept - cap) * 1000000 DIV cap").alias("dev_ppm"),
         )
     )
+
+
+@register(
+    "docs_perplexity_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM tok),
+scored AS (
+  SELECT d.doc_id AS doc_id, d.lang AS lang,
+         ROUND(AVG(-LN(CAST(tf AS DOUBLE) / total)), 6) AS nlp
+  FROM tok JOIN freq USING (term) CROSS JOIN n
+  JOIN documents d ON tok.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.lang
+),
+b AS (
+  SELECT lang, doc_id, nlp,
+         CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id)
+              AS INT) AS bucket
+  FROM scored
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS keysum,
+       MIN(nlp) AS min_nlp,
+       MAX(nlp) AS max_nlp
+FROM b GROUP BY lang, bucket
+""",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359 — the public head/middle/tail recipe behind most
+    web-scale LLM corpora): score each doc with the corpus unigram LM
+    (text_lm_score's mean negative log-probability, rounded to 6 so
+    both engines order identically), then split EACH LANGUAGE into
+    terciles by that score.  head = most fluent third (lowest nlp),
+    tail = the third a pipeline drops or down-weights; bucketing per
+    language is the point — a global cut would class whole low-resource
+    languages as tail.
+
+    Determinism: NTILE runs over (nlp, doc_id), and nlp is the ROUNDED
+    score whose cross-engine bit-equality the text_lm_score gate key
+    already proves — so tercile MEMBERSHIP (pinned by keysum), not just
+    sizes, hash-matches.  NTILE semantics (first buckets take the
+    remainder) are SQL-standard and identical in Spark and DuckDB.
+
+    Scale shape: the LM fit is vocabulary-bounded (term -> tf,
+    broadcast), scoring is one explode + grouped avg, and the tercile
+    window sorts |corpus|/|languages| SCORED rows (doc_id + two
+    numbers, not text) per class — the same honest exact-rank cost as
+    docs_balanced_downsample, with the same documented no-sort escape
+    (digest/threshold on the score distribution's quantile sketch) when
+    a single language outgrows a partition."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("total"))), 6
+            ).alias("nlp")
+        )
+    )
+    wb = Window.partitionBy("lang").orderBy(F.asc("nlp"), F.asc("doc_id"))
+    b = scored.withColumn("bucket", F.ntile(3).over(wb))
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("keysum"),
+        F.min("nlp").alias("min_nlp"),
+        F.max("nlp").alias("max_nlp"),
+    )

@@ -664,3 +664,171 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct", (F.col("lang") == F.col("pred_lang")).cast("int")
         )
     )
+
+
+_SEM_COS = 0.95  # semantic-duplicate threshold (vs 0.99 exact-dup)
+_SEM_DELTA = 0.25  # injected perturbation on coordinate 0 (unit vecs)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+corpus AS (
+  SELECT vec_id, vec FROM v0
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([vec[1] + {_SEM_DELTA}], vec[2:])
+  FROM v0 WHERE vec_id % 20 = 0
+),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v0 WHERE vec_id < {_K_CELLS}),
+assign AS (
+  SELECT vec_id, vec, cid, s FROM (
+    SELECT corpus.vec_id, corpus.vec, cent.cid,
+           ROUND(list_cosine_similarity(corpus.vec, cent.cvec), 6) AS s
+    FROM corpus CROSS JOIN cent)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
+),
+a2 AS (
+  SELECT vec_id, vec, cid, s,
+         COUNT(*) OVER (PARTITION BY cid) AS n,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS ric
+  FROM assign
+),
+subc AS (
+  SELECT cid, ric AS sub_id, vec AS svec FROM a2
+  WHERE n > {_CELL_CAP} AND ric <= {_N_SUBCELLS}
+),
+bucketed AS (
+  SELECT vec_id, vec, cid, s, COALESCE(sub_id, 0) AS scid FROM (
+    SELECT a2.vec_id, a2.vec, a2.cid, a2.s, subc.sub_id,
+           ROUND(list_cosine_similarity(a2.vec, subc.svec), 6) AS ss
+    FROM a2 LEFT JOIN subc USING (cid))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ss DESC NULLS LAST,
+                                      sub_id ASC NULLS FIRST) = 1
+),
+dropped AS (
+  SELECT DISTINCT v.vec_id
+  FROM bucketed v JOIN bucketed u
+    ON v.cid = u.cid AND v.scid = u.scid AND v.vec_id != u.vec_id
+  WHERE ROUND(list_cosine_similarity(v.vec, u.vec), 6) >= {_SEM_COS}
+    AND (u.s < v.s OR (u.s = v.s AND u.vec_id < v.vec_id))
+)
+SELECT b.cid AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(SUM(b.vec_id) FILTER (d.vec_id IS NULL) AS BIGINT) AS keysum_kept
+FROM bucketed b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+GROUP BY b.cid
+""",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the canonical embedding-space dedup for LLM
+    training corpora): where dedup_embedding reports near-EXACT pairs
+    (cos >= 0.99, re-crawl clones), this key PRUNES semantically
+    redundant members at the looser {_SEM_COS} threshold, keeping the
+    member FARTHEST from its cluster centroid — the paper's keep rule
+    (low centroid-similarity = the most informative representative of
+    the semantic region).
+
+    Fixture signal: every 20th vector is re-appended PERTURBED (one
+    coordinate shifted by {_SEM_DELTA} on unit vectors -> cos ~0.97:
+    semantically duplicate, not byte-identical — below the 0.99 exact
+    gate, above this one; measured same-cell co-assignment 21/25, and
+    the 4 boundary flips are hash-checked identically on both engines
+    because the oracle runs the IDENTICAL bucketed plan).
+
+    Prune rule without a transitive closure: drop v iff some
+    same-(cell, subcell) neighbor u has cos(u, v) >= {_SEM_COS} and
+    higher keep-priority (lower centroid-sim s, ties to the lower id).
+    Each bucket's priority-minimum survives by construction, the rule
+    is one dominance join — no iterative connected components on the
+    hot path (dedup_cluster demonstrates that shape where cluster IDs
+    themselves are the product).  Scale: same two-level IVF bucketing
+    as dedup_embedding (hot cells split on {_N_SUBCELLS} sub-centroids,
+    bounding any bucket to ~{_CELL_CAP}^2 comparisons), assignment is
+    one broadcast scoring pass, and the dominance join shuffles only
+    (cell, subcell)-bucketed rows.  Surface per cell: population,
+    pruned count, and the keysum of SURVIVORS — membership-exact."""
+    v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    clones = v.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(vec, (x, i) -> IF(i = 0, x + {_SEM_DELTA}D, x))"
+        ).alias("vec"),
+    )
+    corpus = v.unionByName(clones)
+    c = F.broadcast(
+        v.filter(F.col("vec_id") < _K_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assigned = (
+        corpus.crossJoin(c)
+        .select(
+            "vec_id", "vec", "cid",
+            F.round(_cos(F.col("vec"), F.col("cvec")), 6).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid", "s")
+    )
+    wc = Window.partitionBy("cid")
+    wr = Window.partitionBy("cid").orderBy(F.asc("vec_id"))
+    a2 = assigned.withColumn("n", F.count(F.lit(1)).over(wc)).withColumn(
+        "ric", F.row_number().over(wr)
+    )
+    subc = F.broadcast(
+        a2.filter(
+            (F.col("n") > _CELL_CAP) & (F.col("ric") <= _N_SUBCELLS)
+        ).select("cid", F.col("ric").alias("sub_id"), F.col("vec").alias("svec"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("ss"), F.asc_nulls_first("sub_id")
+    )
+    bucketed = (
+        a2.join(subc, "cid", "left")
+        .withColumn("ss", F.round(_cos(F.col("vec"), F.col("svec")), 6))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "vec", "cid", "s",
+            F.coalesce(F.col("sub_id"), F.lit(0)).alias("scid"),
+        )
+    )
+    # identical-subtree self-join (ReuseExchange computes bucketed once)
+    bv, bu = bucketed.alias("v"), bucketed.alias("u")
+    dropped = (
+        bv.join(
+            bu,
+            (F.col("v.cid") == F.col("u.cid"))
+            & (F.col("v.scid") == F.col("u.scid"))
+            & (F.col("v.vec_id") != F.col("u.vec_id")),
+        )
+        .filter(
+            (F.round(_cos(F.col("v.vec"), F.col("u.vec")), 6) >= _SEM_COS)
+            & (
+                (F.col("u.s") < F.col("v.s"))
+                | (
+                    (F.col("u.s") == F.col("v.s"))
+                    & (F.col("u.vec_id") < F.col("v.vec_id"))
+                )
+            )
+        )
+        .select(F.col("v.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        bucketed.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_dropped").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.col("vec_id"))
+            ).alias("keysum_kept"),
+        )
+    )

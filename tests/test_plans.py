@@ -1687,3 +1687,32 @@ def test_balanced_downsample_digest_no_sort_one_filter_pass(plans):
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_semantic_prune_bucketed_no_cartesian_reused_assignment(spark, sf_dir):
+    """dedup_semantic_prune: candidate pairs come from the (cell,
+    subcell) equi-join — never a CartesianProduct (the broadcast
+    centroid/sub-centroid scoring rides BroadcastNestedLoopJoin); the
+    dominance self-join REUSES the bucketed assignment's exchange
+    instead of recomputing the pipeline per side.  Exchange reuse is an
+    AQE runtime decision, so the query executes first and the FINAL
+    adaptive plan is asserted."""
+    df = e.queries()["dedup_semantic_prune"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in p, p
+    assert "ReusedExchange" in p, p
+
+
+def test_perplexity_buckets_partitioned_tercile_broadcast_lm(plans):
+    """docs_perplexity_buckets: the tercile window partitions by lang
+    (never one global partition) and the vocabulary-bounded LM join
+    broadcasts."""
+    p = plans("docs_perplexity_buckets")
+    assert "BroadcastHashJoin" in p, p
+    w = re.search(r"Arguments: \[ntile\(3\).*?\], \[(.*?)\], \[(.*?)\]", p)
+    assert w and "lang" in w.group(1), p
