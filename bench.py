@@ -378,6 +378,7 @@ EXTRA = [
     "docs_balanced_downsample_digest",
     "dedup_semantic_prune",
     "docs_perplexity_buckets",
+    "events_m4_downsample",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

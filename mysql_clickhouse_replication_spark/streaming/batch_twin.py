@@ -1171,3 +1171,84 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_lateness_min"),
     )
+
+
+_M4_SPAN_US = 21_600_000_000  # 6-hour pixel buckets (micros)
+
+
+@register(
+    "events_m4_downsample",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // {_M4_SPAN_US} AS bucket_id,
+         ts, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_us(ts) // {_M4_SPAN_US}
+           ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_us(ts) // {_M4_SPAN_US}
+           ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       MIN(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+       MIN(CASE WHEN rn_last = 1 THEN value END) AS v_last
+FROM base GROUP BY event_type, bucket_id
+""",
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    public pixel-perfect line-rendering aggregation behind Grafana /
+    Timescale-style dashboards): per series and fixed time bucket, emit
+    exactly the FOUR points a width-bounded render needs — min, max,
+    first, last — so a dashboard over 100 TB of raw points pulls
+    O(series x pixels) rows with a provably identical line image.
+
+    Chosen over LTTB (the other popular downsampler) deliberately: LTTB
+    selects each point relative to the PREVIOUSLY selected one — a
+    sequential dependency that cannot parallelize over buckets — while
+    M4 buckets are independent, making it the shape that distributes
+    (the original paper's point).  Output size is bounded by the pixel
+    budget (bucket count x series), INDEPENDENT of the scale factor —
+    the defining property of a render-side downsampler.
+
+    Determinism: first/last are row_number picks ordered by (ts,
+    event_id) — the unique id breaks equal-timestamp ties identically
+    on both engines; min/max/first/last all pass raw stored doubles
+    through unarithmeticked, so no float expression can diverge.  Plan:
+    both windows and the final aggregation share the ONE
+    (event_type, bucket) exchange."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {_M4_SPAN_US}").alias("bucket_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("event_type", "bucket_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wl = Window.partitionBy("event_type", "bucket_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_first", F.row_number().over(wf))
+        .withColumn("rn_last", F.row_number().over(wl))
+        .groupBy("event_type", "bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min(F.when(F.col("rn_first") == 1, F.col("value"))).alias(
+                "v_first"
+            ),
+            F.min(F.when(F.col("rn_last") == 1, F.col("value"))).alias(
+                "v_last"
+            ),
+        )
+    )

@@ -1716,3 +1716,15 @@ def test_perplexity_buckets_partitioned_tercile_broadcast_lm(plans):
     assert "BroadcastHashJoin" in p, p
     w = re.search(r"Arguments: \[ntile\(3\).*?\], \[(.*?)\], \[(.*?)\]", p)
     assert w and "lang" in w.group(1), p
+
+
+def test_m4_downsample_one_exchange_no_global_sort(plans):
+    """events_m4_downsample: both row_number windows and the final
+    aggregation share the ONE (event_type, bucket) exchange — a second
+    Exchange or a global Sort would mean the windows re-shuffled."""
+    p = plans("events_m4_downsample")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert tree.count("Exchange") == 1, p
+    w = re.findall(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[", p)
+    assert len(w) == 2 and all("event_type" in g and "bucket_id" in g for g in w), p
