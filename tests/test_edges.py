@@ -410,3 +410,15 @@ def test_containment_df_cap_fires_and_stays_oracle_exact(
         (a, b) for (a, b, _, _) in got if a <= 70 and b <= 70
     ]
     assert not base_pairs, f"boilerplate-only pairs leaked: {base_pairs[:5]}"
+
+
+def test_semantic_prune_nonvacuous_and_survivor_invariant(spark, sf_dir):
+    """dedup_semantic_prune: the injected perturbed clones must make
+    the key non-vacuous (some vectors pruned), and the dominance rule
+    guarantees every cell keeps at least one member (each bucket's
+    priority-minimum is never dropped)."""
+    rows = e.queries()["dedup_semantic_prune"](spark, sf_dir).collect()
+    assert sum(r["n_dropped"] for r in rows) > 0
+    for r in rows:
+        assert r["n_vecs"] - r["n_dropped"] >= 1, r
+        assert r["keysum_kept"] is not None, r
