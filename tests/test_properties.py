@@ -522,3 +522,63 @@ def test_rowbinary_binary_roundtrip_identity(rows):
     buf = rb.encode_rows(_rb_bytes_types, rows)
     out = list(rb.decode_rows(_rb_bytes_types, buf, bytes_cols=frozenset({0, 2})))
     assert out == rows
+
+
+# ---- round-9: bucketed exact-quantile selection == single-round form ----
+
+_qt_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "N", "R"]),                   # group
+        st.integers(min_value=1, max_value=2_000_000),      # price cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_qt_rows)
+@settings(
+    **{
+        **_SETTINGS,
+        "suppress_health_check": [
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    }
+)
+def test_bucketed_quantiles_equal_exact_form(rows, spark):
+    """agg_exact_quantiles_bucketed must agree with agg_exact_quantiles
+    row-for-row on ARBITRARY (group, cents) data — including values that
+    straddle bucket boundaries (bucket = v DIV 4096), single-row groups,
+    and all-identical groups — not just the fixture's price shape.  The
+    two-round selection is only correct if base + within-bucket counts
+    recompose the global order statistic at every level."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = tempfile.mkdtemp(prefix="qtprop_")
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array([g for g, _ in rows]),
+                "l_extendedprice": pa.array(
+                    [c / 100.0 for _, c in rows], type=pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    qs = e.queries()
+    exact = sorted(
+        tuple(r) for r in qs["agg_exact_quantiles"](spark, d).collect()
+    )
+    bucketed = sorted(
+        tuple(r)
+        for r in qs["agg_exact_quantiles_bucketed"](spark, d).collect()
+    )
+    assert bucketed == exact
