@@ -379,6 +379,7 @@ EXTRA = [
     "dedup_semantic_prune",
     "docs_perplexity_buckets",
     "events_m4_downsample",
+    "cdc_schema_registry_compat",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

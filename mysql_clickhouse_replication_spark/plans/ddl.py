@@ -591,3 +591,116 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         surface, "tbl string, col_name string, ch_type string"
     )
+
+
+#: Widening chain for compat classification: UInt8 < UInt32 < Int64 all
+#: embed losslessly upward and everything renders into String; Decimal
+#: and DateTime64 are chain-incomparable (Int64 overflows Decimal(12,2),
+#: DateTime64 reinterprets bits) and reach only String.
+_CH_WIDTH_SQL = """CASE {c}
+  WHEN 'UInt8' THEN 1 WHEN 'UInt32' THEN 2 WHEN 'Int64' THEN 3
+  ELSE 0 END"""
+
+_COMPAT_CASE_SQL = """CASE
+  WHEN prev_state IS NULL OR prev_state = '<none>' THEN
+       CASE ddl_kind WHEN 'drop_column' THEN 'full'
+                     WHEN 'modify_column' THEN 'breaking'
+                     ELSE 'backward' END
+  WHEN ddl_kind = 'drop_column' THEN 'forward'
+  WHEN ch_type = prev_state THEN 'full'
+  WHEN ch_type = 'String' THEN 'backward'
+  WHEN prev_state = 'String' THEN 'forward'
+  WHEN {w_new} > 0 AND {w_prev} > 0 AND {w_new} > {w_prev} THEN 'backward'
+  WHEN {w_new} > 0 AND {w_prev} > 0 THEN 'forward'
+  ELSE 'breaking'
+END""".format(
+    w_new=_CH_WIDTH_SQL.format(c="ch_type"),
+    w_prev=_CH_WIDTH_SQL.format(c="prev_state"),
+)
+
+
+@register(
+    "cdc_schema_registry_compat",
+    oracle=f"""
+WITH route AS ({_DDL_ROUTE_ORACLE}),
+col_ops AS (
+  SELECT seq, tbl, col_name, ddl_kind, ch_type,
+         lag(CASE WHEN ddl_kind = 'drop_column' THEN '<none>'
+                  ELSE ch_type END)
+           OVER (PARTITION BY tbl, col_name ORDER BY seq) AS prev_state
+  FROM route WHERE action = 'apply' AND col_name IS NOT NULL
+),
+classified AS (
+  SELECT tbl, {_COMPAT_CASE_SQL} AS compat FROM col_ops
+)
+SELECT tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) FILTER (compat = 'backward') AS BIGINT) AS n_backward,
+       CAST(COUNT(*) FILTER (compat = 'forward') AS BIGINT) AS n_forward,
+       CAST(COUNT(*) FILTER (compat = 'full') AS BIGINT) AS n_full,
+       CAST(COUNT(*) FILTER (compat = 'breaking') AS BIGINT) AS n_breaking,
+       CASE WHEN COUNT(*) FILTER (compat = 'breaking') > 0 THEN 'breaking'
+            WHEN COUNT(*) FILTER (compat = 'backward') > 0
+                 AND COUNT(*) FILTER (compat = 'forward') > 0 THEN 'none'
+            WHEN COUNT(*) FILTER (compat = 'backward') > 0 THEN 'backward'
+            WHEN COUNT(*) FILTER (compat = 'forward') > 0 THEN 'forward'
+            ELSE 'full' END AS overall_compat
+FROM classified GROUP BY tbl
+""",
+)
+def cdc_schema_registry_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry compatibility audit over the replicated DDL
+    stream — the governance layer (Confluent Schema Registry's public
+    BACKWARD / FORWARD / FULL / NONE levels) a replication pipeline
+    runs BEFORE applying sink DDL: each column transition is classified
+    against the column's PRIOR type state, and per-table tallies roll
+    up to the level a registry would enforce.
+
+    Per-transition rules (documented here, identical on both engines):
+    a nullable ADD on a fresh column is BACKWARD (new readers NULL-fill
+    old rows); DROP of a live column is FORWARD (old readers default
+    the gone field); re-ADD/MODIFY of a live column classifies by the
+    type move — equal = FULL, up the lossless widening chain
+    (UInt8 < UInt32 < Int64, anything -> String) = BACKWARD, down it =
+    FORWARD, chain-incomparable (Int64 overflows Decimal(12,2),
+    DateTime64 reinterprets) = BREAKING; MODIFY of a column never added
+    is BREAKING (a registry rejects it); DROP of a never-added column
+    is a FULL no-op.  Per-table rollup: any breaking -> breaking; both
+    directions present -> none (neither holds globally); else the one
+    direction present; else full.
+
+    The column's prior state is ONE lag window over (tbl, col) ordered
+    by seq — drop writes the '<none>' sentinel so a later re-ADD sees a
+    fresh column, the same last-op-wins state discipline cdc_ddl_apply
+    proves against a live catalog.  Partitions are per-(table, column)
+    op histories (bounded by schema churn, not row volume), so the
+    window never sees data-sized input at any scale."""
+    route = cdc_ddl_route(spark, sf_dir).filter(
+        (F.col("action") == "apply") & F.col("col_name").isNotNull()
+    )
+    wl = Window.partitionBy("tbl", "col_name").orderBy("seq")
+    col_ops = route.select(
+        "seq", "tbl", "col_name", "ddl_kind", "ch_type",
+        F.lag(
+            F.when(F.col("ddl_kind") == "drop_column", F.lit("<none>"))
+            .otherwise(F.col("ch_type"))
+        ).over(wl).alias("prev_state"),
+    )
+    classified = col_ops.select("tbl", F.expr(_COMPAT_CASE_SQL).alias("compat"))
+    agg = classified.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.count_if(F.col("compat") == "backward").alias("n_backward"),
+        F.count_if(F.col("compat") == "forward").alias("n_forward"),
+        F.count_if(F.col("compat") == "full").alias("n_full"),
+        F.count_if(F.col("compat") == "breaking").alias("n_breaking"),
+    )
+    return agg.select(
+        "tbl", "n_transitions", "n_backward", "n_forward", "n_full",
+        "n_breaking",
+        F.when(F.col("n_breaking") > 0, "breaking")
+        .when((F.col("n_backward") > 0) & (F.col("n_forward") > 0), "none")
+        .when(F.col("n_backward") > 0, "backward")
+        .when(F.col("n_forward") > 0, "forward")
+        .otherwise("full")
+        .alias("overall_compat"),
+    )

@@ -1728,3 +1728,14 @@ def test_m4_downsample_one_exchange_no_global_sort(plans):
     assert tree.count("Exchange") == 1, p
     w = re.findall(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[", p)
     assert len(w) == 2 and all("event_type" in g and "bucket_id" in g for g in w), p
+
+
+def test_schema_compat_bounded_partitioned_lag(plans):
+    """cdc_schema_registry_compat: the prior-type lag window partitions
+    by (tbl, col_name) — bounded per-column op histories, never a
+    global or data-sized partition — and the whole key is one scan."""
+    p = plans("cdc_schema_registry_compat")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    w = re.search(r"Arguments: \[lag\(.*?\], \[(.*?)\], \[", p)
+    assert w and "tbl" in w.group(1) and "col_name" in w.group(1), p
