@@ -1730,10 +1730,14 @@ def test_m4_downsample_one_exchange_no_global_sort(plans):
     assert len(w) == 2 and all("event_type" in g and "bucket_id" in g for g in w), p
 
 
-def test_schema_compat_bounded_partitioned_lag(plans):
+def test_schema_compat_bounded_partitioned_lag(plans, spark):
     """cdc_schema_registry_compat: the prior-type lag window partitions
     by (tbl, col_name) — bounded per-column op histories, never a
-    global or data-sized partition — and the whole key is one scan."""
+    global or data-sized partition — and the whole key is one scan.
+    Cache cleared first: a prior test's cdc_ddl_apply persists the
+    shared route frame, which would swap the scan for an
+    InMemoryTableScan here (harnesses clear per key the same way)."""
+    spark.catalog.clearCache()
     p = plans("cdc_schema_registry_compat")
     tree = p.split("(1) Scan parquet")[0]
     assert tree.count("Scan parquet") == 1, p
