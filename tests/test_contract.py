@@ -103,3 +103,40 @@ def test_no_oracle_has_round_vs_truncate_int_cast():
         "oracles with round-vs-truncate int casts (pin with FLOOR or "
         "integral // arithmetic): " + "; ".join(failures)
     )
+
+
+def test_sampled_fixture_twin_builder_invariants():
+    """The r9 big-SF twin machinery: every SUPERLINEAR_ORACLES member is
+    covered by exactly one twin map; building a twin fixture samples
+    ONLY the named table (others symlink to the originals byte-for-byte),
+    keeps parquet schemas identical, and yields a non-empty sample."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    import verify_local as v
+
+    uncovered = (v.SUPERLINEAR_ORACLES - set(v.SCALE_TWINS)
+                 - set(v.SAMPLED_FIXTURE_TWINS))
+    double = set(v.SCALE_TWINS) & set(v.SAMPLED_FIXTURE_TWINS)
+    assert not uncovered and not double, (uncovered, double)
+
+    sf = "/root/testdata/sf0.001"
+    for tbl in sorted(set(v.SAMPLED_FIXTURE_TWINS.values())):
+        out = v._build_twin_fixture(sf, tbl)
+        for t in v.TABLES:
+            src = os.path.join(sf, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            assert os.path.exists(dst), dst
+            if t == tbl:
+                assert not os.path.islink(dst)
+                s_meta, d_meta = pq.read_metadata(src), pq.read_metadata(dst)
+                assert d_meta.schema.to_arrow_schema().names == \
+                    s_meta.schema.to_arrow_schema().names
+                assert 0 < d_meta.num_rows < s_meta.num_rows
+            else:
+                assert os.path.islink(dst)
+                assert os.path.realpath(dst) == os.path.realpath(src)
