@@ -428,3 +428,21 @@ def test_semantic_prune_nonvacuous_and_survivor_invariant(spark, sf_dir):
         # the fixture — a non-zero overflow audit here means the
         # Θ(cap²) bound claimed in the docstring no longer holds
         assert r["n_overflow_buckets"] == 0, r
+
+
+def test_m4_packed_ordering_key_headroom():
+    """events_m4_downsample packs (in-bucket offset micros, event_id)
+    into one BIGINT as offset * 2^28 + id: the pack is injective and
+    order-preserving only while event_id < 2^28, so assert the fixture
+    family's id span (sf1 = 10x the sf0.1 max, key-shifted) leaves at
+    least two orders of magnitude of headroom — the same make-the-
+    bound-observable discipline as dedup_semantic_prune's overflow
+    audit."""
+    import duckdb
+
+    (mx,) = duckdb.connect().execute(
+        "SELECT MAX(event_id) FROM "
+        "read_parquet('/root/testdata/sf0.1/events.parquet')"
+    ).fetchone()
+    sf1_max = (mx + 1) * 10  # make_sf1.py: 10 replicas shifted by span
+    assert sf1_max * 100 < 1 << 28, sf1_max

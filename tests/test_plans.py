@@ -1708,26 +1708,39 @@ def test_semantic_prune_bucketed_no_cartesian_reused_assignment(spark, sf_dir):
     assert "ReusedExchange" in p, p
 
 
-def test_perplexity_buckets_partitioned_tercile_broadcast_lm(plans):
+def test_perplexity_buckets_partitioned_tercile_broadcast_lm(plans, spark):
     """docs_perplexity_buckets: the tercile window partitions by lang
-    (never one global partition) and the vocabulary-bounded LM join
-    broadcasts."""
+    (never one global partition), the vocabulary-bounded LM join
+    broadcasts, and the persisted token frame pins the whole key to
+    ONE documents scan (r9 verdict item #3) — every other consumer
+    reads the InMemoryTableScan."""
+    spark.catalog.clearCache()
     p = plans("docs_perplexity_buckets")
     assert "BroadcastHashJoin" in p, p
     w = re.search(r"Arguments: \[ntile\(3\).*?\], \[(.*?)\], \[(.*?)\]", p)
     assert w and "lang" in w.group(1), p
+    # the persisted token frame's build subtree prints under EVERY
+    # InMemoryTableScan consumer, so count DISTINCT scan node ids —
+    # one id == one physical documents scan
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 1, p
+    assert "InMemoryTableScan" in p, p
 
 
-def test_m4_downsample_one_exchange_no_global_sort(plans):
-    """events_m4_downsample: both row_number windows and the final
-    aggregation share the ONE (event_type, bucket) exchange — a second
-    Exchange or a global Sort would mean the windows re-shuffled."""
+def test_m4_downsample_windowless_one_exchange(plans):
+    """events_m4_downsample (r9 verdict item #2, the 100 TB form): ONE
+    map-combined hash aggregation — min_by/max_by replace the two
+    row_number windows, so the plan carries ZERO Window and ZERO Sort;
+    partial_min_by in the pre-exchange HashAggregate proves the map
+    side shrinks to the pixel budget before the single shuffle."""
     p = plans("events_m4_downsample")
     tree = p.split("(1) Scan parquet")[0]
     assert tree.count("Scan parquet") == 1, p
     assert tree.count("Exchange") == 1, p
-    w = re.findall(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[", p)
-    assert len(w) == 2 and all("event_type" in g and "bucket_id" in g for g in w), p
+    assert "Window" not in tree, p
+    assert "Sort" not in tree, p
+    assert "HashAggregate" in tree, p  # primitive buffers, not SortAggregate
+    assert "partial_min_by" in p, p  # map-side combine before the exchange
 
 
 def test_schema_compat_bounded_partitioned_lag(plans, spark):
