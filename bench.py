@@ -380,6 +380,12 @@ EXTRA = [
     "docs_perplexity_buckets",
     "events_m4_downsample",
     "cdc_schema_registry_compat",
+    # --- round 10.
+    "cdc_decode_sharded",
+    "docs_perplexity_buckets_nosort",
+    "graph_triangle_count",
+    "events_interval_coverage",
+    "docs_quality_signals_gopher",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -864,3 +864,103 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_overflow_buckets"),
         )
     )
+
+
+_GOPHER_STOPS = "('the', 'a', 'value', 'data')"  # fixture-calibrated set
+
+
+@register(
+    "docs_quality_signals_gopher",
+    oracle=f"""
+WITH sig AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS n_wchars,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                           w -> w IN {_GOPHER_STOPS}))) AS n_stop
+  FROM documents
+),
+flags AS (
+  SELECT lang,
+         (n_words BETWEEN 50 AND 100000)                    AS p_wc,
+         (3 * n_words <= n_wchars AND n_wchars <= 10 * n_words) AS p_mwl,
+         (5 * n_alpha >= 4 * n_words)                       AS p_alpha,
+         (n_stop >= 2)                                      AS p_stop
+  FROM sig
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (p_wc) AS BIGINT) AS n_pass_wordcount,
+       CAST(COUNT(*) FILTER (p_mwl) AS BIGINT) AS n_pass_meanlen,
+       CAST(COUNT(*) FILTER (p_alpha) AS BIGINT) AS n_pass_alpha,
+       CAST(COUNT(*) FILTER (p_stop) AS BIGINT) AS n_pass_stop,
+       CAST(COUNT(*) FILTER (p_wc AND p_mwl AND p_alpha AND p_stop)
+            AS BIGINT) AS n_pass_all,
+       CAST(COUNT(*) FILTER (p_wc AND p_mwl AND p_alpha AND p_stop)
+            * 1000000 // COUNT(*) AS BIGINT) AS pass_all_ppm
+FROM flags GROUP BY lang
+""",
+)
+def docs_quality_signals_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A — the public rule set most web-corpus
+    pipelines start from, alongside C4's): per document, the four rules
+    expressible over this fixture — word count in [50, 100000], mean
+    word length in [3, 10], >=80% of words containing an alphabetic
+    character, and >=2 distinct stopwords (the stopword list is
+    fixture-calibrated; Gopher's own is 'the/be/to/of/and/that/have/
+    with') — then per-language pass counts per rule, the all-rules
+    count, and an integral pass ppm.
+
+    Where text_quality scores documents and docs_quality_filter_pipeline
+    composes staged filters, this key is the NAMED published rule set
+    with each rule's pass rate surfaced separately — the observability a
+    corpus team needs to see WHICH rule gates their corpus before
+    flipping it on.
+
+    Determinism: every rule is integer-comparison form — mean word
+    length as 3*n_words <= n_chars <= 10*n_words (never a division),
+    alpha ratio as 5*n_alpha >= 4*n_words, ppm as integral // — so no
+    float exists anywhere.  Scale: map-only signal extraction + ONE
+    aggregation keyed by lang; the higher-order filters run per row
+    with no explode, so nothing is ever token-row-materialized."""
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr("length(replace(text, ' ', ''))").alias("n_wchars"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))"
+        ).alias("n_alpha"),
+        F.expr(
+            "size(array_distinct(filter(split(text, ' '),"
+            f" w -> w IN {_GOPHER_STOPS})))"
+        ).alias("n_stop"),
+    )
+    flags = sig.select(
+        "lang",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("p_wc"),
+        (
+            (3 * F.col("n_words") <= F.col("n_wchars"))
+            & (F.col("n_wchars") <= 10 * F.col("n_words"))
+        ).alias("p_mwl"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("p_alpha"),
+        (F.col("n_stop") >= 2).alias("p_stop"),
+    )
+    p_all = (
+        F.col("p_wc") & F.col("p_mwl") & F.col("p_alpha") & F.col("p_stop")
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("p_wc")).alias("n_pass_wordcount"),
+        F.count_if(F.col("p_mwl")).alias("n_pass_meanlen"),
+        F.count_if(F.col("p_alpha")).alias("n_pass_alpha"),
+        F.count_if(F.col("p_stop")).alias("n_pass_stop"),
+        F.count_if(p_all).alias("n_pass_all"),
+        F.expr(
+            "count_if(p_wc AND p_mwl AND p_alpha AND p_stop)"
+            " * 1000000 DIV count(1)"
+        ).alias("pass_all_ppm"),
+    )

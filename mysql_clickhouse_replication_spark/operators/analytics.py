@@ -2730,3 +2730,142 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("rank").alias("rank_e9"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH ol AS (
+  SELECT l_orderkey AS o, list_sort(list(DISTINCT l_partkey)) AS ps
+  FROM lineitem GROUP BY l_orderkey
+),
+op3 AS (SELECT o, unnest(ps[1:3]) AS p FROM ol),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op3 a JOIN op3 b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+ot AS (SELECT s, t, d FROM oe JOIN deg ON oe.t = deg.node),
+w AS (
+  SELECT a.s AS a, a.t AS b, b.t AS c
+  FROM ot a JOIN ot b ON a.s = b.s AND ((a.d, a.t) < (b.d, b.t))
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM w JOIN oe ON w.b = oe.s AND w.c = oe.t
+),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_triangles,
+       CAST(n_triangles * 3000000 // GREATEST(n_wedges, 1) AS BIGINT)
+         AS clustering_ppm
+FROM tri CROSS JOIN gstats CROSS JOIN ne
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the part
+    co-purchase graph — the second iterative-free graph analytic next
+    to graph_pagerank, and the canonical join-based distributed graph
+    benchmark (the degree-ordered orientation is the public
+    Schank/Wagner node-iterator refinement every MapReduce/BSP triangle
+    counter uses: orient each edge from the LOWER (degree, id) endpoint
+    to the higher, so every wedge enumeration is bounded by OUT-degree
+    — at most O(sqrt(|E|)) per node on any graph — and each triangle is
+    generated exactly once as (a->b, a->c, b->c)).
+
+    Graph construction: parts co-occurring in an order, capped at each
+    order's 3 LOWEST distinct part keys (array_sort + slice — a
+    deterministic density control bounding edges to 3|orders| and
+    making every >=3-part order contribute one guaranteed triangle;
+    the uncapped form is the same plan with the slice removed).
+
+    Determinism: everything is integer — node ids, degrees, counts;
+    the clustering coefficient is integral ppm (3*triangles*1e6 //
+    wedges).  Plan shape: the pair join and the wedge join are
+    identical-subtree self-joins (alias form, ReuseExchange); degrees
+    are a dimension-bounded broadcast; the closing wedge->edge probe is
+    an equi-join on (b, c) — no cartesian anywhere, and no iteration.
+    Surface: one row (n_nodes, n_edges, n_triangles, clustering_ppm)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op3 = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("l_partkey")), 1, 3
+            ).alias("ps")
+        )
+        .select(F.col("l_orderkey").alias("o"), F.explode("ps").alias("p"))
+    )
+    pa, pb = op3.alias("pa"), op3.alias("pb")
+    e = (
+        pa.join(
+            pb,
+            (F.col("pa.o") == F.col("pb.o")) & (F.col("pa.p") < F.col("pb.p")),
+        )
+        .select(F.col("pa.p").alias("u"), F.col("pb.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    first_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(first_lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(first_lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    ot = oe.join(
+        F.broadcast(deg.select(F.col("node").alias("t"), "d")), "t"
+    ).select("s", "t", "d")
+    wa, wb = ot.alias("wa"), ot.alias("wb")
+    wedges = wa.join(
+        wb,
+        (F.col("wa.s") == F.col("wb.s"))
+        & (
+            (F.col("wa.d") < F.col("wb.d"))
+            | ((F.col("wa.d") == F.col("wb.d")) & (F.col("wa.t") < F.col("wb.t")))
+        ),
+    ).select(F.col("wa.t").alias("b"), F.col("wb.t").alias("c"))
+    tri = wedges.join(
+        oe.select(F.col("s").alias("b"), F.col("t").alias("c")), ["b", "c"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(gstats))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.expr(
+                "n_triangles * 3000000 DIV greatest(n_wedges, 1)"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -1252,3 +1252,96 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "ok").alias("v_last"),
         )
     )
+
+
+_COVERAGE_WINDOW_US = 1_800_000_000  # each event covers 30 min of service
+
+
+@register(
+    "events_interval_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_COVERAGE_WINDOW_US} AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+per_isl AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS cov_us
+  FROM isl GROUP BY user_id, island
+),
+per_user AS (
+  SELECT user_id, CAST(MAX(island) AS BIGINT) AS n_islands,
+         CAST(SUM(cov_us) AS BIGINT) AS cov_us
+  FROM per_isl GROUP BY user_id
+)
+SELECT n_islands, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cov_us) // 60000000 AS BIGINT) AS total_covered_min
+FROM per_user GROUP BY n_islands
+""",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval (gaps-and-islands) coverage — the interval-UNION
+    primitive under on-call coverage, device-uptime, and ad-exposure
+    queries, distinct from gap-based sessionization (sessionize_batch
+    keys on inter-event GAPS; here every event carries a fixed-length
+    service interval and overlapping intervals must merge): each event
+    covers {_COVERAGE_WINDOW_US // 60_000_000} minutes, a new island
+    starts exactly when an interval's start exceeds the RUNNING MAX of
+    all earlier interval ends (the classic island detector — plain max,
+    not lag, so an early long interval swallowing later short ones
+    cannot split an island), and per-user coverage is the sum of
+    island spans.
+
+    Surface is the island-count distribution (n_islands -> user count,
+    total covered minutes) — bounded by the max islands per user, SF-
+    independent width.  Determinism: all integer micros; ordering
+    (s, event_id) is unique per user; NULL user/ts rows are filtered
+    identically on both engines (Spark sorts NULLS FIRST, DuckDB NULLS
+    LAST — filtering beats pinning a flavor).  Scale: two windows and
+    one aggregation, ALL partitioned by user_id — per-user event counts
+    bound every sort; one exchange feeds all three (the windows and the
+    grouped agg share the user_id hash layout)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVERAGE_WINDOW_US)).alias("e"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pmax = F.max("e").over(
+        wseq.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_isl = F.when(
+        pmax.isNull() | (F.col("s") > pmax), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = iv.withColumn(
+        "island",
+        F.sum(new_isl).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_isl = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov_us")
+    )
+    per_user = per_isl.groupBy("user_id").agg(
+        F.max("island").alias("n_islands"),
+        F.sum("cov_us").alias("cov_us"),
+    )
+    return per_user.groupBy("n_islands").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("SUM(cov_us) DIV 60000000").alias("total_covered_min"),
+    )

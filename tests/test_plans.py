@@ -1756,3 +1756,74 @@ def test_schema_compat_bounded_partitioned_lag(plans, spark):
     assert tree.count("Scan parquet") == 1, p
     w = re.search(r"Arguments: \[lag\(.*?\], \[(.*?)\], \[", p)
     assert w and "tbl" in w.group(1) and "col_name" in w.group(1), p
+
+
+def test_triangle_count_oriented_no_cartesian_reused_pairs(plans, spark, sf_dir):
+    """graph_triangle_count: the pair join and the wedge join are
+    identical-subtree self-joins (ReuseExchange in the EXECUTED plan),
+    degrees ride broadcasts, and no CartesianProduct appears anywhere —
+    the degree-ordered orientation keeps all joins equi-keyed."""
+    spark.catalog.clearCache()
+    df = e.queries()["graph_triangle_count"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in p, p
+    assert "ReusedExchange" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_perplexity_nosort_no_language_sized_window(plans, spark):
+    """docs_perplexity_buckets_nosort: the whole point — NO window may
+    partition a language-sized row set.  Every row_number partitions by
+    (lang, cb) (bucket-sized), the only lang-partitioned window is the
+    running count over the per-lang HISTOGRAM (score-resolution-
+    bounded), and NTILE appears nowhere."""
+    spark.catalog.clearCache()
+    p = plans("docs_perplexity_buckets_nosort")
+    assert "ntile" not in p.lower(), p
+    rn = re.findall(r"Arguments: \[row_number\(\).*?\], \[(.*?)\], \[", p)
+    assert rn and all("cb" in g and "lang" in g for g in rn), p
+    cum = re.findall(r"Arguments: \[sum\(bc.*?\], \[(.*?)\], \[", p)
+    assert cum and all("lang" in g for g in cum), p
+
+
+def test_decode_sharded_parallel_map_in_pandas(plans, spark, sf_dir):
+    """cdc_decode_sharded: the decode fans out as MapInPandas over
+    multiple transaction-aligned shards — the executed plan carries the
+    Arrow map node, and the shard frame occupies >1 partition so the
+    image decode genuinely parallelizes (the r9 serial-tail item)."""
+    df = e.queries()["cdc_decode_sharded"](spark, sf_dir)
+    p = plans("cdc_decode_sharded")
+    assert "MapInPandas" in p, p
+    assert df.rdd.getNumPartitions() > 1, df.rdd.getNumPartitions()
+
+
+def test_interval_coverage_user_partitioned_two_exchanges(plans):
+    """events_interval_coverage: both island windows partition by
+    user_id, the per-island and per-user aggregations REUSE that
+    partitioning (hashpartitioning(user_id) satisfies the clustered
+    requirement of groupBy(user_id, island)), so the whole key pays
+    exactly two exchanges: user_id + the final bounded histogram."""
+    p = plans("events_interval_coverage")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    ex = re.findall(r"\bExchange \(\d+\)", tree)
+    assert len(ex) == 2, p
+    wins = re.findall(r"Arguments: \[(?:max|sum)\(.*?\], \[(.*?)\], \[", p)
+    assert wins and all("user_id" in g for g in wins), p
+
+
+def test_gopher_signals_map_only_single_exchange(plans):
+    """docs_quality_signals_gopher: map-only signal extraction (the
+    higher-order filters never explode) + ONE lang-keyed aggregation —
+    one scan, one exchange, zero windows, zero joins."""
+    p = plans("docs_quality_signals_gopher")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, p
+    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 1, p
+    assert "Window" not in tree and "Join" not in tree, p
+    assert "Generate" not in tree, p  # no explode anywhere

@@ -348,3 +348,34 @@ def test_post_rowbinary_http_validates_before_any_request(spark):
     assert ch._CH_IDENT.match("events_sink")
     assert ch._CH_IDENT.match("analytics.events_sink")
     assert not ch._CH_IDENT.match("a.b.c")
+
+
+def test_tx_boundaries_header_walk_matches_decoder(sf_dir):
+    """tx_boundaries (the sharded-decode index) must return EXACTLY the
+    post-XID offsets the full decoder emits as resume points, and every
+    shard cut at those offsets must decode to the same multiset of rows
+    as one serial pass — the invariant cdc_decode_sharded rests on."""
+    from mysql_clickhouse_replication_spark.sources.binlog_wire import (
+        MAGIC,
+        decode,
+        record_changelog,
+        tx_boundaries,
+    )
+
+    path = record_changelog(f"{sf_dir}/events.parquet")
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    bounds = tx_boundaries(buf)
+    decoder_bounds = sorted({tx for _, tx in decode(buf)})
+    assert bounds == decoder_bounds
+    assert len(bounds) >= 4  # enough transactions to shard meaningfully
+
+    serial = sorted(r for r, _ in decode(buf))
+    cuts = [len(MAGIC), *bounds]
+    mid = len(cuts) // 2
+    sharded = sorted(
+        r
+        for lo, hi in [(cuts[0], cuts[mid]), (cuts[mid], cuts[-1])]
+        for r, _ in decode(buf, lo, hi)
+    )
+    assert sharded == serial
