@@ -15,23 +15,22 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-8 proved ALL 311 then-registered keys green (the
+* rounds 1-9 proved ALL 317 then-registered keys green (the
   ``_DRIVER_GREEN`` list below is the union of green rows across
-  CORRECTNESS_r01..r08; round 8 closed the contract at 311/311 with a
-  50/50 window).
+  CORRECTNESS_r01..r09; round 8 closed the contract at 311/311 and
+  round 9 kept it closed at 317/317).
 * with coverage complete, the remaining contract risk is REGRESSION:
   code and fixtures change under keys whose only driver proof is
-  rounds old.  ``_R09_FRONT`` holds the 50 keys whose NEWEST green
-  row is stalest (38 keys last proven in round 2 - the r1 relational/
-  join/tpch vintage re-sampled once in r2 - plus the 12 oldest r3
-  CDC keys), ordered stalest-first.  They are re-sampled this round
-  per the r8 verdict's freshness prescription.
-* keys first registered in round 9 (not in ``_DRIVER_GREEN``) have
-  no driver proof at all, so they sort FIRST, displacing the tail of
-  ``_R09_FRONT`` from the 50-key window one-for-one; the remaining
-  driver greens fill the tail in list order.
+  rounds old.  ``_R10_FRONT`` holds the 45 keys whose NEWEST green
+  row is stalest (the 42 keys last proven in round 3 - the r9
+  verdict's named freshness risk, 7 rounds stale - plus the 3 oldest
+  r4 keys), ordered stalest-first (newest-green round, then key).
+* the 5 keys first registered in round 10 (not in ``_DRIVER_GREEN``)
+  have no driver proof at all, so they sort FIRST; with the 45
+  stalest greens they fill the 50-key window exactly, leaving no
+  key's newest green older than round 4 after this round records.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
-  + tools/oracle_dtype_lint.py (PREFLIGHT_r9.txt) before this file
+  + tools/oracle_dtype_lint.py (PREFLIGHT_r10.txt) before this file
   changed the ordering, per the established hazard-gate discipline.
 """
 
@@ -43,13 +42,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Union of driver-green keys across CORRECTNESS_r01..r08 (311).
+# Union of driver-green keys across CORRECTNESS_r01..r09 (317).
 _DRIVER_GREEN = [
     "agg_approx_distinct", "agg_approx_percentiles", "agg_array_topk",
     "agg_bitmap_distinct", "agg_bool_family", "agg_collect",
     "agg_conditional", "agg_count_distinct", "agg_countmin_prefilter",
     "agg_cube", "agg_distinct_rows", "agg_exact_median",
-    "agg_exact_quantiles", "agg_groupby_multi", "agg_grouping_sets",
+    "agg_exact_quantiles", "agg_exact_quantiles_bucketed",
+    "agg_groupby_multi", "agg_grouping_sets",
     "agg_hash_global", "agg_heavy_hitters", "agg_histogram_quantile",
     "agg_hll_mergeable", "agg_hll_overlap_estimate", "agg_linreg",
     "agg_map_sum", "agg_mergeable_moments", "agg_minmax_by", "agg_mode",
@@ -70,7 +70,7 @@ _DRIVER_GREEN = [
     "cdc_order_violations", "cdc_partitioned_changelog_prune",
     "cdc_pit_join", "cdc_replace_partition", "cdc_row_checksum",
     "cdc_scd2_history", "cdc_schema_evolution",
-    "cdc_seq_coverage_ranges", "cdc_sink", "cdc_sink_idempotent",
+    "cdc_schema_registry_compat", "cdc_seq_coverage_ranges", "cdc_sink", "cdc_sink_idempotent",
     "cdc_sink_wire", "cdc_snapshot", "cdc_snapshot_chunks",
     "cdc_snapshot_diff", "cdc_snapshot_increment",
     "cdc_snapshot_overlap_resolve", "cdc_stream_source",
@@ -79,13 +79,15 @@ _DRIVER_GREEN = [
     "cdc_wide_row_reassemble", "dedup_cluster", "dedup_containment",
     "dedup_embedding", "dedup_exact_text", "dedup_incremental",
     "dedup_minhash", "dedup_minhash_accuracy", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_source_matrix", "dedup_survivor_pick",
-    "docs_balanced_downsample", "docs_block_dedup",
+    "dedup_semantic_prune", "dedup_simhash", "dedup_source_matrix", "dedup_survivor_pick",
+    "docs_balanced_downsample", "docs_balanced_downsample_digest",
+    "docs_block_dedup",
     "docs_chunk_overlap", "docs_contamination_check",
     "docs_dedup_pipeline", "docs_language_balance",
     "docs_length_mad_outliers", "docs_license_filter",
     "docs_mix_weighted", "docs_ngram_coverage_eval",
     "docs_novelty_ratio", "docs_pack_sequences",
+    "docs_perplexity_buckets",
     "docs_quality_filter_pipeline", "docs_repetition_ratio",
     "docs_shard_balance", "docs_split_leakage_safe",
     "docs_substring_dedup", "docs_temperature_sample", "docs_url_dedup",
@@ -100,7 +102,7 @@ _DRIVER_GREEN = [
     "events_funnel_by_segment", "events_funnel_strict",
     "events_funnel_unordered", "events_funnel_window_sensitivity",
     "events_gap_fill", "events_growth_accounting", "events_histogram",
-    "events_markov_transitions", "events_new_vs_returning",
+    "events_m4_downsample", "events_markov_transitions", "events_new_vs_returning",
     "events_peak_concurrency", "events_rate_limit_scan",
     "events_record_highs", "events_retention",
     "events_rolling_distinct", "events_rollup_hierarchy",
@@ -161,26 +163,24 @@ _DRIVER_GREEN = [
     "win_ranking", "win_reset_running_sum", "win_time_range_frame"
 ]
 
-# The 50 stalest driver greens (newest green row r2/r3) -- re-sampled
-# first this round; see module docstring.
-_R09_FRONT = [
-    "agg_rollup", "agg_skew_salted", "agg_stats", "case_when",
-    "filter_conjunctive", "filter_in_between_like",
-    "filter_null_semantics", "join_anti", "join_asof", "join_broadcast",
-    "join_bucketed_colocated", "join_cross", "join_full_outer",
-    "join_inner_equi", "join_interval_overlap", "join_left_outer",
-    "join_multiway", "join_semi", "join_skew_salted",
-    "join_theta_range", "project_compute", "reshape_pivot",
-    "reshape_unpivot", "sample_hash_based", "scan_parquet",
-    "scan_partition_filter", "scan_projection_pushdown",
-    "set_union_all", "set_union_distinct", "tpch_q10_shape",
-    "tpch_q12_shape", "tpch_q14_shape", "tpch_q18_shape",
-    "tpch_q19_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
-    "tpch_q6_shape", "cdc_apply_delete", "cdc_apply_upsert",
-    "cdc_batch_window", "cdc_checkpoint", "cdc_decode",
-    "cdc_dedup_exact", "cdc_filter_tables", "cdc_incremental_agg",
-    "cdc_merge_into", "cdc_scd2_history", "cdc_schema_evolution",
-    "cdc_sink"
+# The 45 stalest driver greens (newest green row r3, then the 3 oldest
+# r4) -- re-sampled first this round; see module docstring.
+_R10_FRONT = [
+    "cdc_filter_tables", "cdc_incremental_agg", "cdc_merge_into",
+    "cdc_scd2_history", "cdc_schema_evolution", "cdc_sink",
+    "cdc_snapshot", "cdc_snapshot_increment", "cdc_stream_source",
+    "dedup_cluster", "dedup_embedding", "dedup_exact_text",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_funnel", "events_retention", "limit_offset",
+    "sessionize_batch", "set_except", "set_intersect", "sim_ann_lsh",
+    "sim_cosine_topk", "sim_knn_classify", "sim_range_search",
+    "sort_multi_key", "stream_session", "stream_tumbling",
+    "text_fingerprint", "text_langid", "text_lm_score",
+    "text_pii_scrub", "text_quality", "text_tfidf_terms",
+    "text_token_count", "topk_global", "topk_per_group",
+    "win_analytic", "win_frame_range", "win_frame_rows", "win_percent",
+    "win_ranking", "agg_weighted_avg", "agg_weighted_percentile",
+    "analytics_rfm"
 ]
 
 
@@ -189,9 +189,9 @@ def _ordered_keys() -> list[str]:
     stalest greens, then the remaining driver greens."""
     proven = set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in proven]
-    front = [k for k in _R09_FRONT if k in QUERIES]
+    front = [k for k in _R10_FRONT if k in QUERIES]
     tail = [k for k in _DRIVER_GREEN
-            if k in QUERIES and k not in set(_R09_FRONT)]
+            if k in QUERIES and k not in set(_R10_FRONT)]
     return unproven + front + tail
 
 
