@@ -178,6 +178,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's planted near-dups sit at, verified exact-equal to the
     brute-force oracle at both gate scale factors."""
     n_hashes = _N_BANDS * _BAND_ROWS
+    # cached for its multiple consumers; released harness-side via
+    # clearCache after each key (the r8 ADVICE lifetime convention)
     sh = _shingled(spark, sf_dir).cache()
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sigs = exploded.groupBy("doc_id").agg(
@@ -497,6 +499,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" sequence(1, greatest(length(text)-{_NGRAM_N - 1}, 1)),"
             f" i -> substring(text, i, {_NGRAM_N})))"
         ).alias("g"),
+        # released harness-side via clearCache (r8 ADVICE convention)
     ).cache()
     ex = ng.select("doc_id", F.explode("g").alias("gram"))
     sigs = ex.groupBy("doc_id").agg(
@@ -504,6 +507,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"m{i}")
             for i in range(n_hashes)
         ]
+        # released harness-side via clearCache (r8 ADVICE convention)
     ).cache()
     bands = sigs.select(
         "doc_id",
@@ -977,6 +981,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the output and the brute-force asymmetric join is a true
     oracle (quadratic: gate-scale only, like dedup_minhash's)."""
     n_hashes = _N_BANDS * _BAND_ROWS
+    # cached for its multiple consumers; released harness-side via
+    # clearCache after each key (the r8 ADVICE lifetime convention)
     sh = _shingled(spark, sf_dir).cache()
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sigs = exploded.groupBy("doc_id").agg(

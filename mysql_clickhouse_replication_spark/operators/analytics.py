@@ -2064,6 +2064,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # released harness-side via clearCache (r8 ADVICE convention)
         .cache()
     )
     stats = daily.agg(
@@ -2160,6 +2161,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.lag("w").over(win).alias("prev_w"),
         F.lead("w").over(win).alias("next_w"),
+        # released harness-side via clearCache (r8 ADVICE convention)
     ).cache()
     wk = F.expr("INTERVAL 7 DAY")
     classified = marked.select(

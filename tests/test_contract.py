@@ -105,6 +105,90 @@ def test_no_oracle_has_round_vs_truncate_int_cast():
     )
 
 
+def test_no_oracle_ranks_on_float_tiebreak(duck):
+    """r10 lint accretion (r9 verdict #8): every ROW_NUMBER/NTILE oracle
+    window must end in a non-float sort key — a float-valued final
+    tiebreak can flip a rank pick or tercile membership on last-ULP
+    engine differences.  Zero of the 322 registered oracles trip this
+    (the registry convention is (score, unique_id)), so it gates hard;
+    the lint's own behavior is unit-tested below."""
+    from tools.oracle_dtype_lint import (
+        double_fixture_columns,
+        ranking_tiebreak_warns,
+    )
+
+    dbl = double_fixture_columns(duck)
+    failures = []
+    for key, sql in e.oracle_sql().items():
+        for w in ranking_tiebreak_warns(sql, dbl):
+            failures.append(f"{key}: {w}")
+    assert not failures, (
+        "ranking windows with float final tiebreaks (append a unique "
+        "integer/string key): " + "; ".join(failures)
+    )
+    # unit behavior: float last key flags, unique-id tail passes
+    assert ranking_tiebreak_warns(
+        "SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY score / n) FROM t"
+    )
+    assert ranking_tiebreak_warns(
+        "SELECT NTILE(3) OVER (ORDER BY l_quantity) FROM lineitem",
+        frozenset({"l_quantity"}),
+    )
+    assert not ranking_tiebreak_warns(
+        "SELECT NTILE(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id) "
+        "FROM scored"
+    )
+    assert ranking_tiebreak_warns("SELECT ROW_NUMBER() OVER (PARTITION BY g)")
+
+
+def test_persist_sites_document_harness_release():
+    """r10 lint accretion (r9 verdict #8, persisted-frame lifetime):
+    every .persist() in the package pins a frame that must OUTLIVE its
+    function's lazy return, so nothing may unpersist inline — release
+    is the harness-side spark.catalog.clearCache() convention
+    (verify_local clears after materializing each key, r8 ADVICE).
+    The gate: every .persist()/.cache() site's ENCLOSING FUNCTION must
+    either state the clearCache convention (frames returned lazily,
+    released by the sweep harness) or SELF-RELEASE via .unpersist()
+    before returning (the _min_label_propagate / memo-eviction shapes,
+    where the returned frame is checkpoint-materialized or the cache is
+    lifetime-managed by an explicit eviction policy)."""
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), os.pardir,
+        "mysql_clickhouse_replication_spark",
+    )
+    failures = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        lines = open(path).readlines()
+        rel = os.path.relpath(path, pkg)
+        def_starts = [
+            j for j, lj in enumerate(lines) if re.match(r"\s*def ", lj)
+        ]
+        for i, ln in enumerate(lines):
+            if ".persist(" not in ln and ".cache(" not in ln:
+                continue
+            fn_start = max(
+                (j for j in def_starts if j <= i), default=0
+            )
+            fn_end = min(
+                (j for j in def_starts if j > i), default=len(lines)
+            )
+            body = "".join(lines[fn_start:fn_end])
+            if (
+                "clearcache" not in body.lower()
+                and ".unpersist(" not in body
+            ):
+                failures.append(
+                    f"{rel}:{i + 1}: persist/cache without a clearCache "
+                    "lifetime note or in-function release"
+                )
+    assert not failures, "\n".join(failures)
+
+
 def test_pin_strip_fails_open_on_unbalanced_parens():
     """r9 ADVICE: _strip_pinned_spans must not strip to end-of-string
     when a pinning call's parens never close — that would erase a

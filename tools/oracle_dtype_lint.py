@@ -262,6 +262,58 @@ def float_topk_tie_warns(
     return warns
 
 
+_RANKING_OVER_RE = re.compile(
+    r"\b(ROW_NUMBER|NTILE)\s*\([^)]*\)\s*OVER\s*\(", re.IGNORECASE
+)
+_ORDER_IN_OVER_RE = re.compile(r"ORDER\s+BY\s+(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+def ranking_tiebreak_warns(
+    sql: str, double_cols: frozenset[str] = frozenset()
+) -> list[str]:
+    """WARN on ROW_NUMBER/NTILE oracle windows whose LAST sort key is
+    float-valued (r10 lint accretion, r9 verdict #8): a row_number pick
+    or NTILE membership whose final tiebreak is a DOUBLE column or a
+    division can flip on last-ULP engine differences, silently moving a
+    row across a rank/tercile boundary.  RANK/DENSE_RANK are exempt
+    (ties share a rank, so the pick is not order-sensitive); windows
+    ending in an integer/string key — the registry convention, e.g.
+    (nlp, doc_id) — pass.  A window with NO ORDER BY flags too."""
+    warns = []
+    for m in _RANKING_OVER_RE.finditer(sql):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end(): i - 1]
+        om = _ORDER_IN_OVER_RE.search(inner)
+        if not om:
+            warns.append(f"{m.group(1)} window without ORDER BY")
+            continue
+        keys = _split_top_level(om.group(1))
+        last = re.sub(
+            r"\s+(ASC|DESC)\b", "", keys[-1], flags=re.IGNORECASE
+        )
+        last = re.sub(
+            r"\s+NULLS\s+(FIRST|LAST)\b", "", last, flags=re.IGNORECASE
+        ).strip().strip('"')
+        lname = last.lower()
+        floaty = (
+            lname in double_cols
+            or "/" in last.replace("//", "")
+            or re.search(r"\bAVG\s*\(", last, re.I) is not None
+            or re.search(r"\b\d+\.\d+", last) is not None
+        )
+        if floaty:
+            warns.append(
+                f"{m.group(1)} last sort key {last[:50]!r} is float-valued"
+            )
+    return warns
+
+
 def main() -> int:
     import __spark_entry__ as ent
 
@@ -284,6 +336,7 @@ def main() -> int:
             if t.upper() in ("DOUBLE", "FLOAT", "REAL")
         )
         tie = float_topk_tie_warns(sql, float_out, dbl_cols)
+        tie += ranking_tiebreak_warns(sql, dbl_cols)
         if hits:
             bad += 1
             print(f"HAZARD {key}: " + ", ".join(f"{c}:{t}" for c, t in hits))
