@@ -94,6 +94,24 @@ AUDIT = {
     "docs_balanced_downsample": "rank window partitioned by lang; 1-row cap "
     "enters via broadcast; exact-rank reference of the digest-threshold "
     "production sampler",
+    "events_m4_downsample": "ONE map-combined HashAggregate (r10 windowless "
+    "form): partial_min_by/max_by over the packed bigint order key shrink "
+    "to the pixel budget map-side; zero Window, zero Sort",
+    "docs_perplexity_buckets_nosort": "no language-sized sort: row_number "
+    "partitions by (lang, score-bucket), the lang-partitioned window runs "
+    "over the score-resolution-bounded histogram only, offsets broadcast",
+    "graph_triangle_count": "degree-oriented wedge join closed by an equi "
+    "probe on (b, c); pair and wedge self-joins are identical subtrees "
+    "(ReusedExchange on the executed plan); degree frames broadcast",
+    "events_interval_coverage": "both island windows and both reducing aggs "
+    "ride ONE user_id exchange (hashpartitioning(user) satisfies the "
+    "clustered requirement of the (user, island) agg); final histogram "
+    "exchange is bounded",
+    "docs_quality_signals_gopher": "map-only higher-order-function signals "
+    "(no Generate — nothing token-row-materialized) + one lang-keyed "
+    "aggregation",
+    "cdc_decode_sharded": "MapInPandas decode over >1 transaction-aligned "
+    "byte shards; the header-only index walk is the only serial part",
 }
 
 
