@@ -25,10 +25,12 @@ proof rotates through the registry in 50-key windows:
   row is stalest (the 42 keys last proven in round 3 - the r9
   verdict's named freshness risk, 7 rounds stale - plus the 3 oldest
   r4 keys), ordered stalest-first (newest-green round, then key).
-* the 5 keys first registered in round 10 (not in ``_DRIVER_GREEN``)
-  have no driver proof at all, so they sort FIRST; with the 45
-  stalest greens they fill the 50-key window exactly, leaving no
-  key's newest green older than round 4 after this round records.
+* the 6 keys first registered in round 10 (not in ``_DRIVER_GREEN``)
+  have no driver proof at all, so they sort FIRST; the first 44 of
+  the stalest list fill the window behind them (all 42 r3-vintage
+  keys stay inside — the tail r4 keys displaced by new registrations
+  are the youngest of the list), leaving no key's newest green older
+  than round 4 after this round records.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
   + tools/oracle_dtype_lint.py (PREFLIGHT_r10.txt) before this file
   changed the ordering, per the established hazard-gate discipline.

@@ -386,6 +386,7 @@ EXTRA = [
     "graph_triangle_count",
     "events_interval_coverage",
     "docs_quality_signals_gopher",
+    "events_watermark_lateness_sharded",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

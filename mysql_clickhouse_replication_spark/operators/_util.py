@@ -144,29 +144,48 @@ def banded_running_sum(df, band: Column, order_cols: list, value: Column, alias:
 
 
 def banded_running_max_excl(
-    df, band: Column, order_cols: list, value: Column, alias: str
+    df,
+    band: Column,
+    order_cols: list,
+    value: Column,
+    alias: str,
+    partition_cols: list[str] | None = None,
 ):
-    """Exact global MAX(value) OVER (ORDER BY band, *order_cols ROWS
-    UNBOUNDED PRECEDING..1 PRECEDING) — the exclusive running max
-    (serial watermark clock), two-level: per-band exclusive max plus
-    the inclusive max of all PRIOR bands."""
+    """Exact MAX(value) OVER ([PARTITION BY *partition_cols] ORDER BY
+    band, *order_cols ROWS UNBOUNDED PRECEDING..1 PRECEDING) — the
+    exclusive running max (serial watermark clock), two-level: per-band
+    exclusive max plus the inclusive max of all PRIOR bands.
+
+    With ``partition_cols`` (column NAMES, r10), the clock runs
+    independently PER PARTITION KEY — the per-partition-clock
+    production swap the global form's callers document (one clock per
+    Kafka partition / routed table): every window including the
+    band-summary prefix becomes hash-partitioned on the key, so not
+    even the |bands|-row combine is single-partition."""
     from pyspark.sql import Window
 
+    pnames = list(partition_cols or [])
     d = df.withColumn("_band", band).withColumn("_v", value)
     wloc = (
-        Window.partitionBy("_band")
+        Window.partitionBy(*pnames, "_band")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     loc = d.withColumn("_lmx", F.max("_v").over(wloc))
-    woff = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    woff = (
+        Window.partitionBy(*pnames)
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    ) if pnames else (
+        Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    )
     off = (
-        d.groupBy("_band")
+        d.groupBy(*pnames, "_band")
         .agg(F.max("_v").alias("_bm"))
-        .select("_band", F.max("_bm").over(woff).alias("_pmx"))
+        .select(*pnames, "_band", F.max("_bm").over(woff).alias("_pmx"))
     )
     return (
-        loc.join(F.broadcast(off), "_band")
+        loc.join(F.broadcast(off), [*pnames, "_band"])
         .withColumn(alias, F.greatest(F.col("_lmx"), F.col("_pmx")))
         .drop("_band", "_v", "_lmx", "_pmx")
     )

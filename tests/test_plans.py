@@ -1827,3 +1827,19 @@ def test_gopher_signals_map_only_single_exchange(plans):
     assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 1, p
     assert "Window" not in tree and "Join" not in tree, p
     assert "Generate" not in tree, p  # no explode anywhere
+
+
+def test_watermark_sharded_all_windows_partitioned(plans):
+    """events_watermark_lateness_sharded: the SHARD clock's windows —
+    including the band-prefix combine — all carry the shard in their
+    partition spec (nothing shard-clock-related is single-partition);
+    exactly ONE unpartitioned window remains: the global comparison
+    clock's |bands|-row prefix combine, the cost the key exists to
+    contrast."""
+    p = plans("events_watermark_lateness_sharded")
+    wins = re.findall(r"Arguments: \[max\(.*?\], \[(.*?)\], \[", p)
+    assert wins, p
+    unpart = [g for g in wins if "shard" not in g and "_band" not in g]
+    assert not unpart, wins
+    band_only = [g for g in wins if "shard" not in g]
+    assert len(band_only) <= 1, wins
