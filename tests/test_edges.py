@@ -446,3 +446,39 @@ def test_m4_packed_ordering_key_headroom():
     ).fetchone()
     sf1_max = (mx + 1) * 10  # make_sf1.py: 10 replicas shifted by span
     assert sf1_max * 100 < 1 << 28, sf1_max
+
+
+def test_perplexity_nosort_tiny_language_tercile_edges(spark, tmp_path_factory):
+    """docs_perplexity_buckets_nosort's NTILE arithmetic (q = n DIV 3,
+    r = n % 3, remainder-first) must agree with real NTILE on language
+    sizes the fixture never exercises: n = 1 (one bucket), n = 2 (two
+    singleton buckets), n = 4 (sizes 2/1/1), n = 5 (2/2/1) — the
+    remainder branches and the guarded q = 0 division."""
+    d = tmp_path_factory.mktemp("tiny_langs")
+    rows, doc_id = [], 0
+    for lang, n in [("aa", 1), ("bb", 2), ("cc", 4), ("dd", 5)]:
+        for i in range(n):
+            rows.append(
+                (doc_id, f"tok{i % 3} tok{(i * 7) % 5} shared word", lang)
+            )
+            doc_id += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    sdf = e.queries()["docs_perplexity_buckets_nosort"](spark, str(d))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    orows = sorted(_oracle_rows(str(d), "docs_perplexity_buckets_nosort",
+                                "lang, bucket"))
+    assert srows == orows
+    sizes = {(r[0], r[1]): r[2] for r in srows}
+    assert sizes[("aa", 1)] == 1
+    assert sizes[("bb", 1)] == 1 and sizes[("bb", 2)] == 1
+    assert sizes[("cc", 1)] == 2 and sizes[("cc", 2)] == 1 and sizes[("cc", 3)] == 1
+    assert sizes[("dd", 1)] == 2 and sizes[("dd", 2)] == 2 and sizes[("dd", 3)] == 1

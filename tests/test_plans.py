@@ -1380,6 +1380,9 @@ _BOUNDED_SINGLE_PARTITION_WINDOWS = {
     "events_peak_concurrency": "banded sweep offsets: |days| band rows",
     "events_session_duration": "|bins| duration histogram rows",
     "events_watermark_lateness": "banded lateness offsets: |days| rows",
+    "events_watermark_lateness_sharded": "the GLOBAL comparison clock's "
+    "|days|-row band combine (the shard clock's own combine is "
+    "shard-partitioned — asserted in its plan test)",
     "orders_revenue_concentration": "banded decile offsets: |bands| rows",
     "profile_skew": "per-column top-1 summary rows",
     "sim_hybrid_rrf": "per-query fused top-k (k-bounded)",
