@@ -582,3 +582,80 @@ def test_bucketed_quantiles_equal_exact_form(rows, spark):
         for r in qs["agg_exact_quantiles_bucketed"](spark, d).collect()
     )
     assert bucketed == exact
+
+
+# ---------------------------------------------------------------------------
+# round-10: binlog wire sharding + M4 packed-order isomorphism
+# ---------------------------------------------------------------------------
+
+_wire_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.one_of(st.none(), st.integers(0, 2**40)),
+        st.integers(0, 2**40),
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+    ),
+    max_size=200,
+)
+
+
+@given(rows=_wire_rows, cut_seed=st.integers(0, 2**16))
+@settings(max_examples=60, deadline=None)
+def test_binlog_wire_shard_decode_equals_serial(rows, cut_seed):
+    """Pure-byte-layer property behind cdc_decode_sharded: for ANY
+    changelog, (1) decode(encode(x)) == x row-for-row, (2) the
+    header-only tx_boundaries index equals the decoder's own resume
+    points exactly, and (3) cutting the byte range at ANY boundary
+    subset and decoding the shards yields the same row multiset as one
+    serial pass — shard boundaries are provably legal resume points,
+    NaN-free NULLs included."""
+    from mysql_clickhouse_replication_spark.sources.binlog_wire import (
+        MAGIC,
+        decode,
+        encode_changelog,
+        tx_boundaries,
+    )
+
+    buf = encode_changelog(rows)
+    serial = [r for r, _ in decode(buf)]
+    assert serial == list(rows)
+    bounds = tx_boundaries(buf)
+    assert bounds == sorted({tx for _, tx in decode(buf)})
+    cuts = [len(MAGIC), *bounds]
+    if len(cuts) > 1:
+        rng = random.Random(cut_seed)
+        k = rng.randint(1, len(cuts) - 1)
+        mids = sorted(rng.sample(range(1, len(cuts)), k - 1)) if k > 1 else []
+        idxs = [0, *mids, len(cuts) - 1]
+        sharded = [
+            r
+            for a, b in zip(idxs, idxs[1:])
+            for r, _ in decode(buf, cuts[a], cuts[b])
+        ]
+        assert sorted(map(repr, sharded)) == sorted(map(repr, serial))
+
+
+_m4_pairs = st.lists(
+    st.tuples(st.integers(0, 21_600_000_000 - 1), st.integers(0, 2**28 - 1)),
+    min_size=2,
+    max_size=50,
+    unique=True,
+)
+
+
+@given(pairs=_m4_pairs)
+@settings(max_examples=200, deadline=None)
+def test_m4_packed_key_order_isomorphic(pairs):
+    """events_m4_downsample's packed BIGINT ordering key (offset_us *
+    2^28 + event_id) must order EXACTLY like the (offset, id) tuple for
+    the whole declared domain — the property that makes min_by/max_by
+    over the pack equal the row_number-over-(ts, id) pick it replaced.
+    Also asserts the pack never leaves int64."""
+    packed = [(o * 268435456 + i, (o, i)) for o, i in pairs]
+    assert all(p < 2**63 for p, _ in packed)
+    by_pack = [t for _, t in sorted(packed, key=lambda x: x[0])]
+    by_tuple = sorted(t for _, t in packed)
+    assert by_pack == by_tuple
