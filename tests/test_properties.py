@@ -659,3 +659,83 @@ def test_m4_packed_key_order_isomorphic(pairs):
     by_pack = [t for _, t in sorted(packed, key=lambda x: x[0])]
     by_tuple = sorted(t for _, t in packed)
     assert by_pack == by_tuple
+
+
+_iv_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # user_id
+        st.integers(min_value=0, max_value=90_000),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(events=_iv_events)
+@settings(**_SETTINGS)
+def test_interval_coverage_matches_bruteforce_union(
+    spark, tmp_path_factory, events
+):
+    """events_interval_coverage vs a literal interval-union reference:
+    for arbitrary event sets, the per-user merged-island count and the
+    total covered minutes must equal the classic sweep (sort intervals,
+    extend while start <= current max end) — including the running-max
+    subtlety the key exists for (an early LONG interval swallowing
+    later short ones must not split an island)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from mysql_clickhouse_replication_spark.streaming.batch_twin import (
+        _COVERAGE_WINDOW_US,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    d = str(tmp_path_factory.mktemp("ivcov"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(events)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=s) for _, s in events],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _ in events], pa.int64()),
+                "event_type": ["view"] * len(events),
+                "value": pa.array([0.0] * len(events), pa.float64()),
+                "props": ["{}"] * len(events),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = {
+        r.n_islands: (r.n_users, r.total_covered_min)
+        for r in e.queries()["events_interval_coverage"](spark, d).collect()
+    }
+    # brute-force reference
+    per_user: dict[int, list[int]] = {}
+    for i, (u, s) in enumerate(events):
+        per_user.setdefault(u, []).append(s * 1_000_000)
+    ref: dict[int, list[int]] = {}
+    for u, starts in per_user.items():
+        starts.sort()
+        islands, cov = 0, 0
+        cur_end = None
+        cur_start = None
+        for s in starts:
+            if cur_end is None or s > cur_end:
+                if cur_end is not None:
+                    cov += cur_end - cur_start
+                islands += 1
+                cur_start = s
+                cur_end = s + _COVERAGE_WINDOW_US
+            else:
+                cur_end = max(cur_end, s + _COVERAGE_WINDOW_US)
+        cov += cur_end - cur_start
+        ref.setdefault(islands, []).append(cov)
+    want = {
+        k: (len(v), sum(v) // 60_000_000) for k, v in ref.items()
+    }
+    assert got == want, (got, want)

@@ -112,6 +112,10 @@ AUDIT = {
     "aggregation",
     "cdc_decode_sharded": "MapInPandas decode over >1 transaction-aligned "
     "byte shards; the header-only index walk is the only serial part",
+    "events_watermark_lateness_sharded": "shard clock fully "
+    "shard-partitioned (including its band-prefix combine); the single "
+    "unpartitioned window is the global COMPARISON clock's |days|-row "
+    "band combine — the documented cost the key quantifies against",
 }
 
 
