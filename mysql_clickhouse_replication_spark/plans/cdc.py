@@ -1453,10 +1453,11 @@ def cdc_decode_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards, and each shard's EXPENSIVE image decode runs as its own
     task via mapInPandas (Arrow-batched; the decoder is the same
     resumable byte walker the streaming source uses, so shard
-    boundaries are provably legal resume points).  In production the
-    index is even cheaper: one shard per rotated binlog FILE from the
-    server's rotation metadata, no walk at all, and the per-shard open
-    becomes an object-store ranged read.
+    boundaries are provably legal resume points).  Each task performs
+    a RANGED read of exactly its shard's bytes (seek + read — the
+    object-store GET-range shape), never the whole log.  In production
+    the index is even cheaper: one shard per rotated binlog FILE from
+    the server's rotation metadata, no walk at all.
 
     Decode work distributes; ORDER does not — cross-shard ordering is
     re-established downstream by seq exactly as the streaming path
@@ -1490,11 +1491,18 @@ def cdc_decode_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_shard(batches):
         import pandas as pd
 
-        with open(path, "rb") as fh:
-            blob = fh.read()
         for pdf in batches:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
-                rows = [r for r, _ in decode(blob, int(lo), int(hi))]
+                # RANGED read — each task touches only its shard's bytes
+                # (seek + read, the object-store GET-range shape), never
+                # the whole log.  The decoder walks positions relative
+                # to buffer start, so the shard is re-framed behind a
+                # fresh MAGIC and decoded over its full extent.
+                with open(path, "rb") as fh:
+                    fh.seek(int(lo))
+                    chunk = fh.read(int(hi) - int(lo))
+                blob = MAGIC + chunk
+                rows = [r for r, _ in decode(blob, len(MAGIC))]
                 yield pd.DataFrame(
                     {
                         "op": [r[0] for r in rows],
