@@ -636,6 +636,15 @@ def test_binlog_wire_shard_decode_equals_serial(rows, cut_seed):
             for r, _ in decode(buf, cuts[a], cuts[b])
         ]
         assert sorted(map(repr, sharded)) == sorted(map(repr, serial))
+        # the ranged-read form cdc_decode_sharded's tasks actually run:
+        # re-frame each shard's bytes behind a fresh magic and decode
+        # the whole extent — must equal absolute-offset decoding
+        reframed = [
+            r
+            for a, b in zip(idxs, idxs[1:])
+            for r, _ in decode(MAGIC + buf[cuts[a]: cuts[b]], len(MAGIC))
+        ]
+        assert sorted(map(repr, reframed)) == sorted(map(repr, serial))
 
 
 _m4_pairs = st.lists(
