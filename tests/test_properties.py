@@ -748,3 +748,64 @@ def test_interval_coverage_matches_bruteforce_union(
         k: (len(v), sum(v) // 60_000_000) for k, v in ref.items()
     }
     assert got == want, (got, want)
+
+
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # l_orderkey
+        st.integers(min_value=0, max_value=11),  # l_partkey
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_li_rows)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, rows):
+    """graph_triangle_count vs literal enumeration on arbitrary tiny
+    co-purchase inputs: the degree-ordered orientation must count every
+    triangle EXACTLY once (neither dropped by a tie in the (deg, node)
+    order nor double-counted), and nodes/edges/wedges/clustering must
+    match the direct computation from the same capped-3 graph."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("tri"))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    got = e.queries()["graph_triangle_count"](spark, d).collect()[0]
+    # brute force over the same capped graph
+    per_order: dict[int, set[int]] = {}
+    for o, p in rows:
+        per_order.setdefault(o, set()).add(p)
+    edges = set()
+    for ps in per_order.values():
+        top3 = sorted(ps)[:3]
+        edges.update(combinations(top3, 2))
+    nodes = {n for uv in edges for n in uv}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    wedges = sum(x * (x - 1) // 2 for x in deg.values())
+    assert got.n_nodes == len(nodes)
+    assert got.n_edges == len(edges)
+    assert got.n_triangles == tri, (got, tri, sorted(edges))
+    assert got.clustering_ppm == tri * 3000000 // max(wedges, 1)
