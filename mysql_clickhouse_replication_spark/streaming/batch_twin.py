@@ -1300,9 +1300,11 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_points,
        MIN(value) AS v_min,
        MAX(value) AS v_max,
-       arg_min(value, (epoch_us(ts) % {_M4_SPAN_US}) * 268435456 + event_id)
+       arg_min(struct_pack(v := value),
+               (epoch_us(ts) % {_M4_SPAN_US}) * 268435456 + event_id).v
          AS v_first,
-       arg_max(value, (epoch_us(ts) % {_M4_SPAN_US}) * 268435456 + event_id)
+       arg_max(struct_pack(v := value),
+               (epoch_us(ts) % {_M4_SPAN_US}) * 268435456 + event_id).v
          AS v_last
 FROM events
 GROUP BY event_type, epoch_us(ts) // {_M4_SPAN_US}
@@ -1337,6 +1339,19 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation buffers demote Spark to SortAggregate).  min/max/
     first/last all pass raw stored doubles through unarithmeticked, so
     no float expression can diverge.
+
+    NULL symmetry (r10 advice): Spark min_by/max_by return the value AT
+    the extreme key even when that value is NULL, but bare DuckDB
+    arg_min/arg_max SKIP NULL-argument rows (both empirically
+    confirmed) — so the oracle packs value through struct_pack(v :=
+    value).v: a struct with a NULL field is itself non-NULL, restoring
+    value-at-extreme-key semantics on the oracle side.  A bucket whose
+    earliest/latest point carries a NULL reading therefore reports
+    v_first/v_last = NULL on BOTH engines (the honest render: the
+    sensor emitted nothing), instead of silently substituting the
+    nearest non-NULL point.  Edge-tested with NULL rows pinned at both
+    bucket endpoints (tests/test_edges.py::
+    test_m4_null_value_at_bucket_endpoints).
 
     Plan (the r9 verdict's prescribed 100 TB form): ONE map-combined
     HashAggregate and nothing else — no Window, no Sort anywhere.  The

@@ -482,3 +482,67 @@ def test_perplexity_nosort_tiny_language_tercile_edges(spark, tmp_path_factory):
     assert sizes[("bb", 1)] == 1 and sizes[("bb", 2)] == 1
     assert sizes[("cc", 1)] == 2 and sizes[("cc", 2)] == 1 and sizes[("cc", 3)] == 1
     assert sizes[("dd", 1)] == 2 and sizes[("dd", 2)] == 2 and sizes[("dd", 3)] == 1
+
+
+def test_m4_null_value_at_bucket_endpoints(spark, tmp_path_factory):
+    """events_m4_downsample NULL symmetry (r10 advice): when the
+    earliest and/or latest point of a pixel bucket carries a NULL
+    reading, BOTH engines must report v_first/v_last = NULL — Spark
+    min_by/max_by return the value at the extreme key even when NULL,
+    and the oracle's struct_pack(v := value).v restores the same
+    semantics in DuckDB (bare arg_min/arg_max would skip the NULL row
+    and silently substitute the nearest non-NULL point).  Fixture pins
+    NULLs at both endpoints of one bucket, one endpoint of another,
+    and an all-NULL bucket."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("m4_nulls")
+    t0 = dt.datetime(2024, 1, 1)  # bucket-aligned (6h pixel span)
+    rows = [
+        # bucket 0: NULL at first AND last key, real values inside
+        (1, t0 + dt.timedelta(minutes=1), None),
+        (2, t0 + dt.timedelta(minutes=30), 5.0),
+        (3, t0 + dt.timedelta(minutes=60), 2.0),
+        (4, t0 + dt.timedelta(minutes=90), None),
+        # bucket 1: NULL only at the first key (equal ts, id tiebreak)
+        (5, t0 + dt.timedelta(hours=6, minutes=10), None),
+        (6, t0 + dt.timedelta(hours=6, minutes=10), 7.0),
+        (7, t0 + dt.timedelta(hours=6, minutes=20), 9.0),
+        # bucket 2: every reading NULL
+        (8, t0 + dt.timedelta(hours=12, minutes=5), None),
+        (9, t0 + dt.timedelta(hours=12, minutes=6), None),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": ["click"] * len(rows),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    sdf = e.queries()["events_m4_downsample"](spark, str(d))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["events_m4_downsample"]).fetchall()
+    )
+    assert srows == orows
+    b0, b1, b2 = sorted(srows, key=lambda r: r[1])  # consecutive buckets
+    assert b1[1] == b0[1] + 1 and b2[1] == b0[1] + 2
+    # bucket 0: first/last NULL, min/max from the interior points
+    assert b0[5] is None and b0[6] is None
+    assert (b0[3], b0[4]) == (2.0, 5.0)
+    # bucket 1: id tiebreak at equal ts picks the NULL-first row
+    assert b1[5] is None and b1[6] == 9.0
+    # bucket 2: all-NULL bucket — every surface NULL, n_points honest
+    assert b2[2:] == (2, None, None, None, None)

@@ -647,6 +647,38 @@ def test_binlog_wire_shard_decode_equals_serial(rows, cut_seed):
         assert sorted(map(repr, reframed)) == sorted(map(repr, serial))
 
 
+@given(rows=_wire_rows, trunc_seed=st.integers(0, 2**16))
+@settings(max_examples=60, deadline=None)
+def test_tx_boundaries_stream_equals_inmem(rows, trunc_seed):
+    """The r11 streamed index (tx_boundaries_stream: seek/skip header
+    walk over the FILE, O(1) driver memory) must return EXACTLY the
+    in-memory walk's offsets for any changelog — including logs
+    truncated mid-event / mid-transaction, where both walks must stop
+    at the last complete event and emit no boundary inside the partial
+    tail."""
+    import os
+    import tempfile
+
+    from mysql_clickhouse_replication_spark.sources.binlog_wire import (
+        MAGIC,
+        encode_changelog,
+        tx_boundaries,
+        tx_boundaries_stream,
+    )
+
+    buf = encode_changelog(rows)
+    rng = random.Random(trunc_seed)
+    # full log + a random truncation point anywhere past the magic
+    cuts = [len(buf), rng.randint(len(MAGIC), len(buf))]
+    with tempfile.TemporaryDirectory(prefix="txbstream_") as d:
+        for i, cut in enumerate(cuts):
+            blob = buf[:cut]
+            path = os.path.join(d, f"log{i}.binlog")
+            with open(path, "wb") as fh:
+                fh.write(blob)
+            assert tx_boundaries_stream(path) == tx_boundaries(blob)
+
+
 _m4_pairs = st.lists(
     st.tuples(st.integers(0, 21_600_000_000 - 1), st.integers(0, 2**28 - 1)),
     min_size=2,
