@@ -57,6 +57,7 @@ from collections.abc import Iterable, Iterator
 
 MAGIC = b"\xfebin"
 
+ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
@@ -154,6 +155,7 @@ class _Encoder:
 
     def _fde(self) -> None:
         post_lens = bytearray(39)
+        post_lens[ROTATE_EVENT - 1] = 8
         post_lens[TABLE_MAP_EVENT - 1] = 8
         post_lens[XID_EVENT - 1] = 0
         for t in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2):
@@ -205,29 +207,103 @@ class _Encoder:
         self.xid += 1
         self._event(XID_EVENT, struct.pack("<Q", self.xid))
 
+    def rotate(self, next_name: str) -> None:
+        """ROTATE_EVENT closing this file: post-header u64 = position
+        at which the next file's events begin (4, just past its magic),
+        body = next file's name — the public binlog-v4 layout a
+        replication client follows across the file boundary."""
+        self._event(
+            ROTATE_EVENT,
+            struct.pack("<Q", len(MAGIC)) + next_name.encode("ascii"),
+        )
+
     def tobytes(self) -> bytes:
         return b"".join(self.chunks)
 
 
-def encode_changelog(rows: Iterable[tuple[str, int, int, float]]) -> bytes:
-    """Encode (op, pk, seq, value) rows into a binlog byte stream.
-
-    Consecutive same-op rows batch into one statement of up to
+def _statements(
+    rows: Iterable[tuple[str, int, int, float]],
+) -> Iterator[tuple[str, list[tuple]]]:
+    """Batch rows into statements: consecutive same-op runs of up to
     ``_ROWS_PER_EVENT`` rows (multi-row ROWS_EVENTs are the production
-    norm); every statement commits with an XID so any post-XID offset
-    is a valid resume point."""
-    enc = _Encoder()
+    norm).  One statement = one transaction on the wire."""
     run_op: str | None = None
     run: list[tuple] = []
     for op, pk, seq, value in rows:
         if op != run_op or len(run) >= _ROWS_PER_EVENT:
             if run:
-                enc.rows_statement(run_op, run)
+                yield run_op, run
             run_op, run = op, []
         run.append((pk, seq, value))
     if run:
-        enc.rows_statement(run_op, run)
+        yield run_op, run
+
+
+def encode_changelog(rows: Iterable[tuple[str, int, int, float]]) -> bytes:
+    """Encode (op, pk, seq, value) rows into a binlog byte stream.
+
+    Every statement commits with an XID so any post-XID offset is a
+    valid resume point."""
+    enc = _Encoder()
+    for op, run in _statements(rows):
+        enc.rows_statement(op, run)
     return enc.tobytes()
+
+
+def encode_changelog_rotated(
+    rows: Iterable[tuple[str, int, int, float]],
+    max_bytes: int = 1 << 16,
+    basename: str = "changelog-bin",
+) -> list[tuple[str, bytes]]:
+    """Encode rows into a CHAIN of rotated binlog files, the on-disk
+    shape a real server produces under ``max_binlog_size``: each file
+    opens with magic + its own FORMAT_DESCRIPTION, rotation happens at
+    the first transaction boundary past ``max_bytes`` (MySQL rotates
+    only at event-group boundaries, never mid-transaction), and every
+    file except the last CLOSES with a ROTATE_EVENT naming the next
+    file and its start position — the linkage a replication client
+    follows, and the linkage ``cdc_decode_multifile``'s per-file
+    shards trust instead of walking any index.  XIDs stay monotonic
+    across the chain (one server, one counter).  Returns
+    [(file_name, file_bytes), ...] in chain order; names follow the
+    ``<basename>.NNNNNN`` convention so lexicographic name order IS
+    chain order (the property cdc_binlog_position_order's (file, pos)
+    total key relies on)."""
+    files: list[tuple[str, bytes]] = []
+    enc = _Encoder()
+    xid = 0
+    for op, run in _statements(rows):
+        if enc.pos > max_bytes:
+            next_name = f"{basename}.{len(files) + 2:06d}"
+            enc.rotate(next_name)
+            files.append((f"{basename}.{len(files) + 1:06d}", enc.tobytes()))
+            enc = _Encoder()
+            enc.xid = xid
+        enc.rows_statement(op, run)
+        xid = enc.xid
+    files.append((f"{basename}.{len(files) + 1:06d}", enc.tobytes()))
+    return files
+
+
+def read_rotate(buf: bytes) -> tuple[str, int] | None:
+    """Header-walk ``buf`` and return its ROTATE linkage (next file
+    name, next start position), or None for the chain's last file."""
+    if buf[: len(MAGIC)] != MAGIC:
+        raise ValueError("not a binlog: bad magic")
+    pos = len(MAGIC)
+    out: tuple[str, int] | None = None
+    while pos + _HEADER.size <= len(buf):
+        _ts, type_code, _sid, size, _log_pos, _flags = _HEADER.unpack_from(
+            buf, pos
+        )
+        if pos + size > len(buf):
+            break
+        if type_code == ROTATE_EVENT:
+            body = buf[pos + _HEADER.size : pos + size]
+            nxt = struct.unpack_from("<Q", body, 0)[0]
+            out = (body[8:].decode("ascii"), nxt)
+        pos += size
+    return out
 
 
 def decode(
@@ -386,3 +462,55 @@ def record_changelog(events_parquet: str) -> str:
         fh.write(blob)
     os.replace(tmp, out)
     return out
+
+
+def record_changelog_rotated(
+    events_parquet: str, max_bytes: int = 1 << 16
+) -> list[str]:
+    """RECORD the events fixture as a ROTATED binlog file chain; return
+    the file paths in chain order.
+
+    Same memoization/atomicity discipline as ``record_changelog`` but
+    for a directory: the chain is written into a temp dir and
+    ``os.rename``d into place, so concurrent readers see either the
+    complete chain or none of it.  Chain order is recovered from the
+    names (the ``.NNNNNN`` convention makes lexicographic order chain
+    order) and sanity-checked against the ROTATE linkage."""
+    import hashlib
+
+    import duckdb
+
+    from ..session import scratch_path
+
+    mtime = int(os.path.getmtime(events_parquet))
+    key = hashlib.md5(
+        f"{os.path.abspath(events_parquet)}:{mtime}:{max_bytes}".encode()
+    ).hexdigest()[:16]
+    base = scratch_path("binlog_wire", unique=False)
+    os.makedirs(base, exist_ok=True)
+    outdir = os.path.join(base, f"{key}.rotated")
+    if not os.path.isdir(outdir):
+        rows = duckdb.connect().execute(
+            f"""
+            SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+                        WHEN event_type = 'error'  THEN 'delete'
+                        ELSE 'update' END AS op,
+                   user_id, event_id, value
+            FROM read_parquet('{events_parquet}')
+            ORDER BY event_id
+            """
+        ).fetchall()
+        tmpdir = outdir + f".tmp.{os.getpid()}"
+        os.makedirs(tmpdir, exist_ok=True)
+        for name, blob in encode_changelog_rotated(rows, max_bytes):
+            with open(os.path.join(tmpdir, name), "wb") as fh:
+                fh.write(blob)
+        try:
+            os.rename(tmpdir, outdir)
+        except OSError:
+            import shutil  # lost the race: another recorder landed it
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
+    return [
+        os.path.join(outdir, n) for n in sorted(os.listdir(outdir))
+    ]

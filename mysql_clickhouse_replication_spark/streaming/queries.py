@@ -280,6 +280,120 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Temporarily pin the state-store provider to RocksDB while a
+    transformWithState query plans and runs (the API requires it; the
+    default HDFSBackedStateStoreProvider is rejected at query start).
+    Save/restore discipline mirrors _state_scaled — keys run serially
+    in verify/bench, so the swap cannot interleave.  In production the
+    provider is set once per cluster: RocksDB is the recommended store
+    for large state anyway (off-heap, incremental checkpoints)."""
+    k = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(k, None)
+    spark.conf.set(
+        k,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, old)
+
+
+#: Why stream_stateful_tws is NOT a registered contract key in this
+#: container: transformWithStateInPandas hard-requires the python
+#: ``google.protobuf`` package (its state-server protocol is protobuf —
+#: pyspark sql/streaming/proto/StateMessage_pb2.py), which is absent
+#: here and cannot be installed (no network, no-pip environment rule).
+#: The query CONSTRUCTS fine (the plan wiring is pure Python/JVM and is
+#: asserted in tests/test_plans.py::test_stream_stateful_tws_plan_wiring)
+#: but the streaming Python runner crashes at query start with
+#: ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
+#: (observed 2026-08-15).  Registering it would be a guaranteed red
+#: CORRECTNESS row, so — same honesty discipline as the docker-less
+#: live-wire integration (INTEGRATION_r11.md) — the full implementation
+#: ships, the execution test runs the oracle compare where protobuf
+#: exists and skips with the environment reason here; promoting it to a
+#: registered key is one @register line once the dependency lands.
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user running aggregate as stream_stateful, through
+    transformWithStateInPandas — Spark 4's arbitrary-stateful-
+    processing API (pyspark sql/pandas/group_ops.py:427), the successor
+    SURVEY §2.J itself cites for applyInPandasWithState (r10 verdict
+    "What's missing" #4): a StatefulProcessor object with named,
+    individually-evolvable state variables (getValueState/getListState/
+    getMapState), timers (handleExpiredTimer), TTL per variable, and an
+    initial-state hook — where the older API packs ALL state into one
+    positional tuple and one timeout callback.  Keeping both makes the
+    pair a migration template: identical semantics, identical oracle
+    (stream_stateful's), old vs new API surface.
+
+    State here is one ValueState ('agg': count, max, purchase count)
+    updated per micro-batch; values are order-insensitive, so the
+    bounded availableNow replay is deterministic.  Requires the RocksDB
+    state-store provider (pinned for the query's lifetime by the
+    context manager above).  Scale: state is keyed by user_id and
+    partitioned across executors exactly like the old API; RocksDB
+    keeps it off-heap with incremental checkpointing — the production
+    store for 100 TB-day state."""
+    with _rocksdb_state_store(spark):
+        out = _stream_stateful_tws_df(spark, sf_dir)
+        return _run_to_memory(out, "update")
+
+
+def _stream_stateful_tws_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (don't start) stream_stateful_tws's streaming DataFrame —
+    split out so the plan wiring is assertable without the protobuf
+    runtime the execution needs (see the gate note above)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningAgg(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState(
+                "agg", "n long, mx double, np long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, mx, np_ = (
+                self._agg.get() if self._agg.exists()
+                else (0, float("-inf"), 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+                np_ += int((pdf["event_type"] == "purchase").sum())
+            self._agg.update((n, mx, np_))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "n_purchases": [np_],
+                }
+            )
+
+        def close(self):
+            pass
+
+    sdf = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    return sdf.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningAgg(),
+        outputStructType=(
+            "user_id long, n_events long, max_value double,"
+            " n_purchases long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 @register(
     "stream_triggers",
     oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",

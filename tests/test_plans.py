@@ -1846,3 +1846,96 @@ def test_watermark_sharded_all_windows_partitioned(plans):
     assert not unpart, wins
     band_only = [g for g in wins if "shard" not in g]
     assert len(band_only) <= 1, wins
+
+
+def test_stream_stateful_tws_plan_wiring(spark, sf_dir):
+    """stream_stateful_tws (unregistered — protobuf-gated, see the
+    module note in streaming/queries.py): the transformWithStateInPandas
+    query must CONSTRUCT correctly in this container even though the
+    streaming Python runner cannot start without google.protobuf — the
+    analyzed plan carries the TransformWithStateInPySpark operator
+    keyed on user_id, the declared output schema, and isStreaming."""
+    from mysql_clickhouse_replication_spark.streaming.queries import (
+        _stream_stateful_tws_df,
+    )
+
+    df = _stream_stateful_tws_df(spark, sf_dir)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "n_events", "max_value", "n_purchases",
+    ]
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "transformWithStateInPySpark" in analyzed.replace(
+        "TransformWithStateInPySpark", "transformWithStateInPySpark"
+    ), analyzed
+    assert "user_id" in analyzed
+
+
+def test_stream_stateful_tws_matches_oracle(spark, sf_dir):
+    """Execution half of the TWS twin: runs ONLY where google.protobuf
+    exists (absent in this container — the skip reason IS the
+    environment record, same honesty discipline as the docker-less
+    integration).  Where it runs, the new-API result must hash-match
+    stream_stateful's oracle exactly."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs python protobuf; "
+        "not installed in this container (no-network, no-pip)",
+    )
+    import duckdb
+
+    from mysql_clickhouse_replication_spark.streaming.queries import (
+        stream_stateful_tws,
+    )
+
+    got = sorted(
+        tuple(r) for r in stream_stateful_tws(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,"
+            " COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases"
+            " FROM events GROUP BY user_id"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_triangle_degree_broadcast_bounded(spark, sf_dir, plans):
+    """graph_triangle_count's degree attach (r10 verdict item #6): the
+    |V|-row broadcast must be a GUARDED decision, not a blind hint.
+    Pins (a) the gate fixture is under the bound and the executed plan
+    really broadcasts the degree frame, (b) the sf1 fixture family
+    (10x sf0.1's parts) is OVER the 10 MB default — the reason the
+    guard exists — and (c) shrinking the threshold flips the guard and
+    the plan to the shuffle-join fallback with no broadcast anywhere."""
+    import duckdb
+
+    from mysql_clickhouse_replication_spark.operators.analytics import (
+        _degree_frame_broadcastable,
+    )
+
+    assert _degree_frame_broadcastable(spark, sf_dir)
+    assert "BroadcastHashJoin" in plans("graph_triangle_count")
+
+    (n01,) = duckdb.connect().execute(
+        "SELECT COUNT(*) FROM"
+        " read_parquet('/root/testdata/sf0.1/part.parquet')"
+    ).fetchone()
+    assert 10 * n01 * 64 > 10_485_760  # sf1 bound exceeds the default
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        assert not _degree_frame_broadcastable(spark, sf_dir)
+        p = _plan(e.queries()["graph_triangle_count"](spark, sf_dir))
+        assert "BroadcastHashJoin" not in p, p
+        assert "Join" in p  # the attach still happens, as a shuffle join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -679,6 +679,44 @@ def test_tx_boundaries_stream_equals_inmem(rows, trunc_seed):
             assert tx_boundaries_stream(path) == tx_boundaries(blob)
 
 
+@given(rows=_wire_rows, max_bytes=st.integers(256, 4096))
+@settings(max_examples=60, deadline=None)
+def test_binlog_rotated_chain_decode_equals_serial(rows, max_bytes):
+    """cdc_decode_multifile's byte layer: encoding a changelog as a
+    ROTATE-linked file chain and decoding each file independently must
+    reproduce the single-file serial decode IN ORDER — concatenation
+    in lexicographic name order preserving row order is exactly the
+    statement that (file_idx, log_pos) is the same total key
+    cdc_binlog_position_order sorts by.  Also pins the chain linkage
+    (each non-last file's ROTATE names its successor and start pos 4,
+    the last file has none), that rotation actually fires when the log
+    outgrows max_bytes, and that every per-file tx boundary stays a
+    legal resume point (files never split mid-transaction)."""
+    from mysql_clickhouse_replication_spark.sources.binlog_wire import (
+        encode_changelog,
+        encode_changelog_rotated,
+        decode,
+        read_rotate,
+        tx_boundaries,
+    )
+
+    serial_blob = encode_changelog(rows)
+    serial = [r for r, _ in decode(serial_blob)]
+    files = encode_changelog_rotated(rows, max_bytes=max_bytes)
+    names = [n for n, _ in files]
+    assert names == sorted(names) and len(set(names)) == len(names)
+    concat = [r for _, blob in files for r, _ in decode(blob)]
+    assert list(map(repr, concat)) == list(map(repr, serial))
+    for (_, b1), (n2, _) in zip(files, files[1:]):
+        assert read_rotate(b1) == (n2, 4)
+    assert read_rotate(files[-1][1]) is None
+    if len(serial_blob) > 3 * max_bytes:
+        assert len(files) >= 2  # rotation fires under real pressure
+    for _, blob in files:
+        for b in tx_boundaries(blob):
+            list(decode(blob, b))  # post-XID offsets resume cleanly
+
+
 _m4_pairs = st.lists(
     st.tuples(st.integers(0, 21_600_000_000 - 1), st.integers(0, 2**28 - 1)),
     min_size=2,
@@ -841,3 +879,94 @@ def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, rows):
     assert got.n_edges == len(edges)
     assert got.n_triangles == tri, (got, tri, sorted(edges))
     assert got.clustering_ppm == tri * 3000000 // max(wedges, 1)
+
+
+_bpe_texts = st.lists(
+    st.text(alphabet="abA .", min_size=0, max_size=24),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_bpe_texts)
+@settings(**_SETTINGS)
+def test_bpe_merge_step_matches_bruteforce(spark, tmp_path_factory, texts):
+    """text_bpe_merge_step vs a literal Sennrich-style reference: word
+    counting, weighted adjacent-pair counts, (count DESC, pair ASC)
+    argmax, then GREEDY LEFT-TO-RIGHT SYMBOL-LIST merging (the
+    independent formulation — NOT string replace, so the test proves
+    the operator's replace()==BPE-merge claim, including overlapping
+    runs like 'aaaa' -> [aa, aa]) and post-merge pair counts.  Tiny
+    {a,b}-alphabet corpora maximize pair collisions and tie-breaks;
+    uppercase and '.' exercise the lower()+split normalization."""
+    import collections
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    if not words:
+        return  # operator surface is empty; nothing to compare
+
+    def pair_counts(segmented):
+        pc = collections.Counter()
+        for syms, c in segmented:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        return pc
+
+    segmented = [(list(w), c) for w, c in words.items()]
+    pre = pair_counts(segmented)
+    if not pre:
+        return  # all words are single letters after filtering? (len>=2 => impossible)
+    best = min(pre.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    merged = []
+    for syms, c in segmented:
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == best[0]
+                and syms[i + 1] == best[1]
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        merged.append((out, c))
+    post = pair_counts(merged)
+
+    def top10(pc):
+        return sorted(
+            ((l, r, c) for (l, r), c in pc.items()),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[:10]
+
+    expected = [("pre", l, r, c) for l, r, c in top10(pre)] + [
+        ("post", l, r, c) for l, r, c in top10(post)
+    ]
+
+    d = str(tmp_path_factory.mktemp("bpe"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = [
+        tuple(r)
+        for r in e.queries()["text_bpe_merge_step"](spark, d).collect()
+    ]
+    assert got == expected
