@@ -15,24 +15,24 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-9 proved ALL 317 then-registered keys green (the
+* rounds 1-10 proved ALL 323 then-registered keys green (the
   ``_DRIVER_GREEN`` list below is the union of green rows across
-  CORRECTNESS_r01..r09; round 8 closed the contract at 311/311 and
-  round 9 kept it closed at 317/317).
+  CORRECTNESS_r01..r10; round 8 closed the contract at 311/311,
+  rounds 9/10 kept it closed at 317/317 and 323/323).
 * with coverage complete, the remaining contract risk is REGRESSION:
   code and fixtures change under keys whose only driver proof is
-  rounds old.  ``_R10_FRONT`` holds the 45 keys whose NEWEST green
-  row is stalest (the 42 keys last proven in round 3 - the r9
-  verdict's named freshness risk, 7 rounds stale - plus the 3 oldest
-  r4 keys), ordered stalest-first (newest-green round, then key).
-* the 6 keys first registered in round 10 (not in ``_DRIVER_GREEN``)
-  have no driver proof at all, so they sort FIRST; the first 44 of
-  the stalest list fill the window behind them (all 42 r3-vintage
-  keys stay inside — the tail r4 keys displaced by new registrations
-  are the youngest of the list), leaving no key's newest green older
-  than round 4 after this round records.
+  rounds old.  ``_R11_FRONT`` holds the 48 keys whose NEWEST green
+  row is stalest (all 35 keys last proven in round 4, then the 13
+  oldest round-5 keys), ordered stalest-first (newest-green round,
+  then key) — recomputed this round from the r01..r10 union exactly
+  as the r10 verdict prescribed.
+* the 2 keys first registered in round 11 (cdc_decode_multifile,
+  text_bpe_merge_step — not in ``_DRIVER_GREEN``) have no driver
+  proof at all, so they sort FIRST; the 48 stalest fill the window
+  behind them, leaving no key's newest green older than round 5
+  after this round records.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
-  + tools/oracle_dtype_lint.py (PREFLIGHT_r10.txt) before this file
+  + tools/oracle_dtype_lint.py (PREFLIGHT_r11.txt) before this file
   changed the ordering, per the established hazard-gate discipline.
 """
 
@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_clickhouse_replication_spark import ORACLES, QUERIES, load_all
 
-# Union of driver-green keys across CORRECTNESS_r01..r09 (317).
+# Union of driver-green keys across CORRECTNESS_r01..r10 (323).
 _DRIVER_GREEN = [
     "agg_approx_distinct", "agg_approx_percentiles", "agg_array_topk",
     "agg_bitmap_distinct", "agg_bool_family", "agg_collect",
@@ -63,7 +63,7 @@ _DRIVER_GREEN = [
     "cdc_binlog_position_order", "cdc_checkpoint",
     "cdc_collapsing_sign", "cdc_column_drift_stats",
     "cdc_column_mask_policy", "cdc_compaction_ratio",
-    "cdc_conflict_lww", "cdc_ddl_apply", "cdc_ddl_route", "cdc_decode",
+    "cdc_conflict_lww", "cdc_ddl_apply", "cdc_ddl_route", "cdc_decode", "cdc_decode_sharded",
     "cdc_dedup_bounded_window", "cdc_dedup_exact",
     "cdc_dlq_replay_merge", "cdc_dlq_split", "cdc_filter_tables",
     "cdc_freshness", "cdc_gap_check", "cdc_gtid_resume",
@@ -89,8 +89,8 @@ _DRIVER_GREEN = [
     "docs_length_mad_outliers", "docs_license_filter",
     "docs_mix_weighted", "docs_ngram_coverage_eval",
     "docs_novelty_ratio", "docs_pack_sequences",
-    "docs_perplexity_buckets",
-    "docs_quality_filter_pipeline", "docs_repetition_ratio",
+    "docs_perplexity_buckets", "docs_perplexity_buckets_nosort",
+    "docs_quality_filter_pipeline", "docs_quality_signals_gopher", "docs_repetition_ratio",
     "docs_shard_balance", "docs_split_leakage_safe",
     "docs_substring_dedup", "docs_temperature_sample", "docs_url_dedup",
     "docs_vocab_growth", "embedding_hard_negatives",
@@ -104,6 +104,7 @@ _DRIVER_GREEN = [
     "events_funnel_by_segment", "events_funnel_strict",
     "events_funnel_unordered", "events_funnel_window_sensitivity",
     "events_gap_fill", "events_growth_accounting", "events_histogram",
+    "events_interval_coverage",
     "events_m4_downsample", "events_markov_transitions", "events_new_vs_returning",
     "events_peak_concurrency", "events_rate_limit_scan",
     "events_record_highs", "events_retention",
@@ -112,13 +113,15 @@ _DRIVER_GREEN = [
     "events_session_duration", "events_sliding_batch",
     "events_sliding_uniques_sketch", "events_streaks",
     "events_time_weighted_avg", "events_top_paths",
-    "events_watermark_lateness", "filter_conjunctive",
+    "events_watermark_lateness", "events_watermark_lateness_sharded",
+    "filter_conjunctive",
     "filter_in_between_like", "filter_null_semantics", "fn_array",
     "fn_bitwise", "fn_business_days", "fn_date", "fn_encoding",
     "fn_format", "fn_fuzzy_match", "fn_geo", "fn_hash", "fn_ip",
     "fn_json", "fn_map", "fn_math", "fn_null_family", "fn_string",
     "fn_struct", "fn_time_bucket", "fn_timezone", "fn_try_cast",
-    "fn_url", "fn_variant", "graph_pagerank", "join_anti",
+    "fn_url", "fn_variant", "graph_pagerank", "graph_triangle_count",
+    "join_anti",
     "join_anti_null_aware", "join_asof", "join_asof_nearest",
     "join_asof_tolerance", "join_bloom_prefilter", "join_broadcast",
     "join_bucketed_colocated", "join_cross",
@@ -165,24 +168,29 @@ _DRIVER_GREEN = [
     "win_ranking", "win_reset_running_sum", "win_time_range_frame"
 ]
 
-# The 45 stalest driver greens (newest green row r3, then the 3 oldest
-# r4) -- re-sampled first this round; see module docstring.
-_R10_FRONT = [
-    "cdc_filter_tables", "cdc_incremental_agg", "cdc_merge_into",
-    "cdc_scd2_history", "cdc_schema_evolution", "cdc_sink",
-    "cdc_snapshot", "cdc_snapshot_increment", "cdc_stream_source",
-    "dedup_cluster", "dedup_embedding", "dedup_exact_text",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_funnel", "events_retention", "limit_offset",
-    "sessionize_batch", "set_except", "set_intersect", "sim_ann_lsh",
-    "sim_cosine_topk", "sim_knn_classify", "sim_range_search",
-    "sort_multi_key", "stream_session", "stream_tumbling",
-    "text_fingerprint", "text_langid", "text_lm_score",
-    "text_pii_scrub", "text_quality", "text_tfidf_terms",
-    "text_token_count", "topk_global", "topk_per_group",
-    "win_analytic", "win_frame_range", "win_frame_rows", "win_percent",
-    "win_ranking", "agg_weighted_avg", "agg_weighted_percentile",
-    "analytics_rfm"
+# The 48 stalest driver greens (the 35 keys whose newest green row is
+# round 4, then the 13 oldest r5 keys) -- re-sampled first this round
+# behind the 2 new r11 registrations; see module docstring.
+_R11_FRONT = [
+    "analytics_rfm", "cdc_type_cast", "events_attribution",
+    "events_audience_overlap", "events_cohort_ltv",
+    "events_funnel_strict", "events_record_highs",
+    "events_rolling_distinct", "events_seasonality",
+    "events_sequence_match", "events_streaks", "fn_array",
+    "fn_bitwise", "fn_date", "fn_hash", "fn_json", "fn_map", "fn_math",
+    "fn_string", "fn_url", "fn_variant",
+    "join_dynamic_partition_prune", "multimodal_decode",
+    "multimodal_framesample", "multimodal_join",
+    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
+    "stream_sliding", "stream_stateful", "stream_static_join",
+    "stream_triggers", "vector_group_rank",
+    "agg_wow_change", "analytics_segment_migration",
+    "cdc_binlog_position_order", "cdc_ddl_route", "cdc_gtid_resume",
+    "cdc_type_edges", "events_alert_rules", "events_bot_detection",
+    "events_changepoint_cusum", "events_conversion_latency",
+    "events_distribution_drift", "events_dormant_reactivation",
+    "events_error_budget_burn"
 ]
 
 
@@ -191,9 +199,9 @@ def _ordered_keys() -> list[str]:
     stalest greens, then the remaining driver greens."""
     proven = set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in proven]
-    front = [k for k in _R10_FRONT if k in QUERIES]
+    front = [k for k in _R11_FRONT if k in QUERIES]
     tail = [k for k in _DRIVER_GREEN
-            if k in QUERIES and k not in set(_R10_FRONT)]
+            if k in QUERIES and k not in set(_R11_FRONT)]
     return unproven + front + tail
 
 

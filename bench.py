@@ -387,6 +387,9 @@ EXTRA = [
     "events_interval_coverage",
     "docs_quality_signals_gopher",
     "events_watermark_lateness_sharded",
+    # --- round 11.
+    "cdc_decode_multifile",
+    "text_bpe_merge_step",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

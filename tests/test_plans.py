@@ -1939,3 +1939,48 @@ def test_triangle_degree_broadcast_bounded(spark, sf_dir, plans):
         assert "Join" in p  # the attach still happens, as a shuffle join
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_decode_multifile_one_file_per_task(plans, spark, sf_dir):
+    """cdc_decode_multifile: shards = rotated files, one per task —
+    the executed plan carries MapInPandas fed by a ROUND-ROBIN exchange
+    (r10 advice: hash-on-shard_id could collide files into one task),
+    the gate fixture actually rotates (>1 file => >1 partition), and
+    the partition count equals the recorded chain length."""
+    from mysql_clickhouse_replication_spark.sources.binlog_wire import (
+        record_changelog_rotated,
+    )
+
+    df = e.queries()["cdc_decode_multifile"](spark, sf_dir)
+    p = plans("cdc_decode_multifile")
+    assert "MapInPandas" in p, p
+    assert "RoundRobinPartitioning" in p, p
+    n_files = len(record_changelog_rotated(f"{sf_dir}/events.parquet"))
+    assert n_files > 1, n_files  # rotation must fire at the gate SF
+    assert df.rdd.getNumPartitions() == n_files
+
+
+def test_bpe_merge_step_one_corpus_scan_bounded_tops(plans, spark, sf_dir):
+    """text_bpe_merge_step: the corpus is read ONCE (the persisted
+    word-count frame feeds both the pre-pair counts and the
+    re-segmentation — without the pin each branch would rescan
+    documents), the argmax winner attaches as a broadcast 1-row
+    crossJoin (never a collect), and both top-10 surfaces compile to
+    TakeOrderedAndProject (bounded heap merge), not a global sort."""
+    df = e.queries()["text_bpe_merge_step"](spark, sf_dir)
+    df.collect()  # reuse/cache decisions only appear in the executed plan
+    p = _plan(df)
+    # every "Scan parquet" line is the SAME node, re-rendered inside each
+    # InMemoryTableScan's cached-plan dump — one distinct scan id == one
+    # corpus read
+    scan_ids = {
+        m
+        for ln in p.splitlines()
+        if "Scan parquet" in ln
+        for m in re.findall(r"\((\d+)\)", ln)
+    }
+    assert len(scan_ids) == 1, (scan_ids, p)
+    assert "InMemoryRelation" in p, p  # the word frame is pinned
+    assert p.count("TakeOrderedAndProject") >= 2, p  # both bounded tops
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    spark.catalog.clearCache()  # release the persisted word frame
