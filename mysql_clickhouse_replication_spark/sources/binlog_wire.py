@@ -271,16 +271,20 @@ def encode_changelog_rotated(
     total key relies on)."""
     files: list[tuple[str, bytes]] = []
     enc = _Encoder()
-    xid = 0
+    file_first_xid = 0  # xid counter value when the current file opened
     for op, run in _statements(rows):
-        if enc.pos > max_bytes:
+        # rotate only once the CURRENT file holds >=1 transaction — a
+        # server never rotates an empty log, even when the FDE alone
+        # exceeds a tiny max_binlog_size
+        if enc.pos > max_bytes and enc.xid > file_first_xid:
             next_name = f"{basename}.{len(files) + 2:06d}"
             enc.rotate(next_name)
             files.append((f"{basename}.{len(files) + 1:06d}", enc.tobytes()))
+            xid = enc.xid
             enc = _Encoder()
-            enc.xid = xid
+            enc.xid = xid  # XIDs stay monotonic across the chain
+            file_first_xid = xid
         enc.rows_statement(op, run)
-        xid = enc.xid
     files.append((f"{basename}.{len(files) + 1:06d}", enc.tobytes()))
     return files
 

@@ -712,6 +712,9 @@ def test_binlog_rotated_chain_decode_equals_serial(rows, max_bytes):
     assert read_rotate(files[-1][1]) is None
     if len(serial_blob) > 3 * max_bytes:
         assert len(files) >= 2  # rotation fires under real pressure
+    if len(files) > 1:  # a server never rotates an empty log
+        for _, blob in files:
+            assert sum(1 for _ in decode(blob)) >= 1
     for _, blob in files:
         for b in tx_boundaries(blob):
             list(decode(blob, b))  # post-XID offsets resume cleanly

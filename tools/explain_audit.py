@@ -116,6 +116,13 @@ AUDIT = {
     "shard-partitioned (including its band-prefix combine); the single "
     "unpartitioned window is the global COMPARISON clock's |days|-row "
     "band combine — the documented cost the key quantifies against",
+    "cdc_decode_multifile": "MapInPandas decode fed by a ROUND-ROBIN "
+    "exchange, one rotated binlog file per task; no index walk at all "
+    "(the ROTATE chain is the index)",
+    "text_bpe_merge_step": "one corpus scan into a pinned word-count "
+    "frame (InMemoryRelation feeds both pair counting and "
+    "re-segmentation); broadcast 1-row argmax attach; both top-10 "
+    "surfaces TakeOrderedAndProject",
 }
 
 
