@@ -2755,7 +2755,10 @@ def _degree_frame_broadcastable(spark: SparkSession, sf_dir: str) -> bool:
             return False
     if thresh <= 0:
         return False
-    n_parts = table(spark, sf_dir, "part").count()
+    try:
+        n_parts = table(spark, sf_dir, "part").count()
+    except Exception:
+        return False  # no part dimension (synthetic fixture): shuffle join
     return n_parts * 64 <= thresh
 
 
