@@ -26,11 +26,13 @@ proof rotates through the registry in 50-key windows:
   oldest round-5 keys), ordered stalest-first (newest-green round,
   then key) — recomputed this round from the r01..r10 union exactly
   as the r10 verdict prescribed.
-* the 2 keys first registered in round 11 (cdc_decode_multifile,
-  text_bpe_merge_step — not in ``_DRIVER_GREEN``) have no driver
-  proof at all, so they sort FIRST; the 48 stalest fill the window
-  behind them, leaving no key's newest green older than round 5
-  after this round records.
+* the 3 keys first registered in round 11 (text_bpe_merge_step,
+  text_bpe_train_steps, cdc_decode_multifile — not in
+  ``_DRIVER_GREEN``) have no driver proof at all, so they sort FIRST;
+  the stalest list fills the window behind them (the 50-key cut drops
+  the youngest front entry, events_error_budget_burn, back into the
+  tail), leaving no key's newest green older than round 5 after this
+  round records.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
   + tools/oracle_dtype_lint.py (PREFLIGHT_r11.txt) before this file
   changed the ordering, per the established hazard-gate discipline.

@@ -390,6 +390,7 @@ EXTRA = [
     # --- round 11.
     "cdc_decode_multifile",
     "text_bpe_merge_step",
+    "text_bpe_train_steps",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

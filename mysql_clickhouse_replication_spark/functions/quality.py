@@ -1120,3 +1120,158 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return pre_top.unionAll(post_top)
+
+
+@register(
+    "text_bpe_train_steps",
+    oracle="""
+WITH w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents) u
+  WHERE length(w) >= 2 GROUP BY w
+),
+p1 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w0 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+w1 AS (SELECT replace(w, l || r, chr(1)) AS w, c FROM w0, b1),
+p2 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w1 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+w2 AS (SELECT replace(w, l || r, chr(2)) AS w, c FROM w1, b2),
+p3 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w2 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+w3 AS (SELECT replace(w, l || r, chr(3)) AS w, c FROM w2, b3),
+m1 AS (SELECT l || r AS tok FROM b1),
+m2 AS (SELECT replace(b2.l || b2.r, chr(1), m1.tok) AS tok FROM b2, m1),
+m3 AS (SELECT replace(replace(b3.l || b3.r, chr(2), m2.tok), chr(1), m1.tok)
+         AS tok FROM b3, m2, m1),
+s1 AS (SELECT CAST(SUM(length(w) * c) AS BIGINT) AS n FROM w1),
+s2 AS (SELECT CAST(SUM(length(w) * c) AS BIGINT) AS n FROM w2),
+s3 AS (SELECT CAST(SUM(length(w) * c) AS BIGINT) AS n FROM w3)
+SELECT 1 AS step, m1.tok AS merged_token, b1.cnt AS pair_count,
+       s1.n AS symbols_after FROM b1, m1, s1
+UNION ALL
+SELECT 2, m2.tok, b2.cnt, s2.n FROM b2, m2, s2
+UNION ALL
+SELECT 3, m3.tok, b3.cnt, s3.n FROM b3, m3, s3
+""",
+)
+def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE sequential distributed BPE merge iterations — the actual
+    tokenizer-TRAINING loop (Sennrich et al., ACL 2016), where
+    text_bpe_merge_step is its unit of work: each round counts
+    adjacent-symbol pairs corpus-wide, merges the (count DESC, pair
+    ASC) argmax, and re-segments, with later rounds merging pairs that
+    CONTAIN earlier merges (the compounding that makes BPE subwords).
+
+    The encoding trick that keeps every iteration exact on both
+    engines: each learned symbol is ONE character — merge i rewrites
+    its pair as sentinel chr(i) (unreachable: words are [a-z]+) — so
+    symbol sequences stay plain strings, greedy left-to-right BPE
+    merging stays EXACTLY non-overlapping string replace at every
+    round (not just the first — the text_bpe_merge_step invariant,
+    compounded), and pair counting stays substring arithmetic.  The
+    human-readable merge table is recovered by expanding sentinels
+    through the earlier merges' expansions (nested replace over 1-row
+    frames — never a collect).  Declared tiebreak: (count DESC, pair
+    ASC) in ENCODED space — sentinels sort below 'a', so under equal
+    counts earlier-LEARNED symbols win over raw letters, in learning
+    order; a deterministic total order both engines implement
+    identically (Sennrich's reference leaves ties unspecified).
+
+    Surface: one row per iteration (step, merged_token expanded,
+    pair_count, symbols_after) — the merge table plus the compression
+    trajectory.  pair_count counts adjacent occurrences INCLUDING
+    self-overlaps (Sennrich's reference counts zip(syms, syms[1:]) the
+    same way), while greedy merging applies left-to-right
+    non-overlapping — so symbols_after drops by the number of merges
+    APPLIED: equal to pair_count except under self-overlapping runs
+    ('bbb' counts (b,b) twice, merges once; property-pinned as
+    applied <= pair_count with equality absent overlaps).  Production
+    runs this loop V times for a V-entry vocab: per round exactly this
+    plan, vocabulary-bounded shuffles only.
+
+    Scale: the corpus is read ONCE into the persisted word-count frame
+    (the text_bpe_merge_step discipline); each round's re-segmented
+    vocabulary w_i is persisted too (vocab-sized — the iteration state,
+    exactly like graph_pagerank's persisted rank frame), so every pair
+    count and symbol audit is an agg over a pinned vocab-bounded frame;
+    argmax winners attach as broadcast 1-row crossJoins.  Release is
+    harness-side via clearCache (r8 ADVICE convention).  Degenerate
+    corpora (pairs exhausted before 3 rounds) shrink the surface
+    identically on both engines: an empty argmax empties every
+    downstream frame, so finished steps simply emit no row."""
+    d = table(spark, sf_dir, "documents")
+    cur = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    merges: list[DataFrame] = []  # 1-row frames: fully-expanded tok
+    step_rows: list[DataFrame] = []
+    for step in (1, 2, 3):
+        pairs = (
+            cur.filter(F.length("w") >= 2)
+            .select(
+                "w",
+                "c",
+                F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+            )
+            .select(
+                F.expr("substring(w, i, 1)").alias("l"),
+                F.expr("substring(w, i + 1, 1)").alias("r"),
+                "c",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
+        expanded = best.select(F.concat("l", "r").alias("tok"), "cnt")
+        for j, mdf in reversed(list(enumerate(merges, start=1))):
+            expanded = expanded.crossJoin(
+                F.broadcast(mdf.select(F.col("tok").alias(f"_e{j}")))
+            ).select(
+                F.expr(f"replace(tok, chr({j}), _e{j})").alias("tok"), "cnt"
+            )
+        nxt = (
+            cur.crossJoin(
+                F.broadcast(best.select(F.concat("l", "r").alias("_m")))
+            )
+            .select(
+                F.expr(f"replace(w, _m, chr({step}))").alias("w"), "c"
+            )
+            .persist()
+        )
+        symbols_after = nxt.agg(
+            F.sum(F.length("w") * F.col("c")).alias("n")
+        )
+        step_rows.append(
+            expanded.crossJoin(symbols_after).select(
+                F.lit(step).alias("step"),
+                F.col("tok").alias("merged_token"),
+                F.col("cnt").alias("pair_count"),
+                F.col("n").alias("symbols_after"),
+            )
+        )
+        merges.append(expanded.select("tok"))
+        cur = nxt
+    return step_rows[0].unionAll(step_rows[1]).unionAll(step_rows[2])

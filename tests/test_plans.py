@@ -1984,3 +1984,26 @@ def test_bpe_merge_step_one_corpus_scan_bounded_tops(plans, spark, sf_dir):
     assert p.count("TakeOrderedAndProject") >= 2, p  # both bounded tops
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     spark.catalog.clearCache()  # release the persisted word frame
+
+
+def test_bpe_train_steps_one_corpus_scan_pinned_iterates(plans, spark, sf_dir):
+    """text_bpe_train_steps: the 3-round training loop reads the corpus
+    ONCE (one distinct parquet-scan node; every round's pair count and
+    symbol audit runs over pinned vocab-sized frames — the persisted
+    word counts plus each round's re-segmented vocabulary), argmax
+    winners attach as broadcasts, and every round's argmax is a
+    TakeOrderedAndProject (bounded heap), never a global sort."""
+    df = e.queries()["text_bpe_train_steps"](spark, sf_dir)
+    df.collect()
+    p = _plan(df)
+    scan_ids = {
+        m
+        for ln in p.splitlines()
+        if "Scan parquet" in ln
+        for m in re.findall(r"\((\d+)\)", ln)
+    }
+    assert len(scan_ids) == 1, (scan_ids, p)
+    assert "InMemoryRelation" in p, p
+    assert p.count("TakeOrderedAndProject") >= 3, p  # one argmax per round
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    spark.catalog.clearCache()  # release the vocab/iteration persists

@@ -973,3 +973,91 @@ def test_bpe_merge_step_matches_bruteforce(spark, tmp_path_factory, texts):
         for r in e.queries()["text_bpe_merge_step"](spark, d).collect()
     ]
     assert got == expected
+
+
+@given(texts=_bpe_texts)
+@settings(**_SETTINGS)
+def test_bpe_train_steps_matches_bruteforce(spark, tmp_path_factory, texts):
+    """text_bpe_train_steps vs a literal 3-round trainer over SYMBOL
+    LISTS: same word counting and declared tiebreak (count DESC, pair
+    ASC in encoded space — sentinels below 'a'), but merging is greedy
+    left-to-right LIST rewriting, independently validating the
+    operator's replace()==BPE-merge claim at EVERY round (later rounds
+    merge pairs containing earlier merges).  Also pins the accounting
+    identity symbols_after[i] == symbols_before[i] - merges_APPLIED[i]
+    (applied <= pair_count — counts include self-overlaps, greedy
+    merging doesn't) and the degenerate shrink (pairs exhausted ->
+    fewer surface rows)."""
+    import collections
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+
+    # reference state: word -> (encoded symbol list, expansion map)
+    segmented = [([ch for ch in w], c) for w, c in words.items()]
+    expansion = {}  # sentinel char -> expanded string
+    expected = []
+    n_symbols = sum(len(syms) * c for syms, c in segmented)
+    for step in (1, 2, 3):
+        pc = collections.Counter()
+        for syms, c in segmented:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (bl, br), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        sent = chr(step)
+        merged, applied = [], 0
+        for syms, c in segmented:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(sent)
+                    i += 2
+                    applied += c
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((out, c))
+        segmented = merged
+        n_after = sum(len(syms) * c for syms, c in segmented)
+        # accounting: symbols drop by merges APPLIED; counts include
+        # self-overlaps, greedy merging doesn't, so applied <= cnt
+        assert n_after == n_symbols - applied and applied <= cnt
+        n_symbols = n_after
+
+        def expand(ch):
+            return expansion.get(ch, ch)
+
+        tok = expand(bl) + expand(br)
+        expansion[sent] = tok
+        expected.append((step, tok, cnt, n_after))
+
+    d = str(tmp_path_factory.mktemp("bpe3"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = [
+        tuple(r)
+        for r in e.queries()["text_bpe_train_steps"](spark, d)
+        .orderBy("step")
+        .collect()
+    ]
+    spark.catalog.clearCache()  # release the per-example vocab persists
+    assert got == expected
