@@ -391,6 +391,9 @@ EXTRA = [
     "cdc_decode_multifile",
     "text_bpe_merge_step",
     "text_bpe_train_steps",
+    "cdc_ttl_rollup",
+    "embedding_gram_matrix",
+    "docs_epoch_shuffle",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -2000,3 +2000,177 @@ def docs_perplexity_buckets_nosort(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("nlp").alias("max_nlp"),
         )
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+), pr AS (
+  SELECT unnest(flatten([[{'i': i - 1, 'j': j - 1, 'p': e[i] * e[j]}
+                          FOR j IN range(i, len(e) + 1)]
+                         FOR i IN range(1, len(e) + 1)])) AS u
+  FROM q
+)
+SELECT CAST(u.i AS INTEGER) AS i, CAST(u.j AS INTEGER) AS j,
+       CAST(SUM(u.p) AS BIGINT) AS gram_fp
+FROM pr GROUP BY 1, 2
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X over the embedding column — the
+    accumulation that powers PCA / whitening / OPQ rotation training on
+    an embedding corpus (Jegou et al. PAMI'11 preprocess; Spark MLlib's
+    RowMatrix.computeGramianMatrix is the same shape): d**2 stays tiny
+    (64x64) while N scales, so the ONLY distributed work is summing
+    per-row outer products, and the d x d eigen-decomposition epilogue
+    is a driver-side numpy call on 4 KB of state — never a Spark job.
+    Emits the upper triangle (i <= j, d(d+1)/2 = 2080 rows).
+
+    Determinism: elements are fixed-pointed to BIGINT (q = round(x *
+    1000)) BEFORE any arithmetic, so every product and partial sum is
+    exact integer math on both engines — no float fold-order hazard at
+    any cluster size (the registry's DECIMAL rule, in integer form).
+    Overflow headroom: |q| <= ~1000 (unit-scale embeddings), so one
+    product is <= 1e6 and int64 holds ~9.2e18/1e6 ~ 9e12 rows per
+    final cell — comfortably past 100 TB; production would widen to
+    DECIMAL(38,0) at the agg if N ever approached that.
+
+    Shape: ONE scan, a per-row upper-triangle generator (nested
+    higher-order transform over a slice — pure JVM codegen, no
+    Python), then groupBy(i, j) whose partial aggregation IS the
+    classic per-task partial-gramian: each task pre-combines its rows'
+    outer products into <= 2080 local cells before the exchange, so
+    the shuffle carries tasks x d(d+1)/2 rows regardless of N.  The
+    transient explode never materializes: the generator feeds the
+    hash-aggregate streaming."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("q")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (vi, i) ->"
+                " transform(slice(q, i + 1, size(q) - i),"
+                "  (vj, jr) -> named_struct("
+                "   'i', i, 'j', i + jr, 'p', vi * vj))))"
+            )
+        ).alias("t")
+    )
+    return (
+        pairs.select(
+            F.col("t.i").cast("int").alias("i"),
+            F.col("t.j").cast("int").alias("j"),
+            F.col("t.p").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gram_fp"))
+    )
+
+
+#: Epoch-shuffle lattice-hash constants: odd multiplier (Knuth 2^32
+#: golden-ratio) keeps doc_id -> h bijective mod 2^32 per epoch, so
+#: shuffle positions are collision-free and min_by/arg_min tiebreaks
+#: are moot; the additive epoch term re-keys the whole permutation.
+_SHUF_MULT = 2654435761
+_SHUF_EPOCH = 40503
+_SHUF_MOD = 4294967296  # 2^32
+_SHUF_SHARDS = 8
+
+
+@register(
+    "docs_epoch_shuffle",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok, epoch,
+         (doc_id * {_SHUF_MULT} + epoch * {_SHUF_EPOCH} + 13)
+           % {_SHUF_MOD} AS h,
+         (doc_id * {_SHUF_MULT} + (1 - epoch) * {_SHUF_EPOCH} + 13)
+           % {_SHUF_MOD} AS h2
+  FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+)
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(h % {_SHUF_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, h) AS first_doc,
+       arg_max(doc_id, h) AS last_doc,
+       COUNT(*) FILTER (h % {_SHUF_SHARDS} = h2 % {_SHUF_SHARDS})
+         AS n_stay
+FROM a GROUP BY 1, 2
+""",
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch global shuffle — the data-ordering step
+    of a training run: epoch k reads the corpus in the order of a
+    seeded hash h(doc_id, k), sharded h % 8 ways, so every
+    re-run (and every resumed job) sees the identical permutation with
+    NO stored shuffle index and no random() (which would be
+    row-order-dependent and unreproducible).  Emits the per-(epoch,
+    shard) audit a pipeline records: doc/token load, the first/last doc
+    in shard order (the order witness), and n_stay — how many of the
+    shard's docs land in the SAME shard next epoch (decorrelation
+    check: ~1/8 of docs stay by chance; a broken seed
+    shows up as n_stay == n_docs).
+
+    The hash is a multiplicative lattice (odd multiplier mod 2^32):
+    bijective in doc_id per epoch — positions are collision-free by
+    construction — and exact BIGINT arithmetic on both engines, which
+    is the reason it stands in for xxhash64 here (the engines' native
+    hashes differ; production swaps in xxhash64(doc_id, seed=epoch)
+    and nothing else changes).  Bijectivity and the stay-rate are
+    property-tested.
+
+    Shape: one scan x 2 epochs (a 2-element explode), one
+    groupBy(epoch, shard) with map-side combine — no window, no join,
+    no sort.  At 100 TB the actual reordering this plans is
+    repartition(shard) + sortWithinPartitions(h) on write: shard is
+    the exchange key and the within-shard order needs no global sort,
+    so one epoch's shuffle is ONE hash exchange of the corpus — this
+    key computes the assignment and its audit in a single pass.  Both
+    branches of the epoch pair are derived per-row (h and h2 in one
+    projection), so the stay-rate costs no self-join."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ntok"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    )
+
+    def lattice(epoch_col):
+        return (
+            F.col("doc_id") * _SHUF_MULT + epoch_col * _SHUF_EPOCH + 13
+        ) % _SHUF_MOD
+
+    a = base.select(
+        "epoch",
+        "ntok",
+        "doc_id",
+        lattice(F.col("epoch")).alias("h"),
+        lattice(1 - F.col("epoch")).alias("h2"),
+    )
+    return (
+        a.select(
+            F.col("epoch").cast("int").alias("epoch"),
+            (F.col("h") % _SHUF_SHARDS).cast("int").alias("shard"),
+            "ntok",
+            "doc_id",
+            "h",
+            (F.col("h2") % _SHUF_SHARDS).cast("int").alias("shard2"),
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+            F.max_by("doc_id", "h").alias("last_doc"),
+            F.count_if(F.col("shard") == F.col("shard2")).alias("n_stay"),
+        )
+    )

@@ -159,6 +159,85 @@ def cdc_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_ttl_rollup",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+b AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, event_id,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         ts < mx - INTERVAL 30 DAY AS expired
+  FROM events CROSS JOIN mx
+)
+SELECT event_type, day, 'rollup' AS kind, CAST(NULL AS BIGINT) AS event_id,
+       COUNT(*) AS n_rows, CAST(SUM(v) AS DOUBLE) AS value_sum
+FROM b WHERE expired GROUP BY event_type, day
+UNION ALL
+SELECT event_type, day, 'raw' AS kind, event_id,
+       CAST(1 AS BIGINT) AS n_rows, CAST(v AS DOUBLE) AS value_sum
+FROM b WHERE NOT expired
+""",
+)
+def cdc_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree ``TTL ... GROUP BY`` twin — ClickHouse's TTL
+    AGGREGATION (not deletion): rows past the horizon are not dropped
+    but COLLAPSED into one rollup row per (event_type, day) carrying
+    ``SET n_rows = count(), value_sum = sum(value)``, while fresh rows
+    pass through untouched.  This is the capacity discipline a
+    replication sink actually deploys when raw history must stay
+    queryable in aggregate: the table converges to "recent rows raw,
+    old rows pre-aggregated", exactly what a TTL merge leaves behind.
+    Same 30-day horizon anchored at max ts as cdc_ttl_expiry (its
+    classification-only sibling — that key reports what WOULD expire,
+    this one materializes the post-merge table).
+
+    Shape: 1-row max-ts broadcast crossed into one scan, then a
+    two-branch union — the expired branch is one groupBy(event_type,
+    day) with map-side combine, the retained branch a pure projection.
+    Value sums run through DECIMAL(18,6) on both engines (registry
+    determinism rule) and surface as DOUBLE.  100 TB: the rollup
+    shuffle carries only expired (type, day) groups — bounded by the
+    calendar, not the row count; the retained branch never shuffles at
+    all, so a TTL merge over an arbitrarily large history is one
+    calendar-bounded aggregation."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    base = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("ts") < F.col("mx") - F.expr("INTERVAL 30 DAYS")).alias(
+            "expired"
+        ),
+    )
+    rollup = (
+        base.filter(F.col("expired"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("vs"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.lit("rollup").alias("kind"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            "n_rows",
+            F.col("vs").cast("double").alias("value_sum"),
+        )
+    )
+    raw = base.filter(~F.col("expired")).select(
+        "event_type",
+        "day",
+        F.lit("raw").alias("kind"),
+        "event_id",
+        F.lit(1).cast("bigint").alias("n_rows"),
+        F.col("v").cast("double").alias("value_sum"),
+    )
+    return rollup.unionByName(raw)
+
+
 _DIFF_DECODE = """
 SELECT CASE WHEN event_type = 'signup' THEN 'insert'
             WHEN event_type = 'error'  THEN 'delete'

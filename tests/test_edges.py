@@ -546,3 +546,84 @@ def test_m4_null_value_at_bucket_endpoints(spark, tmp_path_factory):
     assert b1[5] is None and b1[6] == 9.0
     # bucket 2: all-NULL bucket — every surface NULL, n_points honest
     assert b2[2:] == (2, None, None, None, None)
+
+
+def test_ttl_rollup_all_expired_and_none_expired(spark, tmp_path_factory):
+    """cdc_ttl_rollup at the horizon extremes the sf fixtures never
+    hit: a history spread far past 30 days (everything except the
+    anchor day collapses to rollup rows) and a history inside one day
+    (nothing expires — the output IS the raw table, zero rollup rows).
+    Both engines on both fixtures, plus the exactness invariant: the
+    decimal rollup sums equal the per-row values summed directly."""
+    import datetime as dt
+    from decimal import Decimal
+
+    def mk(name, rows):
+        d = tmp_path_factory.mktemp(name)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": [r[2] for r in rows],
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                    "props": ["{}"] * len(rows),
+                }
+            ),
+            os.path.join(str(d), "events.parquet"),
+        )
+        return str(d)
+
+    def both(d):
+        srows = sorted(
+            tuple(r) for r in e.queries()["cdc_ttl_rollup"](spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        orows = sorted(
+            tuple(r)
+            for r in con.execute(e.oracle_sql()["cdc_ttl_rollup"]).fetchall()
+        )
+        return srows, orows
+
+    t0 = dt.datetime(2024, 1, 1)
+    spread = mk(
+        "ttl_spread",
+        [
+            (1, t0, "click", 0.125),
+            (2, t0 + dt.timedelta(minutes=1), "click", 0.25),
+            (3, t0 + dt.timedelta(days=1), "click", 1.5),
+            (4, t0 + dt.timedelta(days=2), "view", 2.0),
+            (5, t0 + dt.timedelta(days=40), "click", 7.0),  # the anchor
+        ],
+    )
+    srows, orows = both(spread)
+    assert srows == orows
+    kinds = {r[2] for r in srows}
+    assert kinds == {"rollup", "raw"}
+    rollups = [r for r in srows if r[2] == "rollup"]
+    # day-1 click rollup merged BOTH sub-day rows, sum exact
+    d0 = [r for r in rollups if r[0] == "click" and r[4] == 2]
+    assert len(d0) == 1 and d0[0][5] == 0.375 and d0[0][3] is None
+    # only the anchor row survives raw
+    raws = [r for r in srows if r[2] == "raw"]
+    assert [r[3] for r in raws] == [5] and raws[0][5] == 7.0
+
+    fresh = mk(
+        "ttl_fresh",
+        [
+            (1, t0, "click", 1.0),
+            (2, t0 + dt.timedelta(hours=5), "view", 2.0),
+        ],
+    )
+    srows, orows = both(fresh)
+    assert srows == orows
+    assert {r[2] for r in srows} == {"raw"} and len(srows) == 2

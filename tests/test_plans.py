@@ -2007,3 +2007,55 @@ def test_bpe_train_steps_one_corpus_scan_pinned_iterates(plans, spark, sf_dir):
     assert p.count("TakeOrderedAndProject") >= 3, p  # one argmax per round
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     spark.catalog.clearCache()  # release the vocab/iteration persists
+
+
+def test_gram_matrix_partial_agg_no_python(plans):
+    """embedding_gram_matrix: the per-task partial gramian is the
+    built-in partial HashAggregate over the pair generator — one scan
+    reading ONLY the embedding column, pure JVM expressions (no Python
+    on the data path), no join, and exactly one exchange that carries
+    only the d(d+1)/2 aggregated cells."""
+    p = plans("embedding_gram_matrix")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "embedding" in read[0] and "vec_id" not in read[0]
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Join" not in p and "Window" not in p
+    assert plans("embedding_gram_matrix", "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+    # partial aggregation before the exchange: the partial_sum must
+    # appear in a HashAggregate that FEEDS the exchange
+    assert "partial_sum" in p
+
+
+def test_epoch_shuffle_one_pass_no_window(plans):
+    """docs_epoch_shuffle: the per-epoch assignment audit is ONE corpus
+    pass — a 2-element epoch explode, map-only lattice hashing, then a
+    single map-combined groupBy(epoch, shard).  No window (position
+    comes from sort-on-write at scale, not a rank), no self-join (both
+    epochs' shards derive per-row), no Python."""
+    p = plans("docs_epoch_shuffle")
+    assert "Window" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert plans("docs_epoch_shuffle", "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "doc_id" in read[0] and "lang" not in read[0]
+
+
+def test_ttl_rollup_scalar_anchor_calendar_agg(plans):
+    """cdc_ttl_rollup: the horizon anchor is a 1-row broadcast
+    (BroadcastNestedLoopJoin — the repo's scalar-threshold pattern,
+    never a shuffled join), the expired branch aggregates on
+    (event_type, day) — a calendar-bounded shuffle — and the retained
+    branch is a pure projection unioned in with no extra exchange."""
+    p = plans("cdc_ttl_rollup")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "Union" in p
+    # exactly one data-sized exchange: the (event_type, day) rollup
+    assert plans("cdc_ttl_rollup", "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+    assert "partial_sum" in p  # map-side combine on the decimal sums

@@ -1061,3 +1061,145 @@ def test_bpe_train_steps_matches_bruteforce(spark, tmp_path_factory, texts):
     ]
     spark.catalog.clearCache()  # release the per-example vocab persists
     assert got == expected
+
+
+_gram_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+        ),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vecs=_gram_vecs)
+@settings(**_SETTINGS)
+def test_gram_matrix_matches_numpy(spark, tmp_path_factory, vecs):
+    """embedding_gram_matrix vs numpy int64 on arbitrary tiny float32
+    corpora: the fixed-point quantization (round(x*1000) as int64) and
+    the distributed upper-triangle sum must equal Q.T @ Q computed
+    directly — exact integer equality, every cell, any vector count
+    including a single row (where every cell is one product)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("gram"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    got = {
+        (r.i, r.j): r.gram_fp
+        for r in e.queries()["embedding_gram_matrix"](spark, d).collect()
+    }
+    # numpy reference: quantize the PROMOTED doubles exactly as both
+    # engines do (float32 -> double, round half away from zero)
+    q = np.array(
+        [
+            [
+                int(np.floor(abs(float(np.float32(x))) * 1000 + 0.5))
+                * (1 if float(np.float32(x)) >= 0 else -1)
+                for x in v
+            ]
+            for v in vecs
+        ],
+        dtype=np.int64,
+    )
+    g = q.T @ q
+    want = {
+        (i, j): int(g[i, j])
+        for i in range(q.shape[1])
+        for j in range(i, q.shape[1])
+    }
+    assert got == want
+
+
+_shuffle_ids = st.lists(
+    st.integers(min_value=0, max_value=10**9),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+
+@given(doc_ids=_shuffle_ids)
+@settings(**_SETTINGS)
+def test_epoch_shuffle_bijective_and_symmetric(
+    spark, tmp_path_factory, doc_ids
+):
+    """docs_epoch_shuffle vs a literal per-doc recomputation: shard
+    loads, token sums, stay counts, and the min/max-h order witnesses
+    must match brute force for arbitrary doc_id sets; the lattice hash
+    must be collision-free per epoch (bijectivity — the reason
+    min_by/arg_min tiebreaks cannot diverge); and the stay relation is
+    symmetric (total stays at epoch 0 == epoch 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("eshuf"))
+    texts = ["w " * (i % 5 + 1) for i in range(len(doc_ids))]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array([t.strip() for t in texts], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rows = e.queries()["docs_epoch_shuffle"](spark, d).collect()
+
+    def lat(doc, ep):
+        return (doc * 2654435761 + ep * 40503 + 13) % 4294967296
+
+    # bijectivity per epoch
+    for ep in (0, 1):
+        hs = [lat(doc, ep) for doc in doc_ids]
+        assert len(set(hs)) == len(hs)
+    # brute-force the whole surface
+    want = {}
+    ntok = {doc: (i % 5 + 1) for i, doc in enumerate(doc_ids)}
+    for ep in (0, 1):
+        per = {}
+        for doc in doc_ids:
+            h = lat(doc, ep)
+            per.setdefault(h % 8, []).append((h, doc))
+        for shard, members in per.items():
+            members.sort()
+            stays = sum(
+                1
+                for h, doc in members
+                if lat(doc, 1 - ep) % 8 == shard
+            )
+            want[(ep, shard)] = (
+                len(members),
+                sum(ntok[doc] for _, doc in members),
+                members[0][1],
+                members[-1][1],
+                stays,
+            )
+    got = {
+        (r.epoch, r.shard): (
+            r.n_docs, r.n_tokens, r.first_doc, r.last_doc, r.n_stay
+        )
+        for r in rows
+    }
+    assert got == want
+    # stay symmetry across epochs
+    s0 = sum(v[4] for (ep, _), v in want.items() if ep == 0)
+    s1 = sum(v[4] for (ep, _), v in want.items() if ep == 1)
+    assert s0 == s1
