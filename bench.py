@@ -394,6 +394,8 @@ EXTRA = [
     "cdc_ttl_rollup",
     "embedding_gram_matrix",
     "docs_epoch_shuffle",
+    "scan_bloom_skip_index",
+    "sim_pca_power_iteration",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

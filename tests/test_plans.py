@@ -2059,3 +2059,32 @@ def test_ttl_rollup_scalar_anchor_calendar_agg(plans):
         "Exchange hashpartitioning"
     ) == 1
     assert "partial_sum" in p  # map-side combine on the decimal sums
+
+
+def test_bloom_skip_index_single_exchange_probe_words(plans):
+    """scan_bloom_skip_index: index build is ONE map-combined
+    groupBy(granule) (single data-sized exchange), the needle anchor is
+    a 1-row broadcast (BroadcastNestedLoopJoin — the scalar pattern),
+    no window, and the scan reads only the two columns the index needs
+    (event_id for the granule, user_id for the hash)."""
+    p = plans("scan_bloom_skip_index")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert plans("scan_bloom_skip_index", "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    main = [ln for ln in reads if "user_id" in ln]
+    assert main and "event_id" in main[0] and "props" not in main[0]
+
+
+def test_pca_power_iteration_broadcast_matvecs(plans):
+    """sim_pca_power_iteration: the three matvecs join the d^2-row
+    mirrored gram frame with the 64-row iterate as BROADCAST joins
+    (never sort-merge — the iterate is driver-scale), no window, no
+    Python; the only data-sized work is the shared gram scan."""
+    p = plans("sim_pca_power_iteration")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

@@ -1203,3 +1203,154 @@ def test_epoch_shuffle_bijective_and_symmetric(
     s0 = sum(v[4] for (ep, _), v in want.items() if ep == 0)
     s1 = sum(v[4] for (ep, _), v in want.items() if ep == 1)
     assert s0 == s1
+
+
+_bloom_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4000),   # event_id
+        st.integers(min_value=0, max_value=10**6),  # user_id
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_bloom_rows)
+@settings(**_SETTINGS)
+def test_bloom_skip_index_matches_bruteforce_no_false_negatives(
+    spark, tmp_path_factory, rows
+):
+    """scan_bloom_skip_index vs a literal Python bloom on arbitrary
+    (event_id, user_id) sets: per-granule probe words, envelopes and
+    verdicts must match brute force exactly, and the Bloom contract
+    bloom_hit >= true_hit must hold on every granule (a false negative
+    would silently skip data at read time — the one unforgivable
+    skip-index bug)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("bloom"))
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": ["click"] * len(rows),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = {
+        r.granule: r
+        for r in e.queries()["scan_bloom_skip_index"](spark, d).collect()
+    }
+
+    def pos(u):
+        return (
+            ((u * 2654435761 + 13) % 4294967296) % 3968,
+            ((u * 40503 + 97) % 4294967296) % 3968,
+        )
+
+    needle = max(u for _, u in rows) // 2
+    np1, np2 = pos(needle)
+    nw1, nw2, nb1, nb2 = np1 // 62, np2 // 62, 1 << (np1 % 62), 1 << (np2 % 62)
+    per = {}
+    for eid, u in rows:
+        per.setdefault(eid // 512, []).append(u)
+    assert set(got) == set(per)
+    for gran, us in per.items():
+        b1 = b2 = 0
+        for u in us:
+            for p in pos(u):
+                if p // 62 == nw1:
+                    b1 |= 1 << (p % 62)
+                if p // 62 == nw2:
+                    b2 |= 1 << (p % 62)
+        r = got[gran]
+        bloom_hit = int((b1 & nb1) == nb1 and (b2 & nb2) == nb2)
+        true_hit = int(needle in us)
+        assert (
+            r.n_rows, r.probe_word1, r.probe_word2, r.min_u, r.max_u,
+            r.bloom_hit, r.minmax_hit, r.true_hit,
+        ) == (
+            len(us), b1, b2, min(us), max(us),
+            bloom_hit, int(min(us) <= needle <= max(us)), true_hit,
+        )
+        assert r.bloom_hit >= r.true_hit  # the Bloom contract
+
+
+@given(vecs=_gram_vecs)
+@settings(**_SETTINGS)
+def test_pca_power_iteration_matches_bruteforce(
+    spark, tmp_path_factory, vecs
+):
+    """sim_pca_power_iteration vs a literal arbitrary-precision Python
+    reference of the SAME scaled-integer algorithm (quantize -> gram ->
+    3 matvecs with trunc-div rescaling): exact equality of every
+    component/sign — proving the Spark plan and the DuckDB oracle both
+    implement the declared fixed-point iteration, not merely each
+    other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("pca"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    got = {
+        r.i: (r.comp_ppm, r.sgn)
+        for r in e.queries()["sim_pca_power_iteration"](spark, d).collect()
+    }
+    dim = len(vecs[0])
+
+    def quant(x):
+        xx = float(np.float32(x))
+        return int(abs(xx) * 1000 + 0.5) * (1 if xx >= 0 else -1)
+
+    q = [[quant(x) for x in v] for v in vecs]
+    G = [
+        [sum(row[i] * row[j] for row in q) for j in range(dim)]
+        for i in range(dim)
+    ]
+
+    def rescale(v, denom):
+        dd = max(abs(x) for x in v) // denom + 1
+        return [
+            (-(abs(x) // dd) if x < 0 else abs(x) // dd) for x in v
+        ]
+
+    def matvec(v):
+        return [
+            sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        ]
+
+    v = rescale([sum(G[i]) for i in range(dim)], 65536)
+    v = rescale(matvec(v), 65536)
+    v = matvec(v)
+    d3 = max(abs(x) for x in v) // 1000000 + 1
+    want = {
+        i: (
+            abs(v[i]) // d3,
+            -1 if v[i] < 0 else (1 if v[i] > 0 else 0),
+        )
+        for i in range(dim)
+    }
+    assert got == want
