@@ -396,6 +396,7 @@ EXTRA = [
     "docs_epoch_shuffle",
     "scan_bloom_skip_index",
     "sim_pca_power_iteration",
+    "embedding_pca_project",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

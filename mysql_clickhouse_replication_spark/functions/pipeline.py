@@ -2225,10 +2225,10 @@ q AS (
 )"""
 
 
-@register(
-    "sim_pca_power_iteration",
-    oracle=f"""
-WITH {_PCA_GRAM_CTE.strip()},
+#: The full 3-step scaled-integer iteration as a CTE chain — shared by
+#: sim_pca_power_iteration (emits the direction) and
+#: embedding_pca_project (consumes it for the corpus projection).
+_PCA_ITER_CTE = f"""{_PCA_GRAM_CTE.strip()},
 v1r AS (SELECT i, SUM(g) AS v FROM gf GROUP BY i),
 d1 AS (SELECT MAX(abs(v)) // {_PCA_RESCALE} + 1 AS d FROM v1r),
 v1 AS (
@@ -2248,7 +2248,13 @@ v3 AS (
   SELECT gf.i, SUM(gf.g * v2.v) AS v
   FROM gf JOIN v2 ON gf.j = v2.i GROUP BY gf.i
 ),
-d3 AS (SELECT MAX(abs(v)) // {_PCA_PPM} + 1 AS d FROM v3)
+d3 AS (SELECT MAX(abs(v)) // {_PCA_PPM} + 1 AS d FROM v3)"""
+
+
+@register(
+    "sim_pca_power_iteration",
+    oracle=f"""
+WITH {_PCA_ITER_CTE}
 SELECT CAST(v3.i AS INTEGER) AS i,
        CAST(abs(v3.v) // d3.d AS BIGINT) AS comp_ppm,
        CAST(CASE WHEN v3.v < 0 THEN -1 WHEN v3.v > 0 THEN 1
@@ -2334,4 +2340,80 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1"
             " ELSE 0 END AS INT)"
         ).alias("sgn"),
+    )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+WITH {_PCA_ITER_CTE},
+dir AS (
+  SELECT v3.i AS i,
+         CASE WHEN v3.v < 0 THEN -(abs(v3.v) // d3.d)
+              ELSE abs(v3.v) // d3.d END AS c
+  FROM v3 CROSS JOIN d3
+),
+qv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, SUM(e[dir.i + 1] * dir.c) AS p
+  FROM qv CROSS JOIN dir GROUP BY vec_id
+),
+st AS (SELECT MIN(p) AS mn, MAX(p) AS mx FROM proj)
+SELECT vec_id, CAST(p AS BIGINT) AS proj_fp,
+       CAST((p - mn) * 10 // (mx - mn + 1) AS INTEGER) AS bucket
+FROM proj CROSS JOIN st
+""",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projection onto the dominant PCA direction — the step
+    that turns sim_pca_power_iteration's eigenvector into something a
+    pipeline USES: rank every embedding along the top principal
+    component (diversity-aware sampling, spectral outlier triage, the
+    split key of PCA-tree ANN partitioning) and decile-bucket it with
+    data-derived bounds.  End-to-end spectral pipeline, all three
+    stages registered: gram accumulation (embedding_gram_matrix) ->
+    direction (sim_pca_power_iteration) -> projection (this key).
+
+    Shape is the 100 TB story: the direction collapses to a 1-row
+    ARRAY (sorted collect over 64 rows — bounded by d, never data) and
+    broadcast-crosses into the scan, so the projection is a MAP-ONLY
+    zip_with/aggregate dot product per row — the corpus never
+    shuffles; the only exchanges are the shared gram scan's (memoed —
+    computed once per session across all three spectral keys) and two
+    1-row stats aggs for the bucket bounds.  Everything integer:
+    q in [-1000, 1000], direction in ppm, so |proj| <= d * 1e9 and the
+    bucket arithmetic ((p - mn) * 10 DIV span) stays positive-range
+    BIGINT — trunc == floor on both engines."""
+    dirn = sim_pca_power_iteration(spark, sf_dir).select(
+        "i", F.expr("comp_ppm * sgn").alias("c")
+    )
+    d1 = dirn.agg(
+        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("dc")
+    ).select(F.expr("transform(dc, s -> s.c)").alias("dir"))
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    p = q.crossJoin(F.broadcast(d1)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, dir, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("proj_fp"),
+    )
+    st = p.agg(F.min("proj_fp").alias("mn"), F.max("proj_fp").alias("mx"))
+    return p.crossJoin(F.broadcast(st)).select(
+        "vec_id",
+        "proj_fp",
+        F.expr(
+            "CAST((proj_fp - mn) * 10 DIV (mx - mn + 1) AS INT)"
+        ).alias("bucket"),
     )

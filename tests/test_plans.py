@@ -2088,3 +2088,22 @@ def test_pca_power_iteration_broadcast_matvecs(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "Window" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_pca_project_map_only_dot_product(plans, spark, sf_dir):
+    """embedding_pca_project: the corpus-side projection is a MAP-ONLY
+    zip_with/aggregate dot product against a 1-row broadcast direction
+    array — no window, no sort-merge join, no Python; the output
+    partitioning is the scan's (no exchange ever touches the N-row
+    path), and buckets land in [0, 9] with both extremes realized."""
+    p = plans("embedding_pca_project")
+    assert "zip_with" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    rows = e.queries()["embedding_pca_project"](spark, sf_dir).collect()
+    bks = sorted({r.bucket for r in rows})
+    assert bks[0] == 0 and bks[-1] == 9
+    mn = min(r.proj_fp for r in rows)
+    mx = max(r.proj_fp for r in rows)
+    for r in rows:
+        assert r.bucket == (r.proj_fp - mn) * 10 // (mx - mn + 1)

@@ -1354,3 +1354,65 @@ def test_pca_power_iteration_matches_bruteforce(
         for i in range(dim)
     }
     assert got == want
+
+
+@given(vecs=_gram_vecs)
+@settings(**_SETTINGS)
+def test_pca_project_matches_bruteforce(spark, tmp_path_factory, vecs):
+    """embedding_pca_project vs the arbitrary-precision Python chain
+    (quantize -> gram -> 3 scaled matvecs -> direction -> dot product
+    -> data-bounded decile): exact per-vector equality of projection
+    and bucket, including the single-vector corpus where mn == mx
+    collapses every bucket to 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("pcaproj"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    got = {
+        r.vec_id: (r.proj_fp, r.bucket)
+        for r in e.queries()["embedding_pca_project"](spark, d).collect()
+    }
+    dim = len(vecs[0])
+
+    def quant(x):
+        xx = float(np.float32(x))
+        return int(abs(xx) * 1000 + 0.5) * (1 if xx >= 0 else -1)
+
+    q = [[quant(x) for x in v] for v in vecs]
+    G = [
+        [sum(row[i] * row[j] for row in q) for j in range(dim)]
+        for i in range(dim)
+    ]
+
+    def rescale(v, denom):
+        dd = max(abs(x) for x in v) // denom + 1
+        return [(-(abs(x) // dd) if x < 0 else abs(x) // dd) for x in v]
+
+    v = rescale([sum(G[i]) for i in range(dim)], 65536)
+    v = rescale([sum(G[i][j] * v[j] for j in range(dim))
+                 for i in range(dim)], 65536)
+    v = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    d3 = max(abs(x) for x in v) // 1000000 + 1
+    c = [(-(abs(x) // d3) if x < 0 else abs(x) // d3) for x in v]
+    projs = {
+        vid: sum(q[vid][j] * c[j] for j in range(dim))
+        for vid in range(len(vecs))
+    }
+    mn, mx = min(projs.values()), max(projs.values())
+    want = {
+        vid: (p, (p - mn) * 10 // (mx - mn + 1))
+        for vid, p in projs.items()
+    }
+    assert got == want
