@@ -397,6 +397,7 @@ EXTRA = [
     "scan_bloom_skip_index",
     "sim_pca_power_iteration",
     "embedding_pca_project",
+    "text_bpe_fertility",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -2061,6 +2061,11 @@ _GRAM_MEMO: dict = {}
 
 
 def _gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lifetime: the persisted frame is d(d+1)/2 rows (2080 — bounded by
+    # the embedding dimension, never by N) and is returned lazily; the
+    # sweep/bench harness releases it via spark.catalog.clearCache()
+    # between keys (the repo-wide clearCache convention), and the memo
+    # entry dies with the SparkSession applicationId it is keyed on.
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _GRAM_MEMO.get(key)
     if hit is not None:

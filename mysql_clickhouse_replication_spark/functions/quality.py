@@ -1275,3 +1275,161 @@ def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append(expanded.select("tok"))
         cur = nxt
     return step_rows[0].unionAll(step_rows[1]).unionAll(step_rows[2])
+
+
+@register(
+    "text_bpe_fertility",
+    oracle="""
+WITH w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents) u
+  WHERE length(w) >= 2 GROUP BY w
+),
+p1 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w0 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b1 AS (SELECT l || r AS m FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+w1 AS (SELECT replace(w, m, chr(1)) AS w, c FROM w0, b1),
+p2 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w1 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b2 AS (SELECT l || r AS m FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+w2 AS (SELECT replace(w, m, chr(2)) AS w, c FROM w1, b2),
+p3 AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM w2 WHERE length(w) >= 2) p
+  GROUP BY 1, 2
+),
+b3 AS (SELECT l || r AS m FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+wl AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents) u
+  WHERE length(w) >= 2 GROUP BY lang, w
+),
+seg AS (
+  SELECT lang, c, length(w) AS n_chr,
+         length(replace(replace(replace(w, b1.m, chr(1)),
+                                b2.m, chr(2)), b3.m, chr(3))) AS n_sym
+  FROM wl, b1, b2, b3
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(n_chr * c) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym * c) AS BIGINT) AS n_symbols,
+       CAST(SUM(n_sym * c) * 1000000 // SUM(c) AS BIGINT)
+         AS tokens_per_word_ppm,
+       CAST(SUM(n_sym * c) * 1000000 // SUM(n_chr * c) AS BIGINT)
+         AS symbols_per_char_ppm
+FROM seg GROUP BY lang
+""",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY of the learned BPE merges —
+    the bias metric (Rust et al., ACL 2021: subword tokens per word)
+    a multilingual corpus team reads before shipping a tokenizer: a
+    vocabulary trained on the frequency-weighted WHOLE corpus compresses
+    majority languages better, and this key quantifies exactly that —
+    per language, tokens/word and symbols/char in ppm after applying
+    the same 3 merges text_bpe_train_steps learns (same argmax chain,
+    same sentinel encoding, so merge tables provably agree).
+
+    Two corpus reads, the honest minimum: LEARN on global word counts
+    (vocabulary-bounded chain — identical plan to text_bpe_train_steps,
+    each step one alphabet-bounded agg + a broadcast 1-row argmax),
+    then APPLY per (lang, word) — a second vocabulary-bounded frame
+    (distinct words per language, not corpus length: the Sennrich
+    weighting trick again) segmented by three nested replaces against
+    the broadcast merges and folded in ONE groupBy(lang).  All-integer
+    surface; ppm ratios via positive-range DIV (trunc == floor on both
+    engines).  Degenerate corpora that exhaust merges before 3 steps
+    empty the argmax frames and the surface on BOTH engines alike (the
+    train_steps convention).  At 100 TB both reads are map-combined
+    token explodes; every post-scan frame is vocabulary-sized."""
+    d = table(spark, sf_dir, "documents")
+    # Lifetime: the persisted per-step vocab frames are |vocab| rows,
+    # returned lazily and released by the harness's clearCache between
+    # keys (repo convention) — the _min_label_propagate discipline.
+    cur = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bests: list[DataFrame] = []
+    for step in (1, 2, 3):
+        pairs = (
+            cur.filter(F.length("w") >= 2)
+            .select(
+                "w",
+                "c",
+                F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+            )
+            .select(
+                F.expr("substring(w, i, 1)").alias("l"),
+                F.expr("substring(w, i + 1, 1)").alias("r"),
+                "c",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(F.concat("l", "r").alias(f"_m{step}"))
+        )
+        bests.append(best)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(best.select(F.col(f"_m{step}").alias("_m")))
+            )
+            .select(F.expr(f"replace(w, _m, chr({step}))").alias("w"), "c")
+            .persist()
+        )
+    wl = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seg = wl
+    for b in bests:
+        seg = seg.crossJoin(F.broadcast(b))
+    seg = seg.select(
+        "lang",
+        "c",
+        F.length("w").alias("n_chr"),
+        F.length(
+            F.expr(
+                "replace(replace(replace(w, _m1, chr(1)),"
+                " _m2, chr(2)), _m3, chr(3))"
+            )
+        ).alias("n_sym"),
+    )
+    return seg.groupBy("lang").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("n_chr") * F.col("c")).alias("n_chars"),
+        F.sum(F.col("n_sym") * F.col("c")).alias("n_symbols"),
+        F.expr(
+            "CAST(SUM(n_sym * c) * 1000000 DIV SUM(c) AS BIGINT)"
+        ).alias("tokens_per_word_ppm"),
+        F.expr(
+            "CAST(SUM(n_sym * c) * 1000000 DIV SUM(n_chr * c) AS BIGINT)"
+        ).alias("symbols_per_char_ppm"),
+    )

@@ -2107,3 +2107,22 @@ def test_pca_project_map_only_dot_product(plans, spark, sf_dir):
     mx = max(r.proj_fp for r in rows)
     for r in rows:
         assert r.bucket == (r.proj_fp - mn) * 10 // (mx - mn + 1)
+
+
+def test_bpe_fertility_two_scans_broadcast_merges(plans, spark, sf_dir):
+    """text_bpe_fertility: LEARN + APPLY are the only two corpus
+    reads (distinct executed scan nodes == 2 — the per-step vocab
+    frames are pinned, the apply side is its own grouped frame), each
+    argmax attaches as a broadcast 1-row crossJoin with a bounded
+    TakeOrderedAndProject, and the fold is one lang-keyed agg — no
+    window anywhere."""
+    df = e.queries()["text_bpe_fertility"](spark, sf_dir)
+    df.collect()  # cache decisions only appear in the executed plan
+    p = _plan(df)
+    assert "Window" not in p and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row merge attaches
+    scan_ids = {
+        m for m in re.findall(r"\((\d+)\) Scan parquet", p)
+    }
+    assert len(scan_ids) <= 2, (sorted(scan_ids), p[:2000])

@@ -1416,3 +1416,87 @@ def test_pca_project_matches_bruteforce(spark, tmp_path_factory, vecs):
         for vid, p in projs.items()
     }
     assert got == want
+
+
+_fert_texts = st.lists(
+    st.tuples(
+        st.text(alphabet="ab c", min_size=0, max_size=20),
+        st.sampled_from(["en", "de"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(rows=_fert_texts)
+@settings(**_SETTINGS)
+def test_bpe_fertility_matches_bruteforce(spark, tmp_path_factory, rows):
+    """text_bpe_fertility vs a literal reference: learn 3 merges on the
+    GLOBAL frequency-weighted vocabulary (count DESC, pair ASC argmax
+    in encoded space — the train_steps tiebreak), apply them per
+    (lang, word), fold per language.  Covers the degenerate corpus
+    (merges exhausted before 3 steps => EMPTY surface on both sides,
+    the documented convention) and the injectivity of sentinel
+    replacement that lets the vocab skip re-grouping."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("fert"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for t, _ in rows], pa.string()),
+                "lang": pa.array([lg for _, lg in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = sorted(
+        tuple(r)
+        for r in e.queries()["text_bpe_fertility"](spark, d).collect()
+    )
+
+    def words(t):
+        return [w for w in re.split("[^a-z]+", t.lower()) if len(w) >= 2]
+
+    w0 = Counter()
+    for t, _ in rows:
+        w0.update(words(t))
+    merges = []
+    vocab = dict(w0)
+    for step in (1, 2, 3):
+        pairs = Counter()
+        for w, c in vocab.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        m = best[0] + best[1]
+        merges.append(m)
+        vocab = {w.replace(m, chr(step)): c for w, c in vocab.items()}
+    if len(merges) < 3:
+        assert got == []
+        return
+    per = {}
+    for t, lg in rows:
+        for w in words(t):
+            per[(lg, w)] = per.get((lg, w), 0) + 1
+    agg = {}
+    for (lg, w), c in per.items():
+        s = w
+        for step, m in enumerate(merges, 1):
+            s = s.replace(m, chr(step))
+        nw, nc, ns = agg.get(lg, (0, 0, 0))
+        agg[lg] = (nw + c, nc + len(w) * c, ns + len(s) * c)
+    want = sorted(
+        (lg, nw, nc, ns, ns * 1000000 // nw, ns * 1000000 // nc)
+        for lg, (nw, nc, ns) in agg.items()
+    )
+    assert got == want

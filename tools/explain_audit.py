@@ -123,6 +123,31 @@ AUDIT = {
     "frame (InMemoryRelation feeds both pair counting and "
     "re-segmentation); broadcast 1-row argmax attach; both top-10 "
     "surfaces TakeOrderedAndProject",
+    "cdc_ttl_rollup": "1-row max-ts broadcast anchor "
+    "(BroadcastNestedLoopJoin); expired branch ONE calendar-bounded "
+    "groupBy(event_type, day) with partial_sum combine; retained branch "
+    "a pure projection unioned in with no exchange",
+    "embedding_gram_matrix": "one embedding-only scan, nested "
+    "higher-order pair generator feeding partial HashAggregate — the "
+    "per-task partial gramian; single exchange carries tasks x 2080 "
+    "cells regardless of N; no Python, no join",
+    "sim_pca_power_iteration": "shared memoed gram scan, then three "
+    "BroadcastHashJoin matvecs over the coalesce(1) mirrored d^2 frame "
+    "— iterative linear algebra with zero corpus re-reads",
+    "embedding_pca_project": "direction collapsed to a 1-row broadcast "
+    "array; corpus-side projection is a MAP-ONLY zip_with/aggregate dot "
+    "product — the N-row path has no exchange at all",
+    "docs_epoch_shuffle": "one scan x 2-element epoch Generate, "
+    "map-only lattice hashing, ONE map-combined groupBy(epoch, shard) — "
+    "no window, no join, no sort",
+    "scan_bloom_skip_index": "per-row two-word bit contributions OR-fold "
+    "in ONE map-combined groupBy(granule); needle anchor is a 1-row "
+    "BroadcastNestedLoopJoin; only the probed 2 of 64 index words are "
+    "ever materialized",
+    "text_bpe_fertility": "LEARN + APPLY are the only two corpus scans "
+    "(executed-plan scan ids asserted); broadcast 1-row merge attaches "
+    "with bounded TakeOrderedAndProject argmaxes; one lang-keyed agg, "
+    "no window",
 }
 
 
