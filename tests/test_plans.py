@@ -2014,7 +2014,17 @@ def test_gram_matrix_partial_agg_no_python(plans):
     built-in partial HashAggregate over the pair generator — one scan
     reading ONLY the embedding column, pure JVM expressions (no Python
     on the data path), no join, and exactly one exchange that carries
-    only the d(d+1)/2 aggregated cells."""
+    only the d(d+1)/2 aggregated cells.
+
+    Asserts the COLD construction plan: earlier session tests (the
+    registry-wide oracle compare) materialize the shared _GRAM_MEMO,
+    and a memo hit renders as InMemoryTableScan instead of the parquet
+    scan — evict it first so the audited plan is the one that runs at
+    scale."""
+    from mysql_clickhouse_replication_spark.functions import pipeline
+
+    for k in list(pipeline._GRAM_MEMO):
+        pipeline._GRAM_MEMO.pop(k).unpersist()
     p = plans("embedding_gram_matrix")
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert read and "embedding" in read[0] and "vec_id" not in read[0]
