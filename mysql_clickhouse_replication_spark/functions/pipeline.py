@@ -2286,6 +2286,11 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial spectra; on real embedding gramians (lambda1 gap) three
     steps already separate the top direction — and the step count is a
     constant, not a tuning knob, the graph_pagerank discipline.
+    Magnitude bound: the iterate inherits embedding_gram_matrix's
+    int64 headroom (~9e12 corpus rows before a gram cell nears 2^63;
+    the first unscaled fold v1 = G·1 adds a factor d) — past that,
+    production widens the gram agg to DECIMAL(38,0) and the same
+    rescaling discipline carries through unchanged.
 
     Scale: the distributed work is the shared _gram_cells scan (memoed
     — this key and embedding_gram_matrix read it once per session, the
