@@ -26,14 +26,15 @@ proof rotates through the registry in 50-key windows:
   oldest round-5 keys), ordered stalest-first (newest-green round,
   then key) — recomputed this round from the r01..r10 union exactly
   as the r10 verdict prescribed.
-* the 10 keys first registered in round 11 (text_bpe_merge_step,
+* the 11 keys first registered in round 11 (text_bpe_merge_step,
   text_bpe_train_steps, text_bpe_fertility, cdc_decode_multifile,
   cdc_ttl_rollup, embedding_gram_matrix, embedding_pca_project,
-  docs_epoch_shuffle, scan_bloom_skip_index, sim_pca_power_iteration —
-  not in ``_DRIVER_GREEN``) have no driver proof at all, so they sort
-  FIRST; the stalest list fills the window behind them (the 50-key cut
-  drops the eight youngest front entries — cdc_type_edges,
-  events_alert_rules, events_bot_detection, events_changepoint_cusum,
+  docs_epoch_shuffle, scan_bloom_skip_index, scan_set_skip_index,
+  sim_pca_power_iteration — not in ``_DRIVER_GREEN``) have no driver
+  proof at all, so they sort FIRST; the stalest list fills the window
+  behind them (the 50-key cut drops the nine youngest front entries —
+  cdc_gtid_resume, cdc_type_edges, events_alert_rules,
+  events_bot_detection, events_changepoint_cusum,
   events_conversion_latency, events_distribution_drift,
   events_dormant_reactivation, events_error_budget_burn — back into
   the tail), leaving no key's newest green older than round 5 after

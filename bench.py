@@ -398,6 +398,7 @@ EXTRA = [
     "sim_pca_power_iteration",
     "embedding_pca_project",
     "text_bpe_fertility",
+    "scan_set_skip_index",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

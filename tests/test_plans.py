@@ -2136,3 +2136,17 @@ def test_bpe_fertility_two_scans_broadcast_merges(plans, spark, sf_dir):
         m for m in re.findall(r"\((\d+)\) Scan parquet", p)
     }
     assert len(scan_ids) <= 2, (sorted(scan_ids), p[:2000])
+
+
+def test_set_skip_index_single_group_agg(plans):
+    """scan_set_skip_index: the index build is one granule-keyed
+    aggregate (the per-granule distinct adds Spark's two-phase distinct
+    — at most two exchanges, both granule-bounded), the needle anchor
+    is a 1-row broadcast, no window, no Python."""
+    p = plans("scan_set_skip_index")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert plans("scan_set_skip_index", "simple").count(
+        "Exchange hashpartitioning"
+    ) <= 2

@@ -1500,3 +1500,77 @@ def test_bpe_fertility_matches_bruteforce(spark, tmp_path_factory, rows):
         for lg, (nw, nc, ns) in agg.items()
     )
     assert got == want
+
+
+_setidx_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2000),  # event_id
+        st.integers(min_value=0, max_value=40),    # day offset
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_setidx_rows)
+@settings(**_SETTINGS)
+def test_set_skip_index_matches_bruteforce_exact_where_usable(
+    spark, tmp_path_factory, rows
+):
+    """scan_set_skip_index vs brute force on arbitrary (event_id, day)
+    sets: per-granule surface equality plus the two contracts — no
+    false negatives (set_hit >= true_hit), and wherever the set is
+    usable (<= 8 distinct days) the verdict is EXACT (set_hit ==
+    true_hit); over-cap granules are always-hit."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("setidx"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    ts = [t0 + dt.timedelta(days=off) for _, off in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": ["click"] * len(rows),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = {
+        r.granule: r
+        for r in e.queries()["scan_set_skip_index"](spark, d).collect()
+    }
+    mx = max(ts)
+    needle = (mx - dt.timedelta(days=15)).date()
+    per = {}
+    for (eid, _), t in zip(rows, ts):
+        per.setdefault(eid // 512, []).append(t.date())
+    assert set(got) == set(per)
+    for gran, days in per.items():
+        r = got[gran]
+        nd = len(set(days))
+        usable = int(nd <= 8)
+        true_hit = int(needle in days)
+        set_hit = 1 if nd > 8 else true_hit
+        assert (
+            r.n_rows, r.n_days, r.min_day, r.max_day,
+            r.set_usable, r.set_hit, r.minmax_hit, r.true_hit,
+        ) == (
+            len(days), nd, min(days), max(days),
+            usable, set_hit,
+            int(min(days) <= needle <= max(days)), true_hit,
+        )
+        assert r.set_hit >= r.true_hit
+        if r.set_usable:
+            assert r.set_hit == r.true_hit

@@ -148,6 +148,9 @@ AUDIT = {
     "(executed-plan scan ids asserted); broadcast 1-row merge attaches "
     "with bounded TakeOrderedAndProject argmaxes; one lang-keyed agg, "
     "no window",
+    "scan_set_skip_index": "one granule-keyed aggregate with Spark's "
+    "two-phase bounded distinct (<= 2 exchanges); 1-row broadcast "
+    "needle anchor; no window, no Python",
 }
 
 
