@@ -734,7 +734,15 @@ _BLOOM_GRANULE = 512  # rows per granule (ClickHouse index_granularity)
 
 
 def _bloom_pos(col: str) -> tuple[str, str]:
-    """The two lattice-hash bit positions of ``col`` in [0, 3968)."""
+    """The two lattice-hash bit positions of ``col`` in [0, 3968).
+
+    Id-magnitude precondition (r11 ADVICE #2, same lattice as
+    docs_epoch_shuffle): cross-engine exactness holds while
+    ``col * 2654435761`` fits int64, i.e. values below ~3.47e9 —
+    past that Spark wraps where DuckDB errors.  The fixture id
+    domains sit orders of magnitude inside the bound; corpora with
+    wider ids reduce them mod 2^32 before hashing (production's
+    xxhash64 replacement has no such precondition)."""
     return (
         f"((({col} * 2654435761 + 13) % 4294967296) % 3968)",
         f"((({col} * 40503 + 97) % 4294967296) % 3968)",
