@@ -1013,3 +1013,195 @@ def scan_set_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_match > 0 THEN 1 ELSE 0 END AS INT)"
         ).alias("true_hit"),
     )
+
+
+#: tokenbf granule: documents per skip-index granule.  Smaller than the
+#: 512-row numeric granule because the indexed unit is a token SET (a
+#: 32-doc granule holds ~hundreds of distinct tokens against m = 3968
+#: bits / k = 2 — ~10% fill; 512 docs would saturate the filter, which
+#: is exactly the sizing lesson ClickHouse documents for tokenbf_v1).
+_TOKENBF_GRANULE = 32
+
+
+@register(
+    "scan_tokenbf_skip_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, doc_id // {_TOKENBF_GRANULE} AS granule, tok
+  FROM (SELECT doc_id,
+               unnest(list_distinct(
+                 regexp_split_to_array(lower(text), '[^a-z]+'))) AS tok
+        FROM documents) u
+  WHERE tok <> ''
+),
+nd AS (
+  SELECT tok AS ndl,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT % 3968) AS np1,
+         (('0x' || substr(md5(tok), 9, 8))::BIGINT % 3968) AS np2
+  FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+        ORDER BY df, tok LIMIT 1)
+),
+m AS (
+  SELECT granule, doc_id, CAST(tok = ndl AS INTEGER) AS is_ndl,
+         np1 // 62 AS nw1, np2 // 62 AS nw2,
+         (CAST(1 AS BIGINT) << CAST(np1 % 62 AS INTEGER)) AS nb1,
+         (CAST(1 AS BIGINT) << CAST(np2 % 62 AS INTEGER)) AS nb2,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 3968 AS p1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT % 3968 AS p2
+  FROM toks CROSS JOIN nd
+),
+c AS (
+  SELECT granule, doc_id, is_ndl, nb1, nb2,
+         (CASE WHEN p1 // 62 = nw1
+               THEN (CAST(1 AS BIGINT) << CAST(p1 % 62 AS INTEGER))
+               ELSE 0 END)
+       | (CASE WHEN p2 // 62 = nw1
+               THEN (CAST(1 AS BIGINT) << CAST(p2 % 62 AS INTEGER))
+               ELSE 0 END) AS m1,
+         (CASE WHEN p1 // 62 = nw2
+               THEN (CAST(1 AS BIGINT) << CAST(p1 % 62 AS INTEGER))
+               ELSE 0 END)
+       | (CASE WHEN p2 // 62 = nw2
+               THEN (CAST(1 AS BIGINT) << CAST(p2 % 62 AS INTEGER))
+               ELSE 0 END) AS m2
+  FROM m
+),
+g AS (
+  SELECT granule,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_postings,
+         bit_or(m1) AS b1, bit_or(m2) AS b2,
+         MAX(nb1) AS nb1, MAX(nb2) AS nb2,
+         CAST(SUM(is_ndl) AS BIGINT) AS n_match
+  FROM c GROUP BY granule
+)
+SELECT granule, n_docs, n_postings,
+       b1 AS probe_word1, b2 AS probe_word2,
+       CAST(CASE WHEN (b1 & nb1) = nb1 AND (b2 & nb2) = nb2
+            THEN 1 ELSE 0 END AS INTEGER) AS tokenbf_hit,
+       CAST(CASE WHEN n_match > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS true_hit
+FROM g
+""",
+)
+def scan_tokenbf_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``tokenbf_v1`` SKIP-INDEX twin — the TEXT member that
+    completes the data-skipping family (minmax: scan_sorted_layout_prune;
+    curve: scan_zorder_layout; hash: scan_bloom_skip_index; exact-set:
+    scan_set_skip_index): each 32-doc granule stores a Bloom filter
+    (m = 3968 bits, k = 2) over the granule's DISTINCT TOKEN set, and a
+    ``hasToken(text, needle)`` / token-boundary LIKE predicate probes it
+    — the index that lets a log-search engine skip message granules
+    without reading a byte of text.
+
+    Probe needle: the corpus's RAREST token (min document frequency,
+    token ASC tiebreak — a deterministic data-derived rule; on the
+    fixtures it picks the planted near-dup marker at ~5% df), so the
+    prune rate is non-vacuous at every SF: most granules lack the
+    needle and a correct filter proves it cheaply.
+
+    Hashes: TWO INDEPENDENT 32-bit slices of one md5 (chars 1-8 and
+    9-16) — the repo's portable cross-engine hash (text_fingerprint
+    convention), chosen over the integer lattice deliberately: k = 2
+    genuinely independent functions, and no ``h * mult`` product, so
+    the _bloom_pos id-magnitude precondition doesn't exist here at all.
+    Bit layout matches scan_bloom_skip_index exactly: 64 words x 62
+    bits, and the reader fetches only the needle's two PROBE WORDS —
+    never the whole filter.
+
+    Contracts, property-tested: tokenbf_hit >= true_hit (no false
+    negatives — the Bloom contract); false positives possible and
+    expected (~1% at the measured ~10% fill).
+
+    Scale: tokenization is one map-side explode of per-doc DISTINCT
+    tokens; the needle argmin is a vocabulary-bounded agg feeding a
+    1-row broadcast (TakeOrderedAndProject, never a sort); the build
+    is ONE map-combined groupBy(granule) OR-folding each posting's two
+    bit contributions to the two probe words.  At 100 TB the full
+    index is |granules| x 64 words — orders smaller than the text —
+    and this plan materializes only the 2 probed words per granule
+    because the verdict needs nothing else."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_TOKENBF_GRANULE}").alias("granule"),
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), "[^a-z]+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    def h32(col: str, lo: int) -> str:
+        return f"CAST(conv(substring(md5({col}), {lo}, 8), 16, 10) AS BIGINT)"
+
+    nd = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy("df", "tok")
+        .limit(1)
+        .select(
+            F.col("tok").alias("ndl"),
+            F.expr(f"{h32('tok', 1)} % 3968").alias("np1"),
+            F.expr(f"{h32('tok', 9)} % 3968").alias("np2"),
+        )
+    )
+    m = toks.crossJoin(F.broadcast(nd)).select(
+        "granule",
+        "doc_id",
+        F.expr("CAST(tok = ndl AS INT)").alias("is_ndl"),
+        F.expr("np1 DIV 62").alias("nw1"),
+        F.expr("np2 DIV 62").alias("nw2"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(np1 % 62 AS INT))"
+        ).alias("nb1"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(np2 % 62 AS INT))"
+        ).alias("nb2"),
+        F.expr(f"{h32('tok', 1)} % 3968").alias("p1"),
+        F.expr(f"{h32('tok', 9)} % 3968").alias("p2"),
+    )
+
+    def contrib(word: str) -> str:
+        return (
+            f"(CASE WHEN p1 DIV 62 = {word}"
+            " THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % 62 AS INT))"
+            " ELSE CAST(0 AS BIGINT) END)"
+            f" | (CASE WHEN p2 DIV 62 = {word}"
+            " THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % 62 AS INT))"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    g = (
+        m.select(
+            "granule",
+            "doc_id",
+            "is_ndl",
+            "nb1",
+            "nb2",
+            F.expr(contrib("nw1")).alias("m1"),
+            F.expr(contrib("nw2")).alias("m2"),
+        )
+        .groupBy("granule")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.expr("bit_or(m1)").alias("b1"),
+            F.expr("bit_or(m2)").alias("b2"),
+            F.max("nb1").alias("nb1"),
+            F.max("nb2").alias("nb2"),
+            F.sum("is_ndl").cast("bigint").alias("n_match"),
+        )
+    )
+    return g.select(
+        "granule",
+        "n_docs",
+        "n_postings",
+        F.col("b1").alias("probe_word1"),
+        F.col("b2").alias("probe_word2"),
+        F.expr(
+            "CAST(CASE WHEN (b1 & nb1) = nb1 AND (b2 & nb2) = nb2"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("tokenbf_hit"),
+        F.expr(
+            "CAST(CASE WHEN n_match > 0 THEN 1 ELSE 0 END AS INT)"
+        ).alias("true_hit"),
+    )

@@ -2150,3 +2150,25 @@ def test_set_skip_index_single_group_agg(plans):
     assert plans("scan_set_skip_index", "simple").count(
         "Exchange hashpartitioning"
     ) <= 2
+
+
+def test_tokenbf_skip_index_bounded_exchanges_no_python(plans, spark, sf_dir):
+    """scan_tokenbf_skip_index: the needle argmin is a vocab-bounded agg
+    feeding a TakeOrderedAndProject + 1-row broadcast; the index build
+    is granule-keyed aggregation (its per-granule doc distinct adds the
+    two-phase form) — every exchange vocabulary- or granule-bounded, no
+    window, no sort-merge join, no Python.  Property: the Bloom
+    no-false-negative contract, tokenbf_hit >= true_hit on every
+    granule, and the probe prunes at least one granule (non-vacuous)."""
+    p = plans("scan_tokenbf_skip_index")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert plans("scan_tokenbf_skip_index", "simple").count(
+        "Exchange hashpartitioning"
+    ) <= 3
+    rows = e.queries()["scan_tokenbf_skip_index"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.tokenbf_hit >= r.true_hit for r in rows)
+    assert any(r.tokenbf_hit == 0 for r in rows)
