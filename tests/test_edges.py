@@ -691,3 +691,108 @@ def test_gram_memo_repersists_after_clearcache(spark, sf_dir):
     assert not _plan_is_cached(spark, first)
     again = _gram_cells(spark, sf_dir)
     assert again is first and _plan_is_cached(spark, again)
+
+
+def _pca_topk_vectors(rows):
+    import numpy as np
+
+    out = {}
+    for k in (1, 2, 3):
+        v = np.zeros(64)
+        for r in rows:
+            if r.comp == k:
+                v[r.i] = r.comp_ppm * r.sgn
+        n = np.linalg.norm(v)
+        out[k] = v / n if n else v
+    return out
+
+
+def test_pca_topk_converges_on_planted_spectrum(spark, tmp_path_factory):
+    """embedding_pca_topk on a fixture with a REAL eigengap (the sf
+    embeddings are near-isotropic, lambda1/lambda2 ~ 1.017, where no
+    3-step power method can separate directions — so convergence is
+    proven where the math says it must hold): two planted orthogonal
+    directions at ~21x variance ratio over tiny deterministic noise.
+    comp1 must align with the dominant plant, comp2 (via deflation)
+    with the second, and BOTH engines must agree exactly on the
+    non-fixture shape."""
+    import numpy as np
+
+    n, d = 240, 64
+    a = np.ones(d) / 8.0
+    b = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(d)]) / 8.0
+    vecs = []
+    for i in range(n):
+        ca = (i % 5 - 2) * 0.8
+        cb = (i % 3 - 1) * 0.3
+        noise = np.array(
+            [((i * 37 + j * 11) % 7 - 3) * 0.001 for j in range(d)]
+        )
+        vecs.append((ca * a + cb * b + noise).astype("float32"))
+    tmp = tmp_path_factory.mktemp("planted_spectrum")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 4 for i in range(n)], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp), "embeddings.parquet"),
+    )
+    rows = e.queries()["embedding_pca_topk"](spark, str(tmp)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["embedding_pca_topk"]).fetchall()
+    )
+    assert sorted(tuple(r) for r in rows) == orows
+    got = _pca_topk_vectors(rows)
+    an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    assert abs(got[1] @ an) > 0.99, abs(got[1] @ an)
+    assert abs(got[2] @ bn) > 0.95, abs(got[2] @ bn)
+    # deflation delivered an (approximately) orthogonal triple
+    for x, y in ((1, 2), (1, 3), (2, 3)):
+        assert abs(got[x] @ got[y]) < 0.05, (x, y, got[x] @ got[y])
+
+
+def test_pca_topk_basis_quality_on_fixture(spark, sf_dir):
+    """On the real (near-isotropic) fixture the per-eigenvector claim is
+    mathematically vacuous, but the BASIS contract still holds: the
+    three directions are mutually near-orthogonal (deflation residual
+    ~1e-3 over quantization) and each captures a top-of-spectrum
+    Rayleigh quotient (>= 0.7 lambda1; measured 0.80-0.89).  Also the
+    100 TB sharing shape: the returned plan reads NO parquet — the
+    corpus scan happened once inside the memoized gram, and the
+    checkpointed emission frames never rescan."""
+    import io
+    import contextlib
+
+    import numpy as np
+
+    df = e.queries()["embedding_pca_topk"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Scan parquet" not in buf.getvalue()
+    rows = df.collect()
+    assert len(rows) == 192
+    got = _pca_topk_vectors(rows)
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchnumpy()["embedding"]
+    X = np.array([np.round(np.array(v, dtype=float) * 1000) for v in emb])
+    G = X.T @ X
+    lam1 = float(np.linalg.eigvalsh(G)[-1])
+    for x, y in ((1, 2), (1, 3), (2, 3)):
+        assert abs(got[x] @ got[y]) < 0.05, (x, y)
+    for k in (1, 2, 3):
+        rq = float(got[k] @ G @ got[k])
+        assert rq >= 0.7 * lam1, (k, rq / lam1)
