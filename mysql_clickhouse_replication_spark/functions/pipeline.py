@@ -2856,3 +2856,328 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+#: OPQ rotation targets: the r-th principal direction is aligned with
+#: the FIRST dimension of PQ subspace r-1 (0-based coords 0, 16, 32) —
+#: Ge et al., CVPR 2013 "Optimized Product Quantization", section 3.2
+#: eigenvalue allocation: balanced subspace variance, not a pile-up of
+#: all top directions in subspace 0.
+_OPQ_TARGETS = {1: 0, 2: 16, 3: 32}
+_OPQ_M = 4
+_OPQ_D = 16
+_OPQ_K = 8
+
+
+def _opq_rotation_ctes() -> str:
+    """Householder-chain rotation + two-space integer PQ as generated
+    DuckDB CTEs over the _pca_topk_ctes chain — the oracle twin of
+    sim_opq_rotate, formula-for-formula."""
+
+    def ss(x: str, d: str) -> str:
+        return (
+            f"CASE WHEN {x} < 0 THEN -(abs({x}) // {d})"
+            f" ELSE ({x}) // {d} END"
+        )
+
+    parts = []
+    for r in range(1, _PCA_TOPK + 1):
+        t = _OPQ_TARGETS[r]
+        # basis vector at 1e4 scale
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT i, sgn * (mag // 100) AS v"
+            f" FROM nm{r})"
+        )
+        cur = f"b{r}"
+        # run the PREVIOUS reflections over this basis vector
+        for p in range(1, r):
+            parts.append(
+                f"yd{r}_{p} AS MATERIALIZED (SELECT"
+                f" COALESCE(SUM(y.v * w.w), 0) AS t"
+                f" FROM {cur} y JOIN hw{p} w ON y.i = w.i)"
+            )
+            parts.append(
+                f"ya{r}_{p} AS MATERIALIZED (SELECT y.i,"
+                f" y.v - ({ss('2 * w.w * s.t', 'ww.wtw')}) AS v"
+                f" FROM {cur} y JOIN hw{p} w ON y.i = w.i"
+                f" CROSS JOIN yd{r}_{p} s CROSS JOIN ww{p} ww)"
+            )
+            cur = f"ya{r}_{p}"
+        if r > 1:
+            fixed = ", ".join(
+                str(_OPQ_TARGETS[p]) for p in range(1, r)
+            )
+            parts.append(
+                f"yz{r} AS MATERIALIZED (SELECT i,"
+                f" CASE WHEN i IN ({fixed}) THEN 0 ELSE v END AS v"
+                f" FROM {cur})"
+            )
+            cur = f"yz{r}"
+        parts.append(
+            f"yn{r} AS MATERIALIZED (SELECT CAST(FLOOR(SQRT(CAST("
+            f"COALESCE(SUM(v * v), 0) AS DOUBLE))) AS BIGINT) AS nr"
+            f" FROM {cur})"
+        )
+        parts.append(
+            f"ys{r} AS MATERIALIZED (SELECT CASE WHEN"
+            f" COALESCE(MAX(CASE WHEN i = {t} THEN v END), 0) >= 0"
+            f" THEN 1 ELSE -1 END AS s FROM {cur})"
+        )
+        w_raw = f"CASE WHEN y.i = {t} THEN y.v + ys.s * yn.nr ELSE y.v END"
+        parts.append(
+            f"hw{r} AS MATERIALIZED (SELECT y.i,"
+            f" {ss('(' + w_raw + ')', '10')} AS w"
+            f" FROM {cur} y CROSS JOIN yn{r} yn CROSS JOIN ys{r} ys)"
+        )
+        parts.append(
+            f"ww{r} AS MATERIALIZED (SELECT"
+            f" GREATEST(COALESCE(SUM(w * w), 0), 1) AS wtw FROM hw{r})"
+        )
+        parts.append(
+            f"wl{r} AS MATERIALIZED (SELECT list(w ORDER BY i) AS w"
+            f" FROM hw{r})"
+        )
+    # corpus at 1e4 scale, then the three reflections
+    parts.append(
+        "qv0 AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * 10)"
+        " AS e FROM embeddings)"
+    )
+    cur = "qv0"
+    for r in range(1, _PCA_TOPK + 1):
+        refl = ss("2 * wv[i] * dot", "wtw")
+        parts.append(
+            f"rx{r} AS MATERIALIZED (SELECT vec_id,"
+            f" [e[i] - ({refl}) FOR i IN range(1, len(e) + 1)] AS e"
+            f" FROM (SELECT vec_id, e, w.w AS wv, ww.wtw,"
+            f" list_sum([e[i] * w.w[i] FOR i IN range(1, len(e) + 1)])"
+            f" AS dot FROM {cur} CROSS JOIN wl{r} w CROSS JOIN ww{r} ww))"
+        )
+        cur = f"rx{r}"
+    dd = _OPQ_D
+    for tag, frame in (("r", cur), ("p", "qv0")):
+        parts.append(
+            f"{tag}cent AS MATERIALIZED (SELECT vec_id AS cid, e AS cvec"
+            f" FROM {frame} WHERE vec_id < {_OPQ_K})"
+        )
+        parts.append(
+            f"{tag}sub AS MATERIALIZED (SELECT v.vec_id, ms.m, cent.cid,"
+            f" list_sum([(v.e[ms.m * {dd} + i] - cent.cvec[ms.m * {dd} + i])"
+            f" * (v.e[ms.m * {dd} + i] - cent.cvec[ms.m * {dd} + i])"
+            f" FOR i IN range(1, {dd + 1})]) AS d"
+            f" FROM {frame} v CROSS JOIN {tag}cent cent"
+            f" CROSS JOIN (SELECT unnest(range(0, {_OPQ_M})) AS m) ms)"
+        )
+        parts.append(
+            f"{tag}best AS MATERIALIZED (SELECT vec_id, m, cid, d"
+            f" FROM {tag}sub QUALIFY ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id, m ORDER BY d, cid) = 1)"
+        )
+        codes = ", ".join(
+            f"MAX(CASE WHEN m = {m} THEN cid END) AS c{m}"
+            for m in range(_OPQ_M)
+        )
+        parts.append(
+            f"{tag}tot AS MATERIALIZED (SELECT vec_id, {codes},"
+            f" SUM(d) AS dist FROM {tag}best GROUP BY vec_id)"
+        )
+    return ",\n".join(parts)
+
+
+_OPQ_SELECT = (
+    "SELECT r.vec_id, "
+    + ", ".join(
+        f"CAST(r.c{m} AS INTEGER) AS code_{m}" for m in range(_OPQ_M)
+    )
+    + ", CAST(r.dist AS BIGINT) AS rot_dist,"
+    " CAST(p.dist AS BIGINT) AS plain_dist"
+    " FROM rtot r JOIN ptot p ON r.vec_id = p.vec_id"
+)
+
+
+@register(
+    "sim_opq_rotate",
+    oracle=f"""
+WITH {_pca_topk_ctes()},
+{_opq_rotation_ctes()}
+{_OPQ_SELECT}
+""",
+)
+def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style ROTATION before product quantization — closing the PQ
+    loop (r11 verdict next-round #4): Ge et al., CVPR 2013 "Optimized
+    Product Quantization" initializes the rotation by EIGENVALUE
+    ALLOCATION — spread the top principal directions across PQ
+    subspaces so no subspace hoards the variance.  Here the rotation is
+    an exact composition of THREE HOUSEHOLDER REFLECTIONS (each a full
+    orthogonal d x d map defined by ONE vector — never a materialized
+    matrix): H_r aligns the r-th embedding_pca_topk direction with the
+    FIRST dimension of subspace r-1 (coords 0, 16, 32), each built from
+    the basis vector as transformed by the previous reflections with
+    already-fixed coordinates zeroed (the textbook QR chain, so H_2
+    provably fixes e_0, H_3 fixes e_0 and e_16).  Surface per vector:
+    the 4 rotated-space PQ codes plus BOTH integer distortions
+    (rotated vs plain PQ at the same 1e4 fixed-point scale, codebooks =
+    the same sample ids in each space) — the apples-to-apples
+    comparison an OPQ deployment reads before committing to a rotation.
+
+    Exactness: the reflection application x - 2 w (w . x) / (w . w) is
+    integer arithmetic end-to-end — dot products exact BIGINT,
+    divisions sign-split truncating; the only non-integer step is the
+    Householder norm, computed as FLOOR(SQRT(CAST(y.y AS DOUBLE)))
+    where y.y <= ~4e11 << 2^53, so the double is exact and IEEE-754
+    sqrt is correctly rounded — bit-identical on both engines.  PQ
+    argmins are integer (d, cid) total orders: no rounding, no float
+    rank hazard anywhere.  The oracle is the machine-generated
+    MATERIALIZED-CTE unroll of the identical chain.
+
+    Scale: the rotation CONSTRUCTION is d-row frames on the memoized
+    topk basis (checkpointed micro-jobs, the pca_topk discipline); the
+    rotation APPLICATION is a MAP-ONLY zip_with chain under a 1-row
+    broadcast (w vectors + wtw scalars) — the corpus never shuffles,
+    and one scan carries BOTH spaces (plain + rotated columns in one
+    projection, codebooks from a second bounded scan).  At 100 TB:
+    exactly the sim_product_quantize cost plus three fused map
+    expressions."""
+    frames = _pca_topk_frames(spark, sf_dir)
+
+    # --- rotation construction: d-row Householder chain ---------------
+    hws: list[tuple[DataFrame, DataFrame]] = []  # (hw frame, wtw scalar)
+    for r in range(1, _PCA_TOPK + 1):
+        t = _OPQ_TARGETS[r]
+        cur = frames[r - 1].select(
+            "i", F.expr("sgn * (mag DIV 100)").alias("v")
+        )
+        for p in range(1, r):
+            hw, ww = hws[p - 1]
+            dot = (
+                cur.join(F.broadcast(hw), "i")
+                .agg(
+                    F.expr(
+                        "COALESCE(SUM(v * w), CAST(0 AS BIGINT))"
+                    ).alias("t")
+                )
+            )
+            cur = (
+                cur.join(F.broadcast(hw), "i")
+                .crossJoin(F.broadcast(dot))
+                .crossJoin(F.broadcast(ww))
+                .select(
+                    "i",
+                    F.expr(
+                        f"v - ({_pca_ss('2 * w * t', 'wtw')})"
+                    ).alias("v"),
+                )
+            )
+        if r > 1:
+            fixed = ", ".join(str(_OPQ_TARGETS[p]) for p in range(1, r))
+            cur = cur.select(
+                "i",
+                F.expr(
+                    f"CASE WHEN i IN ({fixed}) THEN CAST(0 AS BIGINT)"
+                    " ELSE v END"
+                ).alias("v"),
+            )
+        nr = cur.agg(
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(COALESCE(SUM(v * v), 0)"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("nr")
+        )
+        sgn = cur.agg(
+            F.expr(
+                f"CASE WHEN COALESCE(MAX(CASE WHEN i = {t} THEN v END),"
+                " 0) >= 0 THEN 1 ELSE -1 END"
+            ).alias("s")
+        )
+        w_raw = f"(CASE WHEN i = {t} THEN v + s * nr ELSE v END)"
+        hw = (
+            cur.crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(sgn))
+            .select("i", F.expr(_pca_ss(w_raw, "10")).alias("w"))
+            .localCheckpoint(eager=True)  # the pca_topk lineage cut
+        )
+        ww = hw.agg(
+            F.expr("GREATEST(COALESCE(SUM(w * w), 0), 1)").alias("wtw")
+        )
+        hws.append((hw, ww))
+
+    # collapse to ONE 1-row broadcast: 3 w-arrays + 3 wtw scalars
+    rot = None
+    for r, (hw, ww) in enumerate(hws, start=1):
+        arr = hw.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("sw")
+        ).select(F.expr("transform(sw, s -> s.w)").alias(f"w{r}"))
+        scl = ww.select(F.col("wtw").alias(f"wtw{r}"))
+        piece = arr.crossJoin(scl)
+        rot = piece if rot is None else rot.crossJoin(piece)
+    rot = rot.localCheckpoint(eager=True)
+
+    # --- map-only corpus pass: plain + rotated in one projection ------
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * 10)"
+        ).alias("e"),
+    ).crossJoin(F.broadcast(rot))
+    cur_col = "e"
+    for r in range(1, _PCA_TOPK + 1):
+        base = base.withColumn(
+            f"dot{r}",
+            F.expr(
+                f"aggregate(zip_with({cur_col}, w{r}, (x, w) -> x * w),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        ).withColumn(
+            f"er{r}",
+            F.expr(
+                f"zip_with({cur_col}, w{r}, (x, w) -> x -"
+                f" ({_pca_ss(f'2 * w * dot{r}', f'wtw{r}')}))"
+            ),
+        )
+        cur_col = f"er{r}"
+    both = base.select(
+        "vec_id", F.col("e").alias("pe"), F.col(cur_col).alias("re")
+    )
+    cents = both.filter(F.col("vec_id") < _OPQ_K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("pe").alias("cv"))
+            )
+        ).alias("pcents"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("re").alias("cv"))
+            )
+        ).alias("rcents"),
+    )
+    out = both.crossJoin(F.broadcast(cents))
+    for tag, vec, cc in (("p", "pe", "pcents"), ("r", "re", "rcents")):
+        for m in range(_OPQ_M):
+            lo = m * _OPQ_D + 1
+            dist = (
+                f"aggregate(zip_with(slice({vec}, {lo}, {_OPQ_D}),"
+                f" slice(c.cv, {lo}, {_OPQ_D}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            out = out.withColumn(
+                f"{tag}b{m}",
+                F.expr(
+                    f"array_min(transform({cc},"
+                    f" c -> named_struct('d', {dist}, 'k', c.cid)))"
+                ),
+            )
+    rtot = " + ".join(f"rb{m}.d" for m in range(_OPQ_M))
+    ptot = " + ".join(f"pb{m}.d" for m in range(_OPQ_M))
+    return out.select(
+        "vec_id",
+        *[
+            F.col(f"rb{m}.k").cast("int").alias(f"code_{m}")
+            for m in range(_OPQ_M)
+        ],
+        F.expr(f"CAST({rtot} AS BIGINT)").alias("rot_dist"),
+        F.expr(f"CAST({ptot} AS BIGINT)").alias("plain_dist"),
+    )

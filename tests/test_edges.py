@@ -796,3 +796,139 @@ def test_pca_topk_basis_quality_on_fixture(spark, sf_dir):
     for k in (1, 2, 3):
         rq = float(got[k] @ G @ got[k])
         assert rq >= 0.7 * lam1, (k, rq / lam1)
+
+
+def _householder_reference(basis, d=64):
+    """Pure-Python INTEGER mirror of sim_opq_rotate's rotation chain
+    (arbitrary-precision by construction) — returns the three (w, wtw)
+    pairs.  Used to prove design properties (orthogonality) that the
+    cross-engine hash can't express."""
+    import math
+
+    targets = {1: 0, 2: 16, 3: 32}
+
+    def ss(x, dd):
+        return -((-x) // dd) if x < 0 else x // dd
+
+    hws = []
+    for r in (1, 2, 3):
+        y = list(basis[r - 1])
+        for p in range(1, r):
+            w, wtw = hws[p - 1]
+            t = sum(y[i] * w[i] for i in range(d))
+            y = [y[i] - ss(2 * w[i] * t, wtw) for i in range(d)]
+        for p in range(1, r):
+            y[targets[p]] = 0
+        nr = math.isqrt(sum(v * v for v in y))
+        t = targets[r]
+        s = 1 if y[t] >= 0 else -1
+        w = [
+            ss((y[i] + s * nr) if i == t else y[i], 10)
+            for i in range(d)
+        ]
+        wtw = max(sum(v * v for v in w), 1)
+        hws.append((w, wtw))
+    return hws
+
+
+def test_opq_rotation_is_orthogonal_and_targets_allocated(spark, sf_dir):
+    """The Householder chain must be a genuine rotation: applying the
+    three reflections (exact integer mirror of the Spark/SQL formulas)
+    to probe vectors preserves the L2 norm to the fixed-point rounding
+    bound (~3 coords x 1 unit per reflection), and the rotated basis
+    vectors land on their allocated subspace-leading coordinates
+    (|coord t_r| carries > 95% of the vector's norm)."""
+    import math
+
+    rows = e.queries()["embedding_pca_topk"](spark, sf_dir).collect()
+    basis = []
+    for k in (1, 2, 3):
+        v = [0] * 64
+        for r in rows:
+            if r.comp == k:
+                v[r.i] = (r.comp_ppm // 100) * r.sgn  # the 1e4-scale b_r
+        basis.append(v)
+    hws = _householder_reference(basis)
+
+    def ss(x, dd):
+        return -((-x) // dd) if x < 0 else x // dd
+
+    def apply_rot(x):
+        for w, wtw in hws:
+            dot = sum(x[i] * w[i] for i in range(64))
+            x = [x[i] - ss(2 * w[i] * dot, wtw) for i in range(64)]
+        return x
+
+    probes = [
+        [((i * 7 + j * 13) % 11 - 5) * 1000 for j in range(64)]
+        for i in range(5)
+    ] + basis
+    for x in probes:
+        nx = math.sqrt(sum(v * v for v in x))
+        rx = apply_rot(x)
+        nrx = math.sqrt(sum(v * v for v in rx))
+        if nx:
+            assert abs(nrx - nx) / nx < 2e-3, (nx, nrx)
+    for r, (t, b) in enumerate(zip((0, 16, 32), basis), start=1):
+        rb = apply_rot(b)
+        nb = math.sqrt(sum(v * v for v in rb))
+        assert abs(rb[t]) > 0.95 * nb, (r, t, abs(rb[t]) / nb)
+
+
+def test_opq_rotation_beats_plain_pq_and_fixes_own_codewords(
+    spark, sf_dir, tmp_path_factory
+):
+    """The OPQ contract on the fixtures: TOTAL rotated-space distortion
+    <= plain-space distortion (eigenvalue allocation pays even on the
+    near-flat fixture spectrum — measured 0.9988x at sf0.01, 0.9886x
+    at sf0.1); codebook members quantize to themselves at distortion 0
+    in BOTH spaces (a rotation maps the codebook with the corpus); and
+    the engines agree exactly on a NON-fixture planted-spectrum shape."""
+    import numpy as np
+
+    df = e.queries()["sim_opq_rotate"](spark, sf_dir)
+    rows = df.collect()
+    assert sum(r.rot_dist for r in rows) <= sum(r.plain_dist for r in rows)
+    for r in rows:
+        if r.vec_id < 8:
+            assert r.rot_dist == 0 and r.plain_dist == 0, r
+        assert {r.code_0, r.code_1, r.code_2, r.code_3} <= set(range(8))
+
+    n, d = 120, 64
+    a = np.ones(d) / 8.0
+    b = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(d)]) / 8.0
+    vecs = []
+    for i in range(n):
+        ca = (i % 5 - 2) * 0.8
+        cb = (i % 3 - 1) * 0.3
+        noise = np.array(
+            [((i * 41 + j * 17) % 9 - 4) * 0.002 for j in range(d)]
+        )
+        vecs.append((ca * a + cb * b + noise).astype("float32"))
+    tmp = tmp_path_factory.mktemp("opq_planted")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 4 for i in range(n)], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp), "embeddings.parquet"),
+    )
+    srows = sorted(
+        tuple(r)
+        for r in e.queries()["sim_opq_rotate"](spark, str(tmp)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    orows = sorted(
+        tuple(r) for r in con.execute(e.oracle_sql()["sim_opq_rotate"]).fetchall()
+    )
+    assert srows == orows
