@@ -1574,3 +1574,88 @@ def test_set_skip_index_matches_bruteforce_exact_where_usable(
         assert r.set_hit >= r.true_hit
         if r.set_usable:
             assert r.set_hit == r.true_hit
+
+
+@given(texts=_bpe_texts)
+@settings(**_SETTINGS)
+def test_bpe_train_to_vocab_matches_bruteforce_k10(
+    spark, tmp_path_factory, texts
+):
+    """text_bpe_train_to_vocab vs the literal symbol-list trainer run to
+    K=10 (the r11 verdict's ask: prove the loop in ROUNDS) — same
+    reference as the 3-round test, looped: greedy left-to-right list
+    rewriting per round, declared encoded-space tiebreak, accounting
+    identity symbols_after == before - applied (applied <= pair_count),
+    degenerate shrink when the two-letter alphabet exhausts pairs well
+    before round 10 (which these tiny corpora usually do — the shrink
+    path is the POINT of this strategy)."""
+    import collections
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+
+    segmented = [([ch for ch in w], c) for w, c in words.items()]
+    expansion = {}
+    expected = []
+    n_symbols = sum(len(syms) * c for syms, c in segmented)
+    for step in range(1, 11):
+        pc = collections.Counter()
+        for syms, c in segmented:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (bl, br), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        sent = chr(step)
+        merged, applied = [], 0
+        for syms, c in segmented:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(sent)
+                    i += 2
+                    applied += c
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((out, c))
+        segmented = merged
+        n_after = sum(len(syms) * c for syms, c in segmented)
+        assert n_after == n_symbols - applied and applied <= cnt
+        n_symbols = n_after
+
+        def expand(ch):
+            return expansion.get(ch, ch)
+
+        tok = expand(bl) + expand(br)
+        expansion[sent] = tok
+        expected.append((step, tok, cnt, n_after))
+
+    d = str(tmp_path_factory.mktemp("bpe10"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = [
+        tuple(r)
+        for r in e.queries()["text_bpe_train_to_vocab"](spark, d)
+        .orderBy("step")
+        .collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
