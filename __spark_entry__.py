@@ -15,32 +15,26 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-10 proved ALL 323 then-registered keys green (the
+* rounds 1-11 proved ALL 334 then-registered keys green (the
   ``_DRIVER_GREEN`` list below is the union of green rows across
-  CORRECTNESS_r01..r10; round 8 closed the contract at 311/311,
-  rounds 9/10 kept it closed at 317/317 and 323/323).
+  CORRECTNESS_r01..r11; round 8 closed the contract at 311/311,
+  rounds 9/10/11 kept it closed at 317/317, 323/323 and 334/334).
 * with coverage complete, the remaining contract risk is REGRESSION:
   code and fixtures change under keys whose only driver proof is
-  rounds old.  ``_R11_FRONT`` holds the 48 keys whose NEWEST green
-  row is stalest (all 35 keys last proven in round 4, then the 13
-  oldest round-5 keys), ordered stalest-first (newest-green round,
-  then key) — recomputed this round from the r01..r10 union exactly
-  as the r10 verdict prescribed.
-* the 11 keys first registered in round 11 (text_bpe_merge_step,
-  text_bpe_train_steps, text_bpe_fertility, cdc_decode_multifile,
-  cdc_ttl_rollup, embedding_gram_matrix, embedding_pca_project,
-  docs_epoch_shuffle, scan_bloom_skip_index, scan_set_skip_index,
-  sim_pca_power_iteration — not in ``_DRIVER_GREEN``) have no driver
-  proof at all, so they sort FIRST; the stalest list fills the window
-  behind them (the 50-key cut drops the nine youngest front entries —
-  cdc_gtid_resume, cdc_type_edges, events_alert_rules,
-  events_bot_detection, events_changepoint_cusum,
-  events_conversion_latency, events_distribution_drift,
-  events_dormant_reactivation, events_error_budget_burn — back into
-  the tail), leaving no key's newest green older than round 5 after
-  this round records.
+  rounds old.  ``_R12_FRONT`` holds the 45 keys whose NEWEST green
+  row is stalest (all 38 keys last proven in round 5 -- including the
+  9 keys the r11 50-key cut displaced -- then the 7 oldest round-6
+  keys), ordered stalest-first (newest-green round, then key) --
+  recomputed this round from the r01..r11 union exactly as the r11
+  verdict prescribed.
+* the 5 keys first registered in round 12 (scan_tokenbf_skip_index,
+  embedding_pca_topk, sim_opq_rotate, text_bpe_train_to_vocab,
+  docs_epoch_shuffle_write -- not in ``_DRIVER_GREEN``) have no
+  driver proof at all, so they sort FIRST; the stalest list fills the
+  window behind them.  After this round records, no key's newest
+  green predates round 6.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
-  + tools/oracle_dtype_lint.py (PREFLIGHT_r11.txt) before this file
+  + tools/oracle_dtype_lint.py (PREFLIGHT_r12.txt) before this file
   changed the ordering, per the established hazard-gate discipline.
 """
 
@@ -173,32 +167,39 @@ _DRIVER_GREEN = [
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
     "vector_group_rank", "win_analytic", "win_frame_range",
     "win_frame_rows", "win_ignore_nulls", "win_ntile", "win_percent",
-    "win_ranking", "win_reset_running_sum", "win_time_range_frame"
+    "win_ranking", "win_reset_running_sum", "win_time_range_frame",
+    "cdc_decode_multifile", "cdc_ttl_rollup", "docs_epoch_shuffle",
+    "embedding_gram_matrix", "embedding_pca_project",
+    "scan_bloom_skip_index", "scan_set_skip_index",
+    "sim_pca_power_iteration", "text_bpe_fertility",
+    "text_bpe_merge_step", "text_bpe_train_steps"
 ]
 
-# The 48 stalest driver greens (the 35 keys whose newest green row is
-# round 4, then the 13 oldest r5 keys) -- re-sampled first this round
-# behind the 2 new r11 registrations; see module docstring.
-_R11_FRONT = [
-    "analytics_rfm", "cdc_type_cast", "events_attribution",
-    "events_audience_overlap", "events_cohort_ltv",
-    "events_funnel_strict", "events_record_highs",
-    "events_rolling_distinct", "events_seasonality",
-    "events_sequence_match", "events_streaks", "fn_array",
-    "fn_bitwise", "fn_date", "fn_hash", "fn_json", "fn_map", "fn_math",
-    "fn_string", "fn_url", "fn_variant",
-    "join_dynamic_partition_prune", "multimodal_decode",
-    "multimodal_framesample", "multimodal_join",
-    "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "stream_dedup", "stream_output_modes",
-    "stream_sliding", "stream_stateful", "stream_static_join",
-    "stream_triggers", "vector_group_rank",
-    "agg_wow_change", "analytics_segment_migration",
-    "cdc_binlog_position_order", "cdc_ddl_route", "cdc_gtid_resume",
-    "cdc_type_edges", "events_alert_rules", "events_bot_detection",
-    "events_changepoint_cusum", "events_conversion_latency",
-    "events_distribution_drift", "events_dormant_reactivation",
-    "events_error_budget_burn"
+# The 45 stalest driver greens for round 12 (ALL 38 keys whose newest
+# green row is round 5, then the 7 oldest r5->r6 keys by name) --
+# re-sampled behind the 5 new r12 registrations; recomputed from the
+# r01..r11 union exactly as the r11 verdict prescribed (after this
+# round records, no key's newest green predates round 6).
+_R12_FRONT = [
+    "cdc_gtid_resume", "cdc_type_edges", "events_alert_rules",
+    "events_bot_detection", "events_changepoint_cusum",
+    "events_conversion_latency", "events_distribution_drift",
+    "events_dormant_reactivation", "events_error_budget_burn",
+    "events_growth_accounting", "events_new_vs_returning",
+    "events_rate_limit_scan", "events_sliding_uniques_sketch",
+    "events_time_weighted_avg", "fn_business_days", "fn_encoding",
+    "fn_format", "fn_fuzzy_match", "fn_geo", "fn_ip",
+    "fn_null_family", "fn_struct", "fn_time_bucket", "fn_timezone",
+    "join_anti_null_aware", "join_asof_nearest",
+    "join_asof_tolerance", "join_bloom_prefilter",
+    "join_null_skew_split", "join_range_bucketed",
+    "join_spatial_grid", "orders_basket_lift",
+    "orders_purchase_cadence", "orders_revenue_concentration",
+    "profile_table", "sample_stratified", "tpch_q7_shape",
+    "tpch_q8_shape", "cdc_backfill_plan", "cdc_collapsing_sign",
+    "cdc_column_mask_policy", "cdc_row_checksum",
+    "cdc_snapshot_overlap_resolve", "cdc_summing_merge",
+    "docs_block_dedup"
 ]
 
 
@@ -207,9 +208,9 @@ def _ordered_keys() -> list[str]:
     stalest greens, then the remaining driver greens."""
     proven = set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in proven]
-    front = [k for k in _R11_FRONT if k in QUERIES]
+    front = [k for k in _R12_FRONT if k in QUERIES]
     tail = [k for k in _DRIVER_GREEN
-            if k in QUERIES and k not in set(_R11_FRONT)]
+            if k in QUERIES and k not in set(_R12_FRONT)]
     return unproven + front + tail
 
 
