@@ -262,3 +262,33 @@ def test_sampled_fixture_twin_builder_invariants():
             else:
                 assert os.path.islink(dst)
                 assert os.path.realpath(dst) == os.path.realpath(src)
+
+
+def test_survey_and_operators_counts_match_registry():
+    """r11 verdict #8: SURVEY.md's inventory-totals line drifted once
+    (333 vs a 334 registry — synced before the last key landed).  All
+    three doc surfaces now assert against the live registry: SURVEY's
+    totals line (both the headline number and its per-round arithmetic),
+    docs/OPERATORS.md's header count, and (already covered above) the
+    README."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    n = len(e.queries())
+
+    with open(os.path.join(root, "SURVEY.md")) as f:
+        survey = f.read()
+    m = re.search(
+        r"\*\*Inventory totals: (\d+) declared keys \(([^)]+)\)", survey
+    )
+    assert m, "SURVEY.md inventory-totals line missing"
+    assert int(m.group(1)) == n, (m.group(1), n)
+    terms = [int(t) for t in re.findall(r"(\d+) (?:original|round-\d+)",
+                                        m.group(2))]
+    assert sum(terms) == n, (terms, n)
+
+    with open(os.path.join(root, "docs", "OPERATORS.md")) as f:
+        ops = f.read()
+    m2 = re.search(r"\b(\d+) keys\b", ops)
+    assert m2 and int(m2.group(1)) == n, (m2 and m2.group(1), n)
