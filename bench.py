@@ -399,6 +399,11 @@ EXTRA = [
     "embedding_pca_project",
     "text_bpe_fertility",
     "scan_set_skip_index",
+    "scan_tokenbf_skip_index",
+    "embedding_pca_topk",
+    "sim_opq_rotate",
+    "text_bpe_train_to_vocab",
+    "docs_epoch_shuffle_write",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery
