@@ -151,6 +151,19 @@ AUDIT = {
     "scan_set_skip_index": "one granule-keyed aggregate with Spark's "
     "two-phase bounded distinct (<= 2 exchanges); 1-row broadcast "
     "needle anchor; no window, no Python",
+    "scan_tokenbf_skip_index": "map-side distinct-token Generate; "
+    "vocab-bounded needle argmin as TakeOrderedAndProject + 1-row "
+    "BroadcastNestedLoopJoin; ONE granule-keyed OR-fold (two-phase "
+    "doc distinct <= 3 exchanges, all vocab/granule-bounded)",
+    "sim_opq_rotate": "post-checkpoint corpus pass: three fused "
+    "zip_with Householder reflections + integer PQ argmins under "
+    "1-row broadcasts — the corpus path is MAP-ONLY (the only "
+    "exchange is the 8-row codebook collect); rotation construction "
+    "ran eagerly as d-row checkpointed micro-jobs",
+    "docs_epoch_shuffle_write": "write side is repartition(shard) + "
+    "sortWithinPartitions — ONE hash exchange, per-task sort, no "
+    "global sort; read-back audit windows per FILE (file-bounded "
+    "partitions) over input_file_name/mid arrival order",
 }
 
 
