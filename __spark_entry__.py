@@ -27,12 +27,13 @@ proof rotates through the registry in 50-key windows:
   keys), ordered stalest-first (newest-green round, then key) --
   recomputed this round from the r01..r11 union exactly as the r11
   verdict prescribed.
-* the 5 keys first registered in round 12 (scan_tokenbf_skip_index,
+* the 6 keys first registered in round 12 (scan_tokenbf_skip_index,
   embedding_pca_topk, sim_opq_rotate, text_bpe_train_to_vocab,
-  docs_epoch_shuffle_write -- not in ``_DRIVER_GREEN``) have no
-  driver proof at all, so they sort FIRST; the stalest list fills the
-  window behind them.  After this round records, no key's newest
-  green predates round 6.
+  docs_epoch_shuffle_write, scan_projection_route -- not in
+  ``_DRIVER_GREEN``) have no driver proof at all, so they sort FIRST;
+  the stalest list fills the window behind them (the 50-key cut drops
+  the 45th front entry, docs_block_dedup, back into the tail).  After
+  this round records, no key's newest green predates round 6.
   All window keys were pre-flighted through tools/pandas_gate_sim.py
   + tools/oracle_dtype_lint.py (PREFLIGHT_r12.txt) before this file
   changed the ordering, per the established hazard-gate discipline.

@@ -404,6 +404,7 @@ EXTRA = [
     "sim_opq_rotate",
     "text_bpe_train_to_vocab",
     "docs_epoch_shuffle_write",
+    "scan_projection_route",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1205,3 +1205,112 @@ def scan_tokenbf_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_match > 0 THEN 1 ELSE 0 END AS INT)"
         ).alias("true_hit"),
     )
+
+
+@register(
+    "scan_projection_route",
+    oracle="""
+WITH dt AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+),
+ck AS (
+  SELECT needle FROM (SELECT MAX(o_custkey) // 2 AS needle FROM orders)
+),
+cu AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
+  FROM orders o, ck WHERE o.o_custkey = ck.needle
+)
+SELECT 'date_window' AS probe, 'by_orderdate' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM dt
+UNION ALL
+SELECT 'cust_point', 'by_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+       CAST(MIN(o_orderkey) AS BIGINT),
+       CAST(MAX(o_orderkey) AS BIGINT)
+FROM cu
+""",
+)
+def scan_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse PROJECTIONS twin — the last member of the data-layout
+    family (sorted layout / z-order / the four skip indexes): a table
+    stores ALTERNATIVE SORT ORDERS of the same rows (`ALTER TABLE ...
+    ADD PROJECTION p_cust (SELECT * ORDER BY o_custkey)`), and the
+    reader ROUTES each query to the layout whose sort key matches its
+    predicate — time-windowed scans hit the date-sorted primary, point
+    lookups on a foreign key hit the projection, and both return
+    identical rows because a projection is the same data.
+
+    Landed here as two parquet layouts of `orders` in the scratch sink
+    (repartitionByRange + sortWithinPartitions on o_orderdate /
+    o_custkey — each the scan_sorted_layout_prune recipe), plus the
+    routing rule ClickHouse's analyzer applies: equality/range
+    predicate column == layout sort key.  Two probes, both READ BACK
+    from their routed layout: a one-month date window and a
+    data-derived customer point lookup (MAX(o_custkey) DIV 2).  The
+    oracle computes both from the BASE table — equality proves the
+    projection contract (rerouted reads lose nothing), while each
+    routed scan's PushedFilters hit row-group stats that the matching
+    sort made narrow (the pruning win, asserted in tests/test_plans.py).
+
+    Scale: the write cost is one range-exchange + in-task sort PER
+    LAYOUT, paid once at ingest (exactly ClickHouse's projection
+    build); the read win at 100 TB is the scan_sorted_layout_prune
+    argument applied per query shape — each query reads O(selected)
+    row groups from ITS layout instead of O(table) from a single
+    compromise order.  Routing is a planning-time string match; no
+    runtime cost at all."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    sinks = {}
+    for col_ in ("o_orderdate", "o_custkey"):
+        sink = scratch_path(f"proj_{col_}", os.path.basename(sf_dir))
+        (
+            src.repartitionByRange(8, col_)
+            .sortWithinPartitions(col_)
+            .write.mode("overwrite")
+            .parquet(sink)
+        )
+        sinks[col_] = sink
+
+    def probe_agg(df: DataFrame, probe: str, layout: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).select(
+            F.lit(probe).alias("probe"),
+            F.lit(layout).alias("layout"),
+            "n_rows",
+            "sum_price",
+            "min_key",
+            "max_key",
+        )
+
+    # ROUTE: predicate column == layout sort key (the analyzer rule)
+    dt = spark.read.parquet(sinks["o_orderdate"]).filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    needle = src.agg(
+        F.expr("MAX(o_custkey) DIV 2").alias("needle")
+    )
+    cu = (
+        spark.read.parquet(sinks["o_custkey"])
+        .crossJoin(F.broadcast(needle))
+        .filter(F.col("o_custkey") == F.col("needle"))
+    )
+    return probe_agg(dt, "date_window", "by_orderdate").unionAll(
+        probe_agg(cu, "cust_point", "by_custkey")
+    )

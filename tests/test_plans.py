@@ -2172,3 +2172,24 @@ def test_tokenbf_skip_index_bounded_exchanges_no_python(plans, spark, sf_dir):
     assert rows
     assert all(r.tokenbf_hit >= r.true_hit for r in rows)
     assert any(r.tokenbf_hit == 0 for r in rows)
+
+
+def test_projection_route_pushdown_both_layouts(plans, spark, sf_dir):
+    """scan_projection_route: each probe's filter reaches ITS routed
+    layout's parquet scan as PushedFilters (date predicate on the
+    date-sorted sink, custkey equality on the custkey-sorted sink) —
+    the row-group pruning the matching sort order exists for; no
+    sort-merge join, no window, no Python anywhere."""
+    df = e.queries()["scan_projection_route"](spark, sf_dir)
+    p = _plan(df)
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln
+               for ln in pushed), pushed
+    assert any("o_custkey" in ln and "IsNotNull" in ln for ln in pushed), \
+        pushed
+    rows = {r.probe: r for r in df.collect()}
+    assert rows["date_window"].layout == "by_orderdate"
+    assert rows["cust_point"].layout == "by_custkey"
+    assert rows["date_window"].n_rows > 0 and rows["cust_point"].n_rows > 0
