@@ -3185,18 +3185,42 @@ def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _file_order_violations(rb: DataFrame, order_col: str) -> F.Column:
+def _file_order_violations(order_col: str) -> F.Column:
     """Physical per-FILE order witness: count rows whose ``order_col``
-    DECREASES relative to the previous row of the same file in read
-    order.  Read order is pinned by monotonically_increasing_id(),
-    which increases in arrival order within an input partition, and
-    files are read sequentially inside a partition — so the per-file
-    mid sequence IS the file's row order even when several files share
-    a task.  Returns an aggregate expression (count of violations) for
-    use under a groupBy; the window sorts per-FILE partitions, bounded
-    by max file size, parallel across files."""
-    # (column factory: caller attaches fname/mid/prev columns)
+    DECREASES relative to the previous row of the same file in file
+    order.  Pure column factory (aggregate expression for use under a
+    groupBy): the caller attaches ``_prev`` = lag(order_col) over a
+    window partitioned by ``_metadata.file_path`` and ordered by
+    ``_metadata.row_index`` — the parquet reader's per-file row
+    position, which stays the file's physical order even when a file
+    larger than spark.sql.files.maxPartitionBytes is split and its
+    splits bin-packed out of order (the r12 ADVICE hazard that broke
+    the earlier monotonically_increasing_id witness).  The window is
+    bounded by max file size, parallel across files."""
     return F.count_if(F.col(order_col) < F.col("_prev")).cast("bigint")
+
+
+def _epoch_shuffle_prewrite(
+    spark: SparkSession, sf_dir: str, epoch: int = 0
+) -> DataFrame:
+    """The one-exchange epoch-shuffle pre-write frame shared by
+    docs_epoch_shuffle_write and docs_epoch_shuffle_read: lattice-hash
+    assignment projection, then repartition(shard) +
+    sortWithinPartitions(shard, h) — ONE hash exchange of the corpus
+    and a per-task sort, never a global sort (tests/test_edges.py
+    asserts that plan shape directly on this frame)."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ntok"),
+        (
+            (_shuf_guarded_id() * _SHUF_MULT + epoch * _SHUF_EPOCH + 13)
+            % _SHUF_MOD
+        ).alias("h"),
+    ).withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+    return a.repartition(_SHUF_SHARDS, "shard").sortWithinPartitions(
+        "shard", "h"
+    )
 
 
 @register(
@@ -3232,39 +3256,31 @@ def docs_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, exactly like cdc_sink_wire's spec-predicted byte count.
 
     The order witness needs physical row order, which no shuffle-based
-    plan preserves, so the audit reads monotonically_increasing_id()
-    (arrival order within an input partition) alongside
-    input_file_name() and windows per file — each window partition is
-    ONE file, bounded by max file size (the production 1 GiB-class
-    bound), parallel across files; only the ORDER of mid is used, never
-    its values, so the count is deterministic.
+    plan preserves, so the audit reads the parquet reader's
+    ``_metadata.row_index`` (the row's position WITHIN ITS FILE)
+    alongside ``_metadata.file_path`` and windows per file — each
+    window partition is ONE file, bounded by max file size (the
+    production 1 GiB-class bound), parallel across files.  row_index is
+    split-invariant: a file bigger than
+    spark.sql.files.maxPartitionBytes is split and its splits
+    bin-packed size-descending, which scrambles arrival order (the r12
+    ADVICE hazard with the old monotonically_increasing_id witness)
+    but never the per-file row numbering, so the count is deterministic
+    at every file size.
 
     Scale: the write is the one-exchange epoch-shuffle shape the parent
     key documents (at 100 TB, repartition over (shard, h-bucket) to
     size tasks; nothing else changes); the read-back audit is one scan
     of the landed files + a file-bounded window.  Epoch k swaps the
     additive lattice term — same plan."""
-    d = table(spark, sf_dir, "documents")
-    a = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("ntok"),
-        (
-            (_shuf_guarded_id() * _SHUF_MULT + 13) % _SHUF_MOD
-        ).alias("h"),
-    ).withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+    pre = _epoch_shuffle_prewrite(spark, sf_dir)
     sink = scratch_path("epoch_shuffle_write", os.path.basename(sf_dir))
-    (
-        a.repartition(_SHUF_SHARDS, "shard")
-        .sortWithinPartitions("shard", "h")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(sink)
-    )
+    pre.write.mode("overwrite").partitionBy("shard").parquet(sink)
     rb = spark.read.parquet(sink)
-    w = Window.partitionBy("fname").orderBy("mid")
+    w = Window.partitionBy("fname").orderBy("ridx")
     aud = (
-        rb.withColumn("fname", F.input_file_name())
-        .withColumn("mid", F.monotonically_increasing_id())
+        rb.withColumn("fname", F.col("_metadata.file_path"))
+        .withColumn("ridx", F.col("_metadata.row_index"))
         .withColumn("_prev", F.lag("h").over(w))
     )
     return aud.groupBy(F.col("shard").cast("int").alias("shard")).agg(
@@ -3273,5 +3289,5 @@ def docs_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("keysum"),
         F.min("h").alias("min_h"),
         F.max("h").alias("max_h"),
-        _file_order_violations(rb, "h").alias("order_violations"),
+        _file_order_violations("h").alias("order_violations"),
     )

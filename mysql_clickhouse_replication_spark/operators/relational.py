@@ -1258,7 +1258,12 @@ def scan_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes both from the BASE table — equality proves the
     projection contract (rerouted reads lose nothing), while each
     routed scan's PushedFilters hit row-group stats that the matching
-    sort made narrow (the pruning win, asserted in tests/test_plans.py).
+    sort made narrow (the pruning win, asserted in tests/test_plans.py:
+    the date range AND the custkey EQUALITY both reach their scans).
+    The needle is collected to a literal first — a 1-row, 1-column
+    bounded collect (the probe parameter, not data volume) — because a
+    broadcast-joined needle only pushes IsNotNull; the equality must be
+    a literal at plan time to reach row-group stats (r12 ADVICE #2).
 
     Scale: the write cost is one range-exchange + in-task sort PER
     LAYOUT, paid once at ingest (exactly ClickHouse's projection
@@ -1303,13 +1308,11 @@ def scan_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    needle = src.agg(
-        F.expr("MAX(o_custkey) DIV 2").alias("needle")
-    )
-    cu = (
-        spark.read.parquet(sinks["o_custkey"])
-        .crossJoin(F.broadcast(needle))
-        .filter(F.col("o_custkey") == F.col("needle"))
+    # 1-row/1-col bounded collect: the probe PARAMETER (MAX DIV 2), so
+    # the equality is a plan-time literal that reaches PushedFilters
+    needle = src.agg(F.expr("MAX(o_custkey) DIV 2").alias("needle")).first()[0]
+    cu = spark.read.parquet(sinks["o_custkey"]).filter(
+        F.col("o_custkey") == F.lit(int(needle))
     )
     return probe_agg(dt, "date_window", "by_orderdate").unionAll(
         probe_agg(cu, "cust_point", "by_custkey")

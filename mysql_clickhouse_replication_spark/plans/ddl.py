@@ -496,6 +496,8 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def net_ops(part: DataFrame) -> list:
+        # bounded collect: |tables| x |columns| of the DDL LOG (catalog
+        # metadata the driver must apply), never data-volume-dependent
         return (
             part.groupBy("tbl", "col_name")
             .agg(
@@ -568,6 +570,7 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tbl in sorted(rewrites):
             recreate(tbl, cur_schemas[tbl])
 
+    # bounded collect: |tables| of the DDL log — catalog metadata only
     tables = [r.tbl for r in route.select("tbl").distinct().collect()]
     try:
         cur_schemas: dict[str, dict[str, str]] = {}

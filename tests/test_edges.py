@@ -936,23 +936,28 @@ def test_opq_rotation_beats_plain_pq_and_fixes_own_codewords(
 
 def test_epoch_shuffle_write_audit_detects_disorder(spark, tmp_path_factory):
     """Negative control for docs_epoch_shuffle_write's order witness:
-    the same input_file_name + monotonically_increasing_id + lag audit
-    run over a DELIBERATELY unsorted single-file write must count
+    the same _metadata.file_path + _metadata.row_index + lag audit run
+    over a DELIBERATELY unsorted single-file write must count
     violations > 0, and over the sorted write of the same rows exactly
     0 — proving the mechanism actually reads physical file order and
-    the key's oracle-pinned 0 is a real check, not a tautology."""
+    the key's oracle-pinned 0 is a real check, not a tautology.  The
+    sorted file is additionally re-audited under a maxPartitionBytes
+    small enough to force MULTIPLE SPLITS of the one file (the r12
+    ADVICE hazard: split bin-packing scrambles arrival order, which
+    broke the old monotonically_increasing_id witness) — row_index is
+    split-invariant, so the count must stay 0."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    vals = [((i * 7919) % 101, i) for i in range(101)]  # permuted h
+    vals = [((i * 7919) % 10007, i) for i in range(10007)]  # permuted h
     df = spark.createDataFrame(vals, "h bigint, doc_id bigint")
 
     def violations(path):
         rb = spark.read.parquet(path)
-        w = Window.partitionBy("fname").orderBy("mid")
+        w = Window.partitionBy("fname").orderBy("ridx")
         return (
-            rb.withColumn("fname", F.input_file_name())
-            .withColumn("mid", F.monotonically_increasing_id())
+            rb.withColumn("fname", F.col("_metadata.file_path"))
+            .withColumn("ridx", F.col("_metadata.row_index"))
             .withColumn("_prev", F.lag("h").over(w))
             .agg(F.count_if(F.col("h") < F.col("_prev")).alias("v"))
             .collect()[0]["v"]
@@ -965,14 +970,38 @@ def test_epoch_shuffle_write_audit_detects_disorder(spark, tmp_path_factory):
     ordered = str(base / "ordered")
     df.coalesce(1).sortWithinPartitions("h").write.parquet(ordered)
     assert violations(ordered) == 0
+    # force the single sorted file to split into many scan partitions
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    opb = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        rb = spark.read.parquet(ordered)
+        assert rb.rdd.getNumPartitions() > 1  # the hazard is exercised
+        assert violations(ordered) == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", opb)
 
 
 def test_epoch_shuffle_write_plan_one_exchange(spark, sf_dir):
     """docs_epoch_shuffle_write's WRITE side is the documented one-hash-
-    exchange epoch shuffle: the pre-write plan carries exactly one
-    shard-keyed Exchange and a within-partition Sort (no global sort
-    boundary), and the read-back surface covers every shard with the
-    full corpus accounted for."""
+    exchange epoch shuffle: the pre-write plan carries exactly ONE
+    shard-keyed Exchange and a within-partition Sort with no global
+    sort boundary (asserted on the key's own pre-write frame), and the
+    read-back surface covers every shard with the full corpus
+    accounted for."""
+    from mysql_clickhouse_replication_spark.functions.pipeline import (
+        _epoch_shuffle_prewrite,
+    )
+
+    pre = _epoch_shuffle_prewrite(spark, sf_dir)
+    p = pre._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Exchange rangepartitioning" not in p, p  # global sort boundary
+    sort_lines = [ln for ln in p.splitlines() if "Sort [" in ln]
+    assert sort_lines and all("], false," in ln for ln in sort_lines), p
+
     rows = e.queries()["docs_epoch_shuffle_write"](spark, sf_dir).collect()
     assert {r.shard for r in rows} == set(range(8))
     assert all(r.order_violations == 0 for r in rows)

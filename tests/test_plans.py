@@ -2187,8 +2187,9 @@ def test_projection_route_pushdown_both_layouts(plans, spark, sf_dir):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln
                for ln in pushed), pushed
-    assert any("o_custkey" in ln and "IsNotNull" in ln for ln in pushed), \
-        pushed
+    # the custkey point probe pushes the EQUALITY itself (needle is a
+    # plan-time literal — r12 ADVICE #2), not just IsNotNull
+    assert any("EqualTo(o_custkey" in ln for ln in pushed), pushed
     rows = {r.probe: r for r in df.collect()}
     assert rows["date_window"].layout == "by_orderdate"
     assert rows["cust_point"].layout == "by_custkey"
