@@ -1659,3 +1659,134 @@ def test_bpe_train_to_vocab_matches_bruteforce_k10(
     ]
     spark.catalog.clearCache()
     assert got == expected
+
+
+@given(texts=_bpe_texts)
+@settings(**_SETTINGS)
+def test_bpe_encode_matches_literal_encoder(spark, tmp_path_factory, texts):
+    """text_bpe_encode vs a literal symbol-list encoder: train K=10 with
+    the literal trainer (same reference as the train_to_vocab test),
+    then encode every document word-by-word with explicit greedy
+    left-to-right merge application over symbol LISTS (no string
+    tricks), map symbols to ids (a-z -> 1..26, merge k -> 26 + k), and
+    compare the full (n_words, n_tokens, token_ids) surface.  Tiny
+    two-letter corpora exhaust pairs before round 10, so the no-op
+    exhausted-round path is exercised constantly; single-letter words
+    (absent from training, encoded anyway) and unseen segmentations are
+    covered by construction."""
+    import collections
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    segmented = [([ch for ch in w], c) for w, c in words.items()]
+    merges = []  # encoded-space (left, right) per round, learning order
+    for step in range(1, 11):
+        pc = collections.Counter()
+        for syms, c in segmented:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (bl, br), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        sent = chr(step)
+        merges.append((bl, br, sent))
+        segmented = [
+            (_bpe_apply(syms, bl, br, sent), c) for syms, c in segmented
+        ]
+
+    def encode_word(w):
+        syms = [ch for ch in w]
+        for bl, br, sent in merges:
+            syms = _bpe_apply(syms, bl, br, sent)
+        return syms
+
+    def sym_id(s):
+        return 26 + ord(s) if ord(s) <= 26 else ord(s) - 96
+
+    expected = []
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        encs = [encode_word(w) for w in ws]
+        expected.append(
+            (
+                i,
+                len(ws),
+                sum(len(x) for x in encs),
+                " ".join(
+                    ",".join(str(sym_id(s)) for s in x) for x in encs
+                ),
+            )
+        )
+
+    d = str(tmp_path_factory.mktemp("bpe_enc"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = [
+        tuple(r)
+        for r in e.queries()["text_bpe_encode"](spark, d)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def _bpe_apply(syms, bl, br, sent):
+    """Greedy left-to-right non-overlapping merge over a symbol list."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+            out.append(sent)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_encode_reconciles_with_trainer(spark, sf_dir):
+    """Accounting identity between the encoder and the trainer on the
+    gate fixture: SUM(n_tokens) over text_bpe_encode ==
+    symbols_after(last trained round) + occurrences of single-letter
+    words (the trainer audits only words of length >= 2; the encoder
+    tokenizes everything) — the corpus token count reconciles against
+    the training trajectory, so neither surface can drift silently."""
+    import re
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    enc = e.queries()["text_bpe_encode"](spark, sf_dir)
+    total_tokens = enc.agg({"n_tokens": "sum"}).first()[0]
+    steps = (
+        e.queries()["text_bpe_train_to_vocab"](spark, sf_dir)
+        .orderBy("step")
+        .collect()
+    )
+    assert steps
+    singles = duckdb.connect().execute(
+        "SELECT COALESCE(SUM(len([w FOR w IN"
+        " regexp_split_to_array(lower(text), '[^a-z]+')"
+        " IF len(w) = 1])), 0) FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert total_tokens == steps[-1].symbols_after + singles
+    spark.catalog.clearCache()
