@@ -3041,6 +3041,49 @@ def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, codebooks from a second bounded scan).  At 100 TB:
     exactly the sim_product_quantize cost plus three fused map
     expressions."""
+    _, _, out = _opq_spaces(spark, sf_dir)
+    rtot = " + ".join(f"rb{m}.d" for m in range(_OPQ_M))
+    ptot = " + ".join(f"pb{m}.d" for m in range(_OPQ_M))
+    return out.select(
+        "vec_id",
+        *[
+            F.col(f"rb{m}.k").cast("int").alias(f"code_{m}")
+            for m in range(_OPQ_M)
+        ],
+        F.expr(f"CAST({rtot} AS BIGINT)").alias("rot_dist"),
+        F.expr(f"CAST({ptot} AS BIGINT)").alias("plain_dist"),
+    )
+
+
+def _opq_sqd(a: str, b: str, lo: int | None = None, n: int | None = None) -> str:
+    """Exact BIGINT squared-L2 between two BIGINT arrays (optionally a
+    16-dim subspace slice) — the integer distance every stage of the
+    OPQ/IVF-PQ family ranks by (no rounding, no float rank hazard)."""
+    if lo is not None:
+        a, b = f"slice({a}, {lo}, {n})", f"slice({b}, {lo}, {n})"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _opq_spaces(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared two-space corpus of the OPQ family: builds the exact
+    Householder-chain rotation (see sim_opq_rotate's docstring for the
+    construction and integer-exactness argument) and returns
+
+    * ``both``  — (vec_id, pe, re): the corpus at 1e4 fixed-point scale
+      in plain and rotated space, ONE map-only projection;
+    * ``cents`` — 1-row frame with the 8-entry PQ codebooks of both
+      spaces (pcents/rcents: sorted arrays of (cid, cv) structs);
+    * ``out``   — ``both`` x ``cents`` with per-subspace argmin structs
+      pb0..pb3 / rb0..rb3 (field ``k`` = code, ``d`` = distortion).
+
+    sim_opq_rotate surfaces codes + distortions from ``out``;
+    sim_ivfpq_search adds IVF routing and ADC search on top of the
+    same frames."""
     frames = _pca_topk_frames(spark, sf_dir)
 
     # --- rotation construction: d-row Householder chain ---------------
@@ -3159,12 +3202,7 @@ def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tag, vec, cc in (("p", "pe", "pcents"), ("r", "re", "rcents")):
         for m in range(_OPQ_M):
             lo = m * _OPQ_D + 1
-            dist = (
-                f"aggregate(zip_with(slice({vec}, {lo}, {_OPQ_D}),"
-                f" slice(c.cv, {lo}, {_OPQ_D}),"
-                " (x, y) -> (x - y) * (x - y)),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            )
+            dist = _opq_sqd(vec, "c.cv", lo, _OPQ_D)
             out = out.withColumn(
                 f"{tag}b{m}",
                 F.expr(
@@ -3172,16 +3210,264 @@ def sim_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" c -> named_struct('d', {dist}, 'k', c.cid)))"
                 ),
             )
-    rtot = " + ".join(f"rb{m}.d" for m in range(_OPQ_M))
-    ptot = " + ".join(f"pb{m}.d" for m in range(_OPQ_M))
-    return out.select(
-        "vec_id",
-        *[
-            F.col(f"rb{m}.k").cast("int").alias(f"code_{m}")
+    return both, cents, out
+
+
+#: End-to-end IVF-OPQ-PQ search parameters: 16 IVF cells (the plain-
+#: space vectors of vec_id < 16, the sim_ann_lsh convention), 2 probed
+#: cells per query, 10 queries (vec_id < 10), top-5 — matching the
+#: vectors.py ANN family so recall numbers are comparable across keys.
+_IVFPQ_C = 16
+_IVFPQ_NPROBE = 2
+_IVFPQ_Q = 10
+_IVFPQ_TOPK = 5
+
+
+def _ivfpq_search_ctes() -> str:
+    """IVF routing + two-space ADC search + exact ground truth as
+    generated DuckDB CTEs over the _opq_rotation_ctes chain — the
+    oracle twin of sim_ivfpq_search, formula-for-formula (exact BIGINT
+    squared-L2 everywhere, (d, id) total orders)."""
+    parts = []
+    sqd_full = (
+        "list_sum([(q.e[i] - v.e[i]) * (q.e[i] - v.e[i])"
+        " FOR i IN range(1, len(q.e) + 1)])"
+    )
+    parts.append(
+        f"ivfc AS MATERIALIZED (SELECT vec_id AS cid, e AS cv"
+        f" FROM qv0 WHERE vec_id < {_IVFPQ_C})"
+    )
+    parts.append(
+        "iasg AS MATERIALIZED (SELECT v.vec_id, c.cid,"
+        " list_sum([(v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])"
+        " FOR i IN range(1, len(v.e) + 1)]) AS d"
+        " FROM qv0 v CROSS JOIN ivfc c)"
+    )
+    parts.append(
+        "icell AS MATERIALIZED (SELECT vec_id, cid FROM iasg"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+        " ORDER BY d, cid) = 1)"
+    )
+    parts.append(
+        f"iprobe AS MATERIALIZED (SELECT vec_id AS q_id, cid FROM iasg"
+        f" WHERE vec_id < {_IVFPQ_Q}"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+        f" ORDER BY d, cid) <= {_IVFPQ_NPROBE})"
+    )
+    parts.append(
+        f"iexd AS MATERIALIZED (SELECT q.vec_id AS q_id,"
+        f" v.vec_id AS vec_id, {sqd_full} AS d"
+        f" FROM qv0 q, qv0 v"
+        f" WHERE q.vec_id < {_IVFPQ_Q} AND v.vec_id != q.vec_id)"
+    )
+    parts.append(
+        f"iexact AS MATERIALIZED (SELECT q_id, vec_id FROM iexd"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id"
+        f" ORDER BY d, vec_id) <= {_IVFPQ_TOPK})"
+    )
+    dd = _OPQ_D
+    for tag, corpus in (("r", f"rx{_PCA_TOPK}"), ("p", "qv0")):
+        parts.append(
+            f"{tag}lut AS MATERIALIZED (SELECT q.vec_id AS q_id, ms.m,"
+            f" c.cid,"
+            f" list_sum([(q.e[ms.m * {dd} + i] - c.cvec[ms.m * {dd} + i])"
+            f" * (q.e[ms.m * {dd} + i] - c.cvec[ms.m * {dd} + i])"
+            f" FOR i IN range(1, {dd + 1})]) AS d"
+            f" FROM {corpus} q CROSS JOIN {tag}cent c"
+            f" CROSS JOIN (SELECT unnest(range(0, {_OPQ_M})) AS m) ms"
+            f" WHERE q.vec_id < {_IVFPQ_Q})"
+        )
+        lut_joins = " ".join(
+            f"JOIN {tag}lut l{m} ON l{m}.q_id = p.q_id AND l{m}.m = {m}"
+            f" AND l{m}.cid = t.c{m}"
             for m in range(_OPQ_M)
-        ],
-        F.expr(f"CAST({rtot} AS BIGINT)").alias("rot_dist"),
-        F.expr(f"CAST({ptot} AS BIGINT)").alias("plain_dist"),
+        )
+        adc = " + ".join(f"l{m}.d" for m in range(_OPQ_M))
+        parts.append(
+            f"{tag}adc AS MATERIALIZED (SELECT p.q_id, t.vec_id,"
+            f" ({adc}) AS adc"
+            f" FROM iprobe p"
+            f" JOIN icell cl ON cl.cid = p.cid"
+            f" JOIN {tag}tot t ON t.vec_id = cl.vec_id"
+            f" {lut_joins}"
+            f" WHERE t.vec_id != p.q_id)"
+        )
+        parts.append(
+            f"{tag}top AS MATERIALIZED (SELECT q_id, vec_id FROM {tag}adc"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id"
+            f" ORDER BY adc, vec_id) <= {_IVFPQ_TOPK})"
+        )
+    return ",\n".join(parts)
+
+
+_IVFPQ_SELECT = """
+SELECT e.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(r.vec_id) AS BIGINT) AS n_hit_rot,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit_plain,
+       CAST(COUNT(r.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_rot_ppm,
+       CAST(COUNT(p.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_plain_ppm
+FROM iexact e
+LEFT JOIN rtop r ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+LEFT JOIN ptop p ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+GROUP BY e.q_id
+"""
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=f"""
+WITH {_pca_topk_ctes()},
+{_opq_rotation_ctes()},
+{_ivfpq_search_ctes()}
+{_IVFPQ_SELECT}
+""",
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED end-to-end ANN query (r12 verdict next-round #3):
+    IVF cell routing (sim_ann_lsh's bucketing) -> OPQ Householder
+    rotation (sim_opq_rotate) -> PQ encoding (sim_product_quantize's
+    argmin) -> ADC lookup-table search (sim_pq_adc_search), composed
+    into ONE key with recall@{_IVFPQ_TOPK} against exact brute force
+    surfaced per query — the sim_ann_recall honesty discipline applied
+    to the full production stack, and the OPQ payoff made MEASURABLE:
+    the same IVF probe + ADC search runs in BOTH spaces (rotated codes
+    vs plain codes, same codebook sample ids), so recall_rot_ppm vs
+    recall_plain_ppm is the apples-to-apples number an OPQ deployment
+    reads (tests assert total rot hits >= plain hits on the fixtures,
+    alongside the already-asserted distortion dominance).
+
+    Exactness: everything ranks by exact BIGINT squared-L2 at the 1e4
+    fixed-point scale under (d, id) total orders — IVF assignment,
+    probe choice, PQ argmin, ADC sums, and the brute-force ground
+    truth; no rounding, no float anywhere, so the oracle (the
+    machine-generated MATERIALIZED-CTE unroll of the identical chain)
+    matches bit-for-bit.
+
+    Scale (the whole point of the composition): the corpus pass is
+    map-only — rotation + PQ codes + IVF cell land in ONE projection
+    under 1-row broadcasts (codebooks, rotation, 16 IVF centroids);
+    the only corpus-sized joins are broadcast probes (20 probe rows,
+    10 LUT rows); ADC candidates shrink by ~nprobe/C vs scanning all
+    codes; per-query top-k windows are bounded by probe selectivity.
+    At 100 TB: one scan + one broadcast-join pass, the IVF-PQ deploy
+    shape (Jegou et al., PAMI 2011; Ge et al., CVPR 2013).  The
+    brute-force ground-truth pass exists ONLY because recall is the
+    surface — production samples queries exactly like this, amortizing
+    the exact pass over a monitoring window."""
+    both, cents, out = _opq_spaces(spark, sf_dir)
+    d_q = _opq_sqd("pe", "c.cv")
+    ivfc = both.filter(F.col("vec_id") < _IVFPQ_C).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("pe").alias("cv"))
+            )
+        ).alias("ivfc")
+    )
+    # coded corpus + its IVF cell: ONE map pass over `out`
+    coded = out.crossJoin(F.broadcast(ivfc)).select(
+        "vec_id",
+        *[F.col(f"rb{m}.k").alias(f"rc{m}") for m in range(_OPQ_M)],
+        *[F.col(f"pb{m}.k").alias(f"pc{m}") for m in range(_OPQ_M)],
+        F.expr(
+            f"array_min(transform(ivfc,"
+            f" c -> named_struct('d', {d_q}, 'k', c.cid))).k"
+        ).alias("cell"),
+    )
+    # queries: probed cells + both-space LUTs in one 10-row frame
+    luts = []
+    for tag, vec, cc in (("r", "re", "rcents"), ("p", "pe", "pcents")):
+        for m in range(_OPQ_M):
+            luts.append(
+                F.expr(
+                    f"transform({cc}, c ->"
+                    f" {_opq_sqd(vec, 'c.cv', m * _OPQ_D + 1, _OPQ_D)})"
+                ).alias(f"{tag}lut{m}")
+            )
+    q = (
+        both.filter(F.col("vec_id") < _IVFPQ_Q)
+        .crossJoin(F.broadcast(ivfc))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(
+                f"transform(slice(array_sort(transform(ivfc,"
+                f" c -> named_struct('d', {d_q}, 'k', c.cid))),"
+                f" 1, {_IVFPQ_NPROBE}), s -> s.k)"
+            ).alias("cells"),
+            *luts,
+        )
+    )
+    probe = q.select(
+        "q_id",
+        F.explode("cells").alias("pcid"),
+        *[f"{t}lut{m}" for t in ("r", "p") for m in range(_OPQ_M)],
+    )
+    cand = coded.join(
+        F.broadcast(probe), coded.cell == probe.pcid
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    radc = " + ".join(
+        f"element_at(rlut{m}, CAST(rc{m} + 1 AS INT))" for m in range(_OPQ_M)
+    )
+    padc = " + ".join(
+        f"element_at(plut{m}, CAST(pc{m} + 1 AS INT))" for m in range(_OPQ_M)
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.expr(radc).alias("adc_rot"),
+        F.expr(padc).alias("adc_plain"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adc_rot"), F.asc("vec_id"))
+    wp = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_plain"), F.asc("vec_id")
+    )
+    ranked = (
+        scored.withColumn("rn_rot", F.row_number().over(wr))
+        .withColumn("rn_plain", F.row_number().over(wp))
+        .filter(
+            (F.col("rn_rot") <= _IVFPQ_TOPK)
+            | (F.col("rn_plain") <= _IVFPQ_TOPK)
+        )
+        .select("q_id", "vec_id", "rn_rot", "rn_plain")
+    )
+    # exact ground truth: brute-force integer L2 top-k per query
+    qv = both.filter(F.col("vec_id") < _IVFPQ_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("pe").alias("qe")
+    )
+    we = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact5 = (
+        both.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.expr(_opq_sqd("pe", "qe")).alias("d"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    # ranked is <= queries x 2k rows — broadcast the recall join so the
+    # two bounded frames never sort-merge
+    return (
+        exact5.join(F.broadcast(ranked), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count_if(F.col("rn_rot") <= _IVFPQ_TOPK)
+            .cast("bigint")
+            .alias("n_hit_rot"),
+            F.count_if(F.col("rn_plain") <= _IVFPQ_TOPK)
+            .cast("bigint")
+            .alias("n_hit_plain"),
+            F.expr(
+                f"CAST(count_if(rn_rot <= {_IVFPQ_TOPK}) * 1000000"
+                " DIV count(1) AS BIGINT)"
+            ).alias("recall_rot_ppm"),
+            F.expr(
+                f"CAST(count_if(rn_plain <= {_IVFPQ_TOPK}) * 1000000"
+                " DIV count(1) AS BIGINT)"
+            ).alias("recall_plain_ppm"),
+        )
     )
 
 

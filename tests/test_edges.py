@@ -894,31 +894,7 @@ def test_opq_rotation_beats_plain_pq_and_fixes_own_codewords(
             assert r.rot_dist == 0 and r.plain_dist == 0, r
         assert {r.code_0, r.code_1, r.code_2, r.code_3} <= set(range(8))
 
-    n, d = 120, 64
-    a = np.ones(d) / 8.0
-    b = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(d)]) / 8.0
-    vecs = []
-    for i in range(n):
-        ca = (i % 5 - 2) * 0.8
-        cb = (i % 3 - 1) * 0.3
-        noise = np.array(
-            [((i * 41 + j * 17) % 9 - 4) * 0.002 for j in range(d)]
-        )
-        vecs.append((ca * a + cb * b + noise).astype("float32"))
-    tmp = tmp_path_factory.mktemp("opq_planted")
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(range(n), pa.int64()),
-                "embedding": pa.array(
-                    [list(map(float, v)) for v in vecs],
-                    pa.list_(pa.float32()),
-                ),
-                "label": pa.array([i % 4 for i in range(n)], pa.int64()),
-            }
-        ),
-        os.path.join(str(tmp), "embeddings.parquet"),
-    )
+    tmp, _ = _planted_spectrum_dir(tmp_path_factory, "opq_planted")
     srows = sorted(
         tuple(r)
         for r in e.queries()["sim_opq_rotate"](spark, str(tmp)).collect()
@@ -932,6 +908,78 @@ def test_opq_rotation_beats_plain_pq_and_fixes_own_codewords(
         tuple(r) for r in con.execute(e.oracle_sql()["sim_opq_rotate"]).fetchall()
     )
     assert srows == orows
+
+
+def _planted_spectrum_dir(tmp_path_factory, name):
+    """An embeddings fixture with a PLANTED 2-direction spectrum (the
+    sf fixtures are isotropic-random, where rotation has nothing to
+    exploit): 120 vectors dominated by two orthogonal directions plus
+    deterministic small noise."""
+    import numpy as np
+
+    n, d = 120, 64
+    a = np.ones(d) / 8.0
+    b = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(d)]) / 8.0
+    vecs = []
+    for i in range(n):
+        ca = (i % 5 - 2) * 0.8
+        cb = (i % 3 - 1) * 0.3
+        noise = np.array(
+            [((i * 41 + j * 17) % 9 - 4) * 0.002 for j in range(d)]
+        )
+        vecs.append((ca * a + cb * b + noise).astype("float32"))
+    tmp = tmp_path_factory.mktemp(name)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 4 for i in range(n)], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp), "embeddings.parquet"),
+    )
+    return str(tmp), vecs
+
+
+def test_ivfpq_search_opq_recall_payoff(spark, sf_dir, tmp_path_factory):
+    """sim_ivfpq_search's OPQ payoff, measured where it exists: on the
+    planted-spectrum fixture (real top directions for the eigenvalue
+    allocation to spread) ROTATED-space ADC recall beats plain-space
+    recall outright (measured 43/50 vs 25/50), and both engines agree
+    exactly on that non-fixture shape.  On the isotropic sf fixture the
+    honest expectation is parity within noise — asserted as a bounded
+    gap, never superiority — plus a sane surface (full query cover,
+    recall consistent with hits)."""
+    tmp, _ = _planted_spectrum_dir(tmp_path_factory, "ivfpq_planted")
+    rows = e.queries()["sim_ivfpq_search"](spark, tmp).collect()
+    tr = sum(r.n_hit_rot for r in rows)
+    tp = sum(r.n_hit_plain for r in rows)
+    assert tr > tp, (tr, tp)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["sim_ivfpq_search"]).fetchall()
+    )
+    assert sorted(tuple(r) for r in rows) == orows
+
+    frows = e.queries()["sim_ivfpq_search"](spark, sf_dir).collect()
+    assert {r.q_id for r in frows} == set(range(10))
+    for r in frows:
+        assert r.n_exact == 5
+        assert r.recall_rot_ppm == r.n_hit_rot * 1000000 // 5
+        assert r.recall_plain_ppm == r.n_hit_plain * 1000000 // 5
+    fr = sum(r.n_hit_rot for r in frows)
+    fp = sum(r.n_hit_plain for r in frows)
+    assert abs(fr - fp) <= 5, (fr, fp)  # isotropic: parity within noise
+    spark.catalog.clearCache()
 
 
 def test_epoch_shuffle_write_audit_detects_disorder(spark, tmp_path_factory):

@@ -2194,3 +2194,18 @@ def test_projection_route_pushdown_both_layouts(plans, spark, sf_dir):
     assert rows["date_window"].layout == "by_orderdate"
     assert rows["cust_point"].layout == "by_custkey"
     assert rows["date_window"].n_rows > 0 and rows["cust_point"].n_rows > 0
+
+
+def test_ivfpq_search_plan_broadcast_only(plans, spark, sf_dir):
+    """sim_ivfpq_search's corpus path is map-only under broadcasts: the
+    candidate join is a BroadcastHashJoin on the IVF cell (the probe
+    side is 20 rows), every 1-row attach is a broadcast nested-loop
+    cross, no SortMergeJoin anywhere (the recall join broadcasts its
+    bounded ranked side), no Python, and the only hash exchanges are
+    the per-query window/agg ones over probe-bounded frames."""
+    p = plans("sim_ivfpq_search")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    simple = plans("sim_ivfpq_search", "simple")
+    assert simple.count("Exchange hashpartitioning") <= 4, simple
