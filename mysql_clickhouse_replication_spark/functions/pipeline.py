@@ -3471,6 +3471,230 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: OPQ codebook-training rounds (the alternation's re-codebook half).
+_OPQ_TRAIN_ROUNDS = 3
+
+
+def _opq_train_ctes() -> str:
+    """K-round per-subspace Lloyd codebook training in the rotated
+    space as generated DuckDB CTEs over the _opq_rotation_ctes chain —
+    the oracle twin of sim_opq_train, formula-for-formula (exact BIGINT
+    distances, (d, cid) argmin, sign-split integer means, empty cells
+    keep their codeword)."""
+
+    def ss(x: str, d: str) -> str:
+        return (
+            f"CASE WHEN {x} < 0 THEN -(abs({x}) // {d})"
+            f" ELSE ({x}) // {d} END"
+        )
+
+    dd = _OPQ_D
+    parts = [
+        f"cb0 AS MATERIALIZED (SELECT ms.m, c.cid,"
+        f" [c.cvec[ms.m * {dd} + i] FOR i IN range(1, {dd + 1})] AS sv"
+        f" FROM rcent c CROSS JOIN"
+        f" (SELECT unnest(range(0, {_OPQ_M})) AS m) ms)"
+    ]
+    for r in range(1, _OPQ_TRAIN_ROUNDS + 1):
+        parts.append(
+            f"t{r}d AS MATERIALIZED (SELECT v.vec_id, b.m, b.cid,"
+            f" list_sum([(v.e[b.m * {dd} + i] - b.sv[i])"
+            f" * (v.e[b.m * {dd} + i] - b.sv[i])"
+            f" FOR i IN range(1, {dd + 1})]) AS d"
+            f" FROM rx{_PCA_TOPK} v CROSS JOIN cb{r - 1} b)"
+        )
+        parts.append(
+            f"t{r}a AS MATERIALIZED (SELECT vec_id, m, cid, d FROM t{r}d"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d, cid) = 1)"
+        )
+        parts.append(
+            f"t{r}s AS MATERIALIZED (SELECT a.m, a.cid, u.i AS dim,"
+            f" CAST(SUM(v.e[a.m * {dd} + u.i]) AS BIGINT) AS sx,"
+            f" COUNT(*) AS n"
+            f" FROM t{r}a a JOIN rx{_PCA_TOPK} v ON v.vec_id = a.vec_id"
+            f" CROSS JOIN (SELECT unnest(range(1, {dd + 1})) AS i) u"
+            f" GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"cb{r} AS MATERIALIZED (SELECT b.m, b.cid,"
+            f" COALESCE(nm.sv, b.sv) AS sv FROM cb{r - 1} b"
+            f" LEFT JOIN (SELECT m, cid,"
+            f" list({ss('sx', 'n')} ORDER BY dim) AS sv"
+            f" FROM t{r}s GROUP BY m, cid) nm"
+            f" ON nm.m = b.m AND nm.cid = b.cid)"
+        )
+        parts.append(
+            f"o{r} AS MATERIALIZED (SELECT {r} AS round,"
+            f" CAST(m AS INTEGER) AS m,"
+            f" CAST(SUM(d) AS BIGINT) AS distortion,"
+            f" CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_cells_used"
+            f" FROM t{r}a GROUP BY m)"
+        )
+    return ",\n".join(parts)
+
+
+_OPQ_TRAIN_SELECT = "\nUNION ALL\n".join(
+    f"SELECT CAST(round AS INTEGER) AS round, m, distortion,"
+    f" n_cells_used FROM o{r}"
+    for r in range(1, _OPQ_TRAIN_ROUNDS + 1)
+)
+
+
+@register(
+    "sim_opq_train",
+    oracle=f"""
+WITH {_pca_topk_ctes()},
+{_opq_rotation_ctes()},
+{_opq_train_ctes()}
+{_OPQ_TRAIN_SELECT}
+""",
+)
+def sim_opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ codebook TRAINING in the rotated space — K=3 per-subspace
+    Lloyd rounds with the per-round persisted-state discipline of the
+    BPE trainer (r12 verdict next-round #5): round t assigns every
+    subvector to its nearest codeword (exact BIGINT squared-L2,
+    (d, cid) argmin), recomputes each codeword as the integer mean of
+    its members (sign-split truncating division — exact on both
+    engines; EMPTY cells keep their codeword), and checkpoints the
+    512-cell stats frame that IS the round's state.  Surface per
+    (round, subspace): total distortion under the round's INCOMING
+    codebook and the number of cells used — the compression trajectory;
+    tests assert per-subspace monotone non-increase across rounds (the
+    Lloyd guarantee; integer-rounding of means perturbs each codeword
+    by < 1 lattice step per coordinate, measured never enough to break
+    monotonicity on any fixture) and the round-1 reconciliation
+    distortion == SUM(sim_opq_rotate.rot_dist).
+
+    Honest scope (Ge et al., CVPR 2013, section 4): full OPQ-NP
+    alternates codebook updates with an SVD-based Procrustes rotation
+    update, which has no exact cross-engine arithmetic form — the
+    rotation here stays the eigenvalue-allocation Householder init
+    (sim_opq_rotate), and this key trains the alternation's OTHER half,
+    the rotated-space codebooks, which is where the remaining
+    distortion lives once the rotation is fixed.
+
+    Scale: each round is ONE corpus pass — assignment + per-(m, cid,
+    dim) partial sums + per-(vec, m) distortions land in a single
+    exploded groupBy (map-side combined, 512 output cells) under a
+    1-row codebook broadcast; codebook rebuild and the surface are
+    bounded post-aggs of that frame.  Round count scales exactly like
+    the BPE trainer: per-round cost independent of history because the
+    state (32 codewords) is checkpointed, not re-derived.  At extreme
+    corpus sizes the BIGINT distortion sums widen to DECIMAL(38,0),
+    the established escape."""
+    both, cents, _ = _opq_spaces(spark, sf_dir)
+    dd = _OPQ_D
+    # initial codebook: rcents subvectors, 32 rows (m, cid, sv)
+    cb = (
+        cents.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {_OPQ_M - 1}), m ->"
+                    " transform(rcents, c -> named_struct("
+                    "'m', m, 'cid', c.cid,"
+                    f" 'sv', slice(c.cv, m * {dd} + 1, {dd})))))"
+                )
+            ).alias("e")
+        )
+        .select("e.m", "e.cid", "e.sv")
+        .localCheckpoint(eager=True)
+    )
+    corpus = both.select("vec_id", "re")
+    out_rounds: list[DataFrame] = []
+    for r in range(1, _OPQ_TRAIN_ROUNDS + 1):
+        cb1 = cb.agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cid", "sv"))
+            ).alias("cball")
+        )
+        bms = [
+            F.expr(
+                f"array_min(transform(filter(cball, c -> c.m = {m}),"
+                f" c -> named_struct('d',"
+                f" {_opq_sqd(f'slice(re, {m * dd + 1}, {dd})', 'c.sv')},"
+                f" 'k', c.cid)))"
+            ).alias(f"bm{m}")
+            for m in range(_OPQ_M)
+        ]
+        assigned = corpus.crossJoin(F.broadcast(cb1)).select(
+            "vec_id", "re", *bms
+        )
+        # ONE corpus pass: (m, cid, dim) partial sums + member counts +
+        # per-(vec, m) distortions (dim 0 carries d exactly once)
+        stats = (
+            assigned.select(
+                "re",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"),
+                                F.col(f"bm{m}.k").alias("cid"),
+                                F.col(f"bm{m}.d").alias("d"),
+                                F.expr(
+                                    f"slice(re, {m * dd + 1}, {dd})"
+                                ).alias("sv"),
+                            )
+                            for m in range(_OPQ_M)
+                        ]
+                    )
+                ).alias("e"),
+            )
+            .select(
+                "e.m", "e.cid", "e.d", F.posexplode("e.sv").alias("dim", "x")
+            )
+            .groupBy("m", "cid", "dim")
+            .agg(
+                F.sum("x").alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d").alias("sd"),
+            )
+            .localCheckpoint(eager=True)  # the round's persisted state
+        )
+        out_rounds.append(
+            stats.filter(F.col("dim") == 0)
+            .groupBy("m")
+            .agg(
+                F.sum("sd").cast("bigint").alias("distortion"),
+                F.countDistinct("cid").cast("bigint").alias("n_cells_used"),
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("m").cast("int").alias("m"),
+                "distortion",
+                "n_cells_used",
+            )
+        )
+        means = (
+            stats.select(
+                "m",
+                "cid",
+                "dim",
+                F.expr(_pca_ss("sx", "n")).alias("v"),
+            )
+            .groupBy("m", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(dim, v))), s -> s.v)"
+                ).alias("nsv")
+            )
+        )
+        cb = (
+            cb.join(F.broadcast(means), ["m", "cid"], "left")
+            .select(
+                "m", "cid", F.coalesce("nsv", "sv").alias("sv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = out_rounds[0]
+    for fr in out_rounds[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
 def _file_order_violations(order_col: str) -> F.Column:
     """Physical per-FILE order witness: count rows whose ``order_col``
     DECREASES relative to the previous row of the same file in file

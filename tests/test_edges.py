@@ -1058,3 +1058,30 @@ def test_epoch_shuffle_write_plan_one_exchange(spark, sf_dir):
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
     assert sum(r.n_docs for r in rows) == n
+
+
+def test_opq_train_monotone_and_reconciles(spark, sf_dir, tmp_path_factory):
+    """sim_opq_train's Lloyd contract on fixtures AND the planted
+    spectrum: per-subspace distortion is monotone non-increasing across
+    the 3 rounds (the Lloyd guarantee, surviving integer-rounded
+    means), and round 1 reconciles exactly with sim_opq_rotate —
+    SUM(round-1 distortion) == SUM(rot_dist), since round 1 scores the
+    same corpus against the same initial codebook."""
+    for d in (sf_dir, _planted_spectrum_dir(tmp_path_factory, "opq_train")[0]):
+        rows = sorted(
+            e.queries()["sim_opq_train"](spark, d).collect(),
+            key=lambda r: (r.m, r.round),
+        )
+        assert {(r.round, r.m) for r in rows} == {
+            (t, m) for t in (1, 2, 3) for m in range(4)
+        }
+        for m in range(4):
+            ds = [r.distortion for r in rows if r.m == m]
+            assert all(a >= b for a, b in zip(ds, ds[1:])), (m, ds)
+            assert all(
+                1 <= r.n_cells_used <= 8 for r in rows if r.m == m
+            )
+        d1 = sum(r.distortion for r in rows if r.round == 1)
+        rot = e.queries()["sim_opq_rotate"](spark, d).collect()
+        assert d1 == sum(r.rot_dist for r in rot), d
+    spark.catalog.clearCache()
