@@ -1085,3 +1085,24 @@ def test_opq_train_monotone_and_reconciles(spark, sf_dir, tmp_path_factory):
         rot = e.queries()["sim_opq_rotate"](spark, d).collect()
         assert d1 == sum(r.rot_dist for r in rot), d
     spark.catalog.clearCache()
+
+
+def test_epoch_shuffle_read_decorrelates(spark, sf_dir):
+    """The contract docs_epoch_shuffle_read exists to enforce (and
+    whose first run CAUGHT the bare affine lattice: rho was 1.0, stay
+    rate 0): epoch orders are decorrelated — global Spearman rho from
+    the surfaced sum_d2 is ~0, the cross-epoch shard stay rate is
+    ~1/shards, every shard file streams in order, and the shards cover
+    the corpus exactly."""
+    rows = e.queries()["docs_epoch_shuffle_read"](spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(range(8))
+    n = sum(r.n_docs for r in rows)
+    total = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert n == total
+    assert all(r.order_violations == 0 for r in rows)
+    rho = 1 - 6 * sum(r.sum_d2 for r in rows) / (n * (n * n - 1))
+    assert abs(rho) < 0.1, rho
+    stay = sum(r.n_stay for r in rows) / n
+    assert abs(stay - 1 / 8) < 0.06, stay

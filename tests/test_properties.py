@@ -1164,7 +1164,12 @@ def test_epoch_shuffle_bijective_and_symmetric(
     rows = e.queries()["docs_epoch_shuffle"](spark, d).collect()
 
     def lat(doc, ep):
-        return (doc * 2654435761 + ep * 40503 + 13) % 4294967296
+        # the affine round + murmur-style finalizer (xorshift-16, odd
+        # multiply, xorshift-16) — must match _shuf_h_sql literally
+        v0 = (doc * 2654435761 + ep * 40503 + 13) % 4294967296
+        v1 = v0 ^ (v0 >> 16)
+        v2 = (v1 * 1103515245) % 4294967296
+        return v2 ^ (v2 >> 16)
 
     # bijectivity per epoch
     for ep in (0, 1):
