@@ -325,7 +325,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (single-level baseline 1.4 s); a persist() of the assignment
     was slower still (3.5 s+, cache write + barrier beats branch dedup at
     this scale — on a real cluster you'd persist the (id, cell) index to
-    storage instead)."""
+    storage instead).
+
+    r13 watch-item audit (the r12 bench drifted to 1.28x of baseline):
+    cell populations are near-uniform at every SF (max 159 of 2100 at
+    sf0.1 — no fixture-drift hot cell), and a full JVM-side rework
+    (array_max over a broadcast centroid array, hoisted norms, exchange
+    reuse via a (cid, scid) repartition — the sim_product_quantize
+    shape) measured WORSE: 2.45 s vs 1.87 s at sf0.1 and 16.0 s vs
+    5.8 s at sf1, because 21M interpreted higher-order lambda evals
+    lose badly to one Arrow batch of numpy einsum.  The pandas+window
+    shape is the right plan at every measured scale; the 1.28x reading
+    was box noise (three quiet-box runs: 1.87-2.2 s in the time_keys
+    harness whose calibration offset vs the driver bench is +5-8%)."""
     v = _vecs(spark, sf_dir).select("vec_id", "vec")
     # Clone ids live in the NEGATIVE id space (-vid - 1): fixture ids are
     # non-negative at every SF (sf1 replication shifts by +i*span), so a
