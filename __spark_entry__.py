@@ -15,28 +15,28 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-11 proved ALL 334 then-registered keys green (the
+* rounds 1-12 proved ALL 340 then-registered keys green (the
   ``_DRIVER_GREEN`` list below is the union of green rows across
-  CORRECTNESS_r01..r11; round 8 closed the contract at 311/311,
-  rounds 9/10/11 kept it closed at 317/317, 323/323 and 334/334).
+  CORRECTNESS_r01..r12; round 8 closed the contract at 311/311,
+  rounds 9-12 kept it closed at 317/317, 323/323, 334/334 and
+  340/340).
 * with coverage complete, the remaining contract risk is REGRESSION:
   code and fixtures change under keys whose only driver proof is
-  rounds old.  ``_R12_FRONT`` holds the 45 keys whose NEWEST green
-  row is stalest (all 38 keys last proven in round 5 -- including the
-  9 keys the r11 50-key cut displaced -- then the 7 oldest round-6
-  keys), ordered stalest-first (newest-green round, then key) --
-  recomputed this round from the r01..r11 union exactly as the r11
-  verdict prescribed.
-* the 6 keys first registered in round 12 (scan_tokenbf_skip_index,
-  embedding_pca_topk, sim_opq_rotate, text_bpe_train_to_vocab,
-  docs_epoch_shuffle_write, scan_projection_route -- not in
+  rounds old.  ``_R13_FRONT`` holds the 46 keys whose NEWEST green
+  row is stalest (ALL 40 keys last proven in round 6, then the 6
+  oldest round-7 keys by name), ordered stalest-first (newest-green
+  round, then key) -- recomputed this round from the r01..r12 union
+  exactly as the r12 verdict prescribed ("rotate the driver window to
+  the r6-vintage block").
+* the 4 keys first registered in round 13 (text_bpe_encode,
+  sim_ivfpq_search, sim_opq_train, docs_epoch_shuffle_read -- not in
   ``_DRIVER_GREEN``) have no driver proof at all, so they sort FIRST;
-  the stalest list fills the window behind them (the 50-key cut drops
-  the 45th front entry, docs_block_dedup, back into the tail).  After
-  this round records, no key's newest green predates round 6.
-  All window keys were pre-flighted through tools/pandas_gate_sim.py
-  + tools/oracle_dtype_lint.py (PREFLIGHT_r12.txt) before this file
-  changed the ordering, per the established hazard-gate discipline.
+  the stalest list fills the window behind them (4 + 46 = exactly the
+  50-key cut).  After this round records, no key's newest green
+  predates round 7.  All window keys were pre-flighted through
+  tools/pandas_gate_sim.py + tools/oracle_dtype_lint.py
+  (PREFLIGHT_r13.txt) before this ordering was committed, per the
+  established hazard-gate discipline.
 """
 
 from __future__ import annotations
@@ -173,34 +173,39 @@ _DRIVER_GREEN = [
     "embedding_gram_matrix", "embedding_pca_project",
     "scan_bloom_skip_index", "scan_set_skip_index",
     "sim_pca_power_iteration", "text_bpe_fertility",
-    "text_bpe_merge_step", "text_bpe_train_steps"
+    "text_bpe_merge_step", "text_bpe_train_steps",
+    "scan_tokenbf_skip_index", "scan_projection_route",
+    "embedding_pca_topk", "sim_opq_rotate", "docs_epoch_shuffle_write",
+    "text_bpe_train_to_vocab"
 ]
 
-# The 45 stalest driver greens for round 12 (ALL 38 keys whose newest
-# green row is round 5, then the 7 oldest r5->r6 keys by name) --
-# re-sampled behind the 5 new r12 registrations; recomputed from the
-# r01..r11 union exactly as the r11 verdict prescribed (after this
-# round records, no key's newest green predates round 6).
-_R12_FRONT = [
-    "cdc_gtid_resume", "cdc_type_edges", "events_alert_rules",
-    "events_bot_detection", "events_changepoint_cusum",
-    "events_conversion_latency", "events_distribution_drift",
-    "events_dormant_reactivation", "events_error_budget_burn",
-    "events_growth_accounting", "events_new_vs_returning",
-    "events_rate_limit_scan", "events_sliding_uniques_sketch",
-    "events_time_weighted_avg", "fn_business_days", "fn_encoding",
-    "fn_format", "fn_fuzzy_match", "fn_geo", "fn_ip",
-    "fn_null_family", "fn_struct", "fn_time_bucket", "fn_timezone",
-    "join_anti_null_aware", "join_asof_nearest",
-    "join_asof_tolerance", "join_bloom_prefilter",
-    "join_null_skew_split", "join_range_bucketed",
-    "join_spatial_grid", "orders_basket_lift",
-    "orders_purchase_cadence", "orders_revenue_concentration",
-    "profile_table", "sample_stratified", "tpch_q7_shape",
-    "tpch_q8_shape", "cdc_backfill_plan", "cdc_collapsing_sign",
-    "cdc_column_mask_policy", "cdc_row_checksum",
-    "cdc_snapshot_overlap_resolve", "cdc_summing_merge",
-    "docs_block_dedup"
+# The 46 stalest driver greens for round 13 (ALL 40 keys whose newest
+# green row is round 6, then the 6 oldest r7 keys by name) -- sampled
+# behind the 4 new r13 registrations; recomputed from the r01..r12
+# union exactly as the r12 verdict prescribed (after this round
+# records, no key's newest green predates round 7).
+_R13_FRONT = [
+    "docs_block_dedup", "docs_chunk_overlap",
+    "docs_contamination_check", "docs_license_filter",
+    "docs_mix_weighted", "docs_pack_sequences",
+    "docs_quality_filter_pipeline", "docs_repetition_ratio",
+    "docs_temperature_sample", "embedding_quantize",
+    "events_ab_ztest", "events_counter_delta_sum",
+    "events_histogram", "events_markov_transitions",
+    "events_peak_concurrency", "fn_try_cast",
+    "orders_active_coverage", "orders_backlog_aging",
+    "profile_skew", "reshape_pivot_multi",
+    "sample_importance_weighted", "sample_reservoir",
+    "scan_sorted_layout_prune", "scan_zorder_layout",
+    "text_entropy", "text_stats", "tpch_q11_shape",
+    "tpch_q13_shape", "tpch_q15_shape", "tpch_q16_shape",
+    "tpch_q17_shape", "tpch_q20_shape", "tpch_q21_shape",
+    "tpch_q22_shape", "tpch_q2_shape", "tpch_q9_shape",
+    "win_ignore_nulls", "win_ntile", "win_reset_running_sum",
+    "win_time_range_frame",
+    "agg_topk_weighted", "cdc_compaction_ratio", "cdc_conflict_lww",
+    "cdc_ddl_apply", "cdc_dedup_bounded_window",
+    "cdc_dlq_replay_merge"
 ]
 
 
@@ -209,9 +214,9 @@ def _ordered_keys() -> list[str]:
     stalest greens, then the remaining driver greens."""
     proven = set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in proven]
-    front = [k for k in _R12_FRONT if k in QUERIES]
+    front = [k for k in _R13_FRONT if k in QUERIES]
     tail = [k for k in _DRIVER_GREEN
-            if k in QUERIES and k not in set(_R12_FRONT)]
+            if k in QUERIES and k not in set(_R13_FRONT)]
     return unproven + front + tail
 
 
