@@ -2134,7 +2134,9 @@ def _gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Epoch-shuffle lattice-hash constants: odd multiplier (Knuth 2^32
 #: golden-ratio) keeps doc_id -> h bijective mod 2^32 per epoch, so
 #: shuffle positions are collision-free and min_by/arg_min tiebreaks
-#: are moot; the additive epoch term re-keys the whole permutation.
+#: are moot.  The additive epoch term re-keys the permutation ONLY
+#: through the finalizer below (_SHUF_MIX_MULT): on its own it is a
+#: constant value shift — near-identity in ORDER terms, the r13 bug.
 _SHUF_MULT = 2654435761
 _SHUF_EPOCH = 40503
 _SHUF_MOD = 4294967296  # 2^32
