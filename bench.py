@@ -405,6 +405,11 @@ EXTRA = [
     "text_bpe_train_to_vocab",
     "docs_epoch_shuffle_write",
     "scan_projection_route",
+    "text_bpe_encode",
+    "sim_ivfpq_search",
+    "sim_opq_train",
+    "sim_ivfpq_search_trained",
+    "docs_epoch_shuffle_read",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery
