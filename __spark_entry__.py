@@ -28,16 +28,18 @@ proof rotates through the registry in 50-key windows:
   round, then key) -- recomputed this round from the r01..r12 union
   exactly as the r12 verdict prescribed ("rotate the driver window to
   the r6-vintage block").
-* the 5 keys first registered in round 13 (text_bpe_encode,
+* the 6 keys first registered in round 13 (text_bpe_encode,
   sim_ivfpq_search, sim_opq_train, docs_epoch_shuffle_read, and the
-  unasked sim_ivfpq_search_trained -- not in ``_DRIVER_GREEN``) have
-  no driver proof at all, so they sort FIRST; the stalest list fills
-  the window behind them (5 + 46 = 51, so the 50-key cut drops the
-  46th front entry, cdc_dlq_replay_merge, back into the tail).  After
-  this round records, no key's newest green predates round 7.  All
-  window keys were pre-flighted through tools/pandas_gate_sim.py +
-  tools/oracle_dtype_lint.py (PREFLIGHT_r13.txt) before this ordering
-  was committed, per the established hazard-gate discipline.
+  unasked sim_ivfpq_search_trained + docs_tokenize_pack -- not in
+  ``_DRIVER_GREEN``) have no driver proof at all, so they sort FIRST;
+  the stalest list fills the window behind them (6 + 46 = 52, so the
+  50-key cut drops the last two front entries,
+  cdc_dedup_bounded_window and cdc_dlq_replay_merge, back into the
+  tail).  After this round records, no key's newest green predates
+  round 7.  All window keys were pre-flighted through
+  tools/pandas_gate_sim.py + tools/oracle_dtype_lint.py
+  (PREFLIGHT_r13.txt) before this ordering was committed, per the
+  established hazard-gate discipline.
 """
 
 from __future__ import annotations

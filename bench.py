@@ -410,6 +410,7 @@ EXTRA = [
     "sim_opq_train",
     "sim_ivfpq_search_trained",
     "docs_epoch_shuffle_read",
+    "docs_tokenize_pack",
 ]
 
 # Deliberately NOT timed — wall time is fixed micro-batch machinery

@@ -1784,3 +1784,108 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+def _tokenize_pack_oracle(rounds: int) -> str:
+    from .pipeline import _PACK_BUCKETS, _PACK_BUDGET
+
+    mcols = ", ".join(
+        f"COALESCE((SELECT l || r FROM b{k}), chr(31) || chr(31)) AS _m{k}"
+        for k in range(1, rounds + 1)
+    )
+    chain = "w"
+    for k in range(1, rounds + 1):
+        chain = f"replace({chain}, _m{k}, chr({k}))"
+    return f"""
+WITH {_bpe_vocab_ctes(rounds)},
+mp AS (SELECT {mcols}),
+d AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         COALESCE(list_sum([len({chain})
+           FOR w IN regexp_split_to_array(lower(text), '[^a-z]+')
+           IF len(w) >= 1]), 0) AS n_tok
+  FROM documents CROSS JOIN mp
+), c AS (
+  SELECT doc_id, bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+  FROM d
+)
+SELECT bucket,
+       CAST((GREATEST(cum, 1) - 1) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c
+GROUP BY bucket, (GREATEST(cum, 1) - 1) // {_PACK_BUDGET}
+"""
+
+
+@register(
+    "docs_tokenize_pack",
+    oracle=_tokenize_pack_oracle(_BPE_VOCAB_ROUNDS),
+)
+def docs_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the REAL tokenizer — docs_pack_sequences'
+    concat-and-chunk with n_tok = the K={_BPE_VOCAB_ROUNDS} trained-BPE
+    token count (text_bpe_encode's map-only counting pass) instead of
+    the whitespace proxy.  This is the terminal stage of a pretraining
+    data pipeline as actually run: packs are budgeted in TOKENIZER
+    tokens, because whitespace counts misestimate fertility per
+    language (the bias text_bpe_fertility measures), so a
+    whitespace-packed corpus under- or over-fills its 512-token bins.
+
+    Cross-engine hazard this variant surfaces (and the whitespace
+    parent structurally cannot hit): a document with NO [a-z] words has
+    n_tok = 0, so a bucket's leading zero-token docs give cum = 0,
+    where (cum - 1) DIV budget is -1 in DuckDB (// floors) but 0 in
+    Spark (DIV truncates) — a real divergence, guarded on BOTH engines
+    with GREATEST(cum, 1) so leading empties land in pack 0 (covered by
+    the zero-token edge test).
+
+    Shape: the merge table is the memoized _bpe_train state collapsed
+    to one 1-row broadcast; token counting is the text_bpe_encode
+    projection (no explode, no Python); packing is the parent's
+    per-bucket cumulative window (never a global running sum) + one
+    grouped agg.  At 100 TB: one scan, one broadcast, one bucket-keyed
+    exchange."""
+    from .pipeline import _PACK_BUCKETS, _PACK_BUDGET
+
+    _, enc_pairs = _bpe_train(spark, sf_dir, _BPE_VOCAB_ROUNDS)
+    mp = None
+    for k, pf in enumerate(enc_pairs, start=1):
+        one = pf.agg(
+            F.coalesce(F.first("_m"), F.lit(_BPE_ENC_NOOP)).alias(f"_m{k}")
+        )
+        mp = one if mp is None else mp.crossJoin(one)
+    chain = _bpe_encode_chain(_BPE_VOCAB_ROUNDS)
+    d = (
+        table(spark, sf_dir, "documents")
+        .crossJoin(F.broadcast(mp))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+            F.expr(
+                "aggregate(transform(filter(split(lower(text),"
+                f" '[^a-z]+'), w -> length(w) >= 1), w -> {chain}),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+            ).alias("n_tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.expr(f"(GREATEST(cum, 1) - 1) DIV {_PACK_BUDGET}"),
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -1146,3 +1146,53 @@ def test_ivfpq_trained_parity_and_engine_agreement(
     fi = sum(r.n_hit_init for r in frows)
     assert abs(ft - fi) <= 5, (ft, fi)
     spark.catalog.clearCache()
+
+
+def test_tokenize_pack_zero_token_docs(spark, tmp_path_factory, sf_dir):
+    """docs_tokenize_pack's guarded divergence: a bucket whose LEADING
+    docs have zero [a-z] tokens gives cum = 0, where (cum-1) DIV budget
+    is -1 in DuckDB (// floors) but 0 in Spark (DIV truncates) — the
+    GREATEST(cum, 1) guard pins both to pack 0.  Engines must agree on
+    a corpus engineered so every bucket leads with zero-token docs;
+    plus the reconciliation SUM(pack n_tokens) == SUM(text_bpe_encode
+    n_tokens) on the gate fixture (same tokenizer, same corpus)."""
+    d = tmp_path_factory.mktemp("tok_pack_zero")
+    texts = []
+    for i in range(32):
+        if i < 8:
+            texts.append("123 456 !!!")  # zero [a-z] tokens, bucket i
+        else:
+            texts.append("the quick brown fox " * (i % 4 + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(32), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    srows = sorted(
+        tuple(r)
+        for r in e.queries()["docs_tokenize_pack"](spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["docs_tokenize_pack"]).fetchall()
+    )
+    assert srows == orows
+    assert all(r[1] >= 0 for r in srows)  # no negative pack ids
+
+    packs = e.queries()["docs_tokenize_pack"](spark, sf_dir).collect()
+    enc_total = (
+        e.queries()["text_bpe_encode"](spark, sf_dir)
+        .agg({"n_tokens": "sum"})
+        .first()[0]
+    )
+    assert sum(r.n_tokens for r in packs) == enc_total
+    spark.catalog.clearCache()
