@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import scratch_path, table
+from ..session import scratch_path, session_memo_lookup, table
 
 _CHUNK = 32  # tokens per chunk
 _STRIDE = 24  # chunk start spacing (overlap = _CHUNK - _STRIDE = 8)
@@ -2087,7 +2087,7 @@ def _gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between keys (the repo-wide clearCache convention), and the memo
     # entry dies with the SparkSession applicationId it is keyed on.
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _GRAM_MEMO.get(key)
+    hit = session_memo_lookup(_GRAM_MEMO, key)
     if hit is not None:
         # The harness's clearCache() between keys drops the persist out
         # from under a memo hit (r11 ADVICE #4): without re-pinning, the
@@ -2745,7 +2745,7 @@ def _pca_topk_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """The three (i, mag, sgn) emission frames of the deflated power
     iteration — Spark twin of _pca_topk_ctes, formula-for-formula."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PCA_TOPK_MEMO.get(key)
+    hit = session_memo_lookup(_PCA_TOPK_MEMO, key)
     if hit is not None:
         # The emission frames are localCheckpoint-ed (lineage CUT, RDD
         # blocks outside the catalog cache), so unlike the gram memo
@@ -3670,7 +3670,7 @@ def _opq_train_state(
     (consumer: the final 32-row codebook frame).  Semantics and plan
     shape documented on sim_opq_train."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _OPQ_TRAIN_MEMO.get(memo_key)
+    hit = session_memo_lookup(_OPQ_TRAIN_MEMO, memo_key)
     if hit is not None:
         return hit
     both, cents, _ = _opq_spaces(spark, sf_dir)
@@ -4119,6 +4119,12 @@ def docs_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the docs_perplexity_buckets_nosort two-level rank decomposition.
 _SHUF_RANK_BUCKET = _SHUF_MOD // 256
 
+#: Corpus-size bound under which sum_d2 = SUM((r0-r1)^2) provably fits
+#: BIGINT: worst-case rank-distance mass is n(n^2-1)/3 < n^3/3, and
+#: 2e6^3 = 8e18 < 2^63 ~ 9.2e18 with 3x slack from the /3.  Enforced
+#: IN PLAN by docs_epoch_shuffle_read/_resume (r13 ADVICE).
+_SHUF_D2_MAX_N = 2_000_000
+
 
 @register(
     "docs_epoch_shuffle_read",
@@ -4149,9 +4155,9 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The epoch-shuffle READ path (r12 verdict next-round #6): land
     TWO epochs' shard layouts (the docs_epoch_shuffle_write one-
     exchange shape, once per epoch), then verify the consumer-side
-    contract ENTIRELY FROM THE RE-READ FILES: (a) every epoch-0 shard
-    file streams in h order (the per-file _metadata.row_index witness,
-    oracle-pinned 0 violations), and (b) the two epoch orders are
+    contract ENTIRELY FROM THE RE-READ FILES: (a) every shard file of
+    BOTH epochs streams in h order (the per-file _metadata.row_index
+    witness, oracle-pinned 0 violations), and (b) the two epoch orders are
     DECORRELATED — surfaced as per-shard sum_d2, the Spearman
     rank-distance mass Σ(rank0 - rank1)² whose global total gives
     rho = 1 - 6 Σd² / (n(n²-1)) (≈ 0 for a real reshuffle, 0 exactly
@@ -4173,7 +4179,9 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the writes are the parent key's one-exchange-per-epoch
     shape; the reads are one scan per epoch; rank windows are bucket-
     bounded (corpus/256), file windows file-bounded; sum_d2 stays in
-    BIGINT to ~2M docs per... n³ bound — n ≈ 2e6 gives 8e18; wider
+    BIGINT to ~2M docs (worst-case mass n(n²-1)/3 < 2^63 at n = 2e6),
+    ENFORCED by an in-plan raise_error on the rank (_SHUF_D2_MAX_N, the
+    _shuf_guarded_id discipline — never a silent wrap); wider
     corpora widen to DECIMAL(38,0), the established escape (production
     also samples the rank-correlation audit rather than running it on
     every doc — the surface is a monitoring statistic)."""
@@ -4197,12 +4205,12 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rb = one if rb is None else rb.unionByName(one)
     wf = Window.partitionBy("fname").orderBy("ridx")
+    # BOTH epochs' landed layouts share the write contract, so both are
+    # audited (r13 ADVICE: the old epoch-0-only gate left epoch-1
+    # disorder invisible); the oracle constant stays 0 either way.
     aud = (
         rb.withColumn("_prev", F.lag("h").over(wf))
-        .withColumn(
-            "viol",
-            (F.col("epoch") == 0) & (F.col("h") < F.col("_prev")),
-        )
+        .withColumn("viol", F.col("h") < F.col("_prev"))
         .withColumn("cb", F.expr(f"h DIV {_SHUF_RANK_BUCKET}"))
     )
     hist = aud.groupBy("epoch", "cb").agg(F.count(F.lit(1)).alias("bc"))
@@ -4226,7 +4234,20 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("epoch") == 1, F.col("shard"))).alias("shard1"),
         F.max(F.when(F.col("epoch") == 0, F.col("rank"))).alias("r0"),
         F.max(F.when(F.col("epoch") == 1, F.col("rank"))).alias("r1"),
-        F.max(F.when(F.col("epoch") == 0, F.col("viol"))).alias("v0"),
+        F.max("viol").alias("v"),
+    )
+    # In-plan n^3 headroom guard (r13 ADVICE): sum_d2's BIGINT bound is
+    # a CONTRACT, not a docstring — past ~2e6 docs (n^3 ~ 8e18 vs 2^63
+    # ~ 9.2e18) Spark would wrap silently where the family's discipline
+    # (_shuf_guarded_id, _pca_guard_scale) raises.  rank == n at the
+    # corpus max, so guarding the rank guards the corpus size;
+    # constant-false branch on in-bound fixtures, codegen-free.
+    d2 = F.expr(
+        f"CASE WHEN r0 > {_SHUF_D2_MAX_N} THEN"
+        " CAST(raise_error('docs_epoch_shuffle_read: corpus exceeds the"
+        " BIGINT n^3 headroom of sum_d2 (~2e6 docs) — widen sum_d2 to"
+        " DECIMAL(38,0) on both engines') AS BIGINT)"
+        " ELSE (r0 - r1) * (r0 - r1) END"
     )
     return per_doc.groupBy(
         F.col("shard0").cast("int").alias("shard")
@@ -4236,8 +4257,6 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("shard0") == F.col("shard1"))
         .cast("bigint")
         .alias("n_stay"),
-        F.sum((F.col("r0") - F.col("r1")) * (F.col("r0") - F.col("r1")))
-        .cast("bigint")
-        .alias("sum_d2"),
-        F.count_if(F.col("v0")).cast("bigint").alias("order_violations"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.count_if(F.col("v")).cast("bigint").alias("order_violations"),
     )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import table
+from ..session import session_memo_lookup, table
 from .vectors import _cos, _vecs
 
 # BPE-ish tokenizer: letter chunks (<=4 chars, BPE-like subwords), digit
@@ -1583,7 +1583,7 @@ def _bpe_train(
     text_bpe_train_to_vocab's docstring); this is the same loop with
     its per-round state handed out for reuse."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, rounds)
-    hit = _BPE_MEMO.get(memo_key)
+    hit = session_memo_lookup(_BPE_MEMO, memo_key)
     if hit is not None:
         return hit
     d = table(spark, sf_dir, "documents")

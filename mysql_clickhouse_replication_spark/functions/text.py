@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import table
+from ..session import session_memo_lookup, table
 
 _N_BANDS = 24
 _BAND_ROWS = 2  # 48 minhashes; band collision prob = J^2 per band
@@ -627,7 +627,7 @@ _CLUSTER_MEMO: dict = {}
 
 def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _CLUSTER_MEMO.get(key)
+    hit = session_memo_lookup(_CLUSTER_MEMO, key)
     if hit is not None:
         return hit
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
@@ -1569,7 +1569,7 @@ _TOKENS_MEMO_CAP = 4
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _TOKENS_MEMO.get(key)
+    hit = session_memo_lookup(_TOKENS_MEMO, key)
     if hit is None:
         d = table(spark, sf_dir, "documents")
         toks = F.split(

@@ -1309,10 +1309,12 @@ def scan_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     # 1-row/1-col bounded collect: the probe PARAMETER (MAX DIV 2), so
-    # the equality is a plan-time literal that reaches PushedFilters
+    # the equality is a plan-time literal that reaches PushedFilters.
+    # MAX over an empty orders table is NULL: default the needle to 0
+    # (the probe then selects nothing, matching the empty layout).
     needle = src.agg(F.expr("MAX(o_custkey) DIV 2").alias("needle")).first()[0]
     cu = spark.read.parquet(sinks["o_custkey"]).filter(
-        F.col("o_custkey") == F.lit(int(needle))
+        F.col("o_custkey") == F.lit(int(needle) if needle is not None else 0)
     )
     return probe_agg(dt, "date_window", "by_orderdate").unionAll(
         probe_agg(cu, "cust_point", "by_custkey")

@@ -59,6 +59,24 @@ def get_spark(app_name: str = "mysql_clickhouse_replication_spark") -> SparkSess
     return spark
 
 
+def session_memo_lookup(memo: dict, key: tuple):
+    """Lookup in an (applicationId, ...)-keyed module memo, first
+    evicting every entry whose applicationId differs from ``key[0]``
+    (r13 ADVICE): a restarted SparkSession invalidates the cached /
+    localCheckpoint-ed frames old entries pin, so a long-lived process
+    must not leak DataFrame references to dead sessions' RDDs.  All
+    memos key by applicationId FIRST; capping the dict to the live
+    session keeps it O(#sf_dirs) instead of O(#sessions x #sf_dirs)."""
+    app_id = key[0]
+    for stale in [k for k in memo if k[0] != app_id]:
+        old = memo.pop(stale)
+        try:  # cached (not checkpointed) entries may still be unpersistable
+            old.unpersist()
+        except Exception:
+            pass
+    return memo.get(key)
+
+
 def scratch_path(*parts: str, unique: bool = True) -> str:
     """Scratch path for sink/checkpoint dirs under <repo>/.scratch.
 
