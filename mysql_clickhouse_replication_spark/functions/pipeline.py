@@ -4009,6 +4009,312 @@ def sim_ivfpq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_ctes() -> str:
+    """IVFADC residual encoding + per-probed-cell LUT search as
+    generated DuckDB CTEs over the _ivfpq_search_ctes chain — the
+    oracle twin of sim_ivfpq_residual, formula-for-formula (exact
+    BIGINT residual distances, (d, cid) argmin, (adc, id) total
+    orders)."""
+    dd = _OPQ_D
+    parts = []
+    # per-vector residual vs its own IVF cell centroid
+    parts.append(
+        "vres AS MATERIALIZED (SELECT v.vec_id,"
+        " [v.e[i] - c.cv[i] FOR i IN range(1, len(v.e) + 1)] AS rv"
+        " FROM qv0 v JOIN icell cl ON cl.vec_id = v.vec_id"
+        " JOIN ivfc c ON c.cid = cl.cid)"
+    )
+    # residual codebook: raw residual points of the first _OPQ_K
+    # NON-CENTROID vectors (centroid ids' residuals are identically 0)
+    parts.append(
+        f"rescb AS MATERIALIZED (SELECT vec_id AS cid, rv AS cv"
+        f" FROM vres WHERE vec_id >= {_IVFPQ_C}"
+        f" AND vec_id < {_IVFPQ_C + _OPQ_K})"
+    )
+    parts.append(
+        f"resd AS MATERIALIZED (SELECT v.vec_id, ms.m, b.cid,"
+        f" list_sum([(v.rv[ms.m * {dd} + i] - b.cv[ms.m * {dd} + i])"
+        f" * (v.rv[ms.m * {dd} + i] - b.cv[ms.m * {dd} + i])"
+        f" FOR i IN range(1, {dd + 1})]) AS d"
+        f" FROM vres v CROSS JOIN rescb b"
+        f" CROSS JOIN (SELECT unnest(range(0, {_OPQ_M})) AS m) ms)"
+    )
+    parts.append(
+        "resa AS MATERIALIZED (SELECT vec_id, m, cid FROM resd"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m"
+        " ORDER BY d, cid) = 1)"
+    )
+    codes = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cid END) AS c{m}"
+        for m in range(_OPQ_M)
+    )
+    parts.append(
+        f"rescodes AS MATERIALIZED (SELECT vec_id, {codes}"
+        f" FROM resa GROUP BY vec_id)"
+    )
+    # query residual PER PROBED CELL (LUTs are cell-relative in IVFADC)
+    parts.append(
+        "qres AS MATERIALIZED (SELECT p.q_id, p.cid AS pcell,"
+        " [q.e[i] - c.cv[i] FOR i IN range(1, len(q.e) + 1)] AS rv"
+        " FROM iprobe p JOIN qv0 q ON q.vec_id = p.q_id"
+        " JOIN ivfc c ON c.cid = p.cid)"
+    )
+    parts.append(
+        f"reslut AS MATERIALIZED (SELECT qr.q_id, qr.pcell, ms.m, b.cid,"
+        f" list_sum([(qr.rv[ms.m * {dd} + i] - b.cv[ms.m * {dd} + i])"
+        f" * (qr.rv[ms.m * {dd} + i] - b.cv[ms.m * {dd} + i])"
+        f" FOR i IN range(1, {dd + 1})]) AS d"
+        f" FROM qres qr CROSS JOIN rescb b"
+        f" CROSS JOIN (SELECT unnest(range(0, {_OPQ_M})) AS m) ms)"
+    )
+    lut_joins = " ".join(
+        f"JOIN reslut l{m} ON l{m}.q_id = p.q_id AND l{m}.pcell = p.cid"
+        f" AND l{m}.m = {m} AND l{m}.cid = t.c{m}"
+        for m in range(_OPQ_M)
+    )
+    adc = " + ".join(f"l{m}.d" for m in range(_OPQ_M))
+    parts.append(
+        f"sadc AS MATERIALIZED (SELECT p.q_id, t.vec_id, ({adc}) AS adc"
+        f" FROM iprobe p JOIN icell cl ON cl.cid = p.cid"
+        f" JOIN rescodes t ON t.vec_id = cl.vec_id {lut_joins}"
+        f" WHERE t.vec_id != p.q_id)"
+    )
+    parts.append(
+        f"stop AS MATERIALIZED (SELECT q_id, vec_id FROM sadc"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id"
+        f" ORDER BY adc, vec_id) <= {_IVFPQ_TOPK})"
+    )
+    return ",\n".join(parts)
+
+
+_IVFPQ_RESIDUAL_SELECT = """
+SELECT e.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(s.vec_id) AS BIGINT) AS n_hit_residual,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit_plain,
+       CAST(COUNT(s.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_residual_ppm,
+       CAST(COUNT(p.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_plain_ppm
+FROM iexact e
+LEFT JOIN stop s ON e.q_id = s.q_id AND e.vec_id = s.vec_id
+LEFT JOIN ptop p ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+GROUP BY e.q_id
+"""
+
+
+@register(
+    "sim_ivfpq_residual",
+    oracle=f"""
+WITH {_pca_topk_ctes()},
+{_opq_rotation_ctes()},
+{_ivfpq_search_ctes()},
+{_ivfpq_residual_ctes()}
+{_IVFPQ_RESIDUAL_SELECT}
+""",
+)
+def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC RESIDUAL encoding (r13 verdict next-round #2) — the
+    deployed form of IVF-PQ (Jegou et al., PAMI 2011 section III):
+    PQ-encode x - centroid(cell(x)) instead of raw x.  Residuals
+    concentrate near 0 (the centroid absorbs the coarse location), so
+    the same codebook budget buys finer quantization; the ADC identity
+    ||q - v||^2 = ||(q - c) - (v - c)||^2 makes the search exact up to
+    the residual quantization error alone, where raw-vector codes also
+    pay the coarse-location error.  Surface per query:
+    recall_residual_ppm vs recall_plain_ppm against exact brute force —
+    the measured payoff of residual encoding, exactly as
+    sim_ivfpq_search measured the rotation and
+    sim_ivfpq_search_trained measured training.  Measured: on the
+    planted-spectrum fixture residual WINS outright (42/50 vs 25/50 —
+    real cluster structure for the centroids to absorb); on the
+    isotropic sf fixtures it does NOT (10 vs 13 at sf0.01, 7 vs 14 at
+    sf0.001 — residuals of isotropic noise are as hard to quantize
+    with 8 raw sample points as the raw space), which is exactly why
+    deployments A/B recall instead of assuming the textbook win —
+    tests pin superiority only where the geometry justifies it.
+
+    Two structural deltas from the raw-code search, both forced by the
+    residual geometry: (a) the codebook samples are the first
+    {_OPQ_K} NON-CENTROID vectors (ids [{_IVFPQ_C}, {_IVFPQ_C + _OPQ_K}))
+    — the family's vec_id < {_OPQ_K} convention would sample the IVF
+    centroids themselves, whose residuals are identically the zero
+    vector (a degenerate all-zero codebook); (b) the per-query LUT is
+    built PER PROBED CELL (q's residual is cell-relative), so nprobe
+    LUTs per query instead of one — the real IVFADC deploy shape, cost
+    nprobe x M x K subspace distances per query, still O(1) per query.
+
+    Exactness: residuals live at the same 1e4 fixed-point scale
+    (|x - c| <= 2 x the coordinate bound, squared sums far inside
+    BIGINT); every stage ranks by exact integer squared-L2 under
+    (d, id) total orders, so the machine-generated CTE oracle matches
+    bit-for-bit.
+
+    Scale: identical to sim_ivfpq_search — the corpus pass (cell
+    assignment + residual + PQ codes) is ONE map-only projection under
+    1-row broadcasts (16 centroids, 8 residual codewords); candidates
+    come from broadcast probes of the IVF cells; the per-cell LUT adds
+    a factor nprobe to the (tiny) per-query constant, nothing to the
+    corpus cost.  At 100 TB: one scan + broadcast probes, unchanged."""
+    both, cents, out = _opq_spaces(spark, sf_dir)
+    ivfc = _ivf_centroids_frame(both)
+    d_q = _opq_sqd("pe", "c.cv")
+    dd = _OPQ_D
+    cell_expr = (
+        f"array_min(transform(ivfc,"
+        f" c -> named_struct('d', {d_q}, 'k', c.cid))).k"
+    )
+    res_expr = (
+        "zip_with(pe, element_at(ivfc, CAST(cell + 1 AS INT)).cv,"
+        " (x, c) -> x - c)"
+    )
+    # residual codebook: 1-row broadcast of the 8 sampled residuals
+    rescents = (
+        both.filter(
+            (F.col("vec_id") >= _IVFPQ_C)
+            & (F.col("vec_id") < _IVFPQ_C + _OPQ_K)
+        )
+        .crossJoin(F.broadcast(ivfc))
+        .withColumn("cell", F.expr(cell_expr))
+        .withColumn("rv", F.expr(res_expr))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"), F.col("rv").alias("cv")
+                    )
+                )
+            ).alias("rescents")
+        )
+    )
+    # coded corpus: cell + residual codes + plain codes, ONE map pass
+    coded = (
+        out.crossJoin(F.broadcast(ivfc))
+        .crossJoin(F.broadcast(rescents))
+        .withColumn("cell", F.expr(cell_expr))
+        .withColumn("rv", F.expr(res_expr))
+        .select(
+            "vec_id",
+            "cell",
+            *[F.col(f"pb{m}.k").alias(f"pc{m}") for m in range(_OPQ_M)],
+            *[
+                F.expr(
+                    f"array_min(transform(rescents, c -> named_struct('d',"
+                    f" {_opq_sqd('rv', 'c.cv', m * dd + 1, dd)},"
+                    f" 'k', c.cid))).k"
+                ).alias(f"sc{m}")
+                for m in range(_OPQ_M)
+            ],
+        )
+    )
+    # queries: probed cells, then PER-CELL residual LUTs + plain LUTs
+    plain_luts = [
+        F.expr(
+            f"transform(pcents, c ->"
+            f" {_opq_sqd('pe', 'c.cv', m * dd + 1, dd)})"
+        ).alias(f"plut{m}")
+        for m in range(_OPQ_M)
+    ]
+    q = (
+        both.filter(F.col("vec_id") < _IVFPQ_Q)
+        .crossJoin(F.broadcast(ivfc))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "pe",
+            "ivfc",
+            F.expr(
+                f"transform(slice(array_sort(transform(ivfc,"
+                f" c -> named_struct('d', {d_q}, 'k', c.cid))),"
+                f" 1, {_IVFPQ_NPROBE}), s -> s.k)"
+            ).alias("cells"),
+            *plain_luts,
+        )
+    )
+    probe = (
+        q.select(
+            "q_id",
+            "pe",
+            "ivfc",
+            F.explode("cells").alias("pcid"),
+            *[f"plut{m}" for m in range(_OPQ_M)],
+        )
+        .crossJoin(F.broadcast(rescents))
+        .withColumn(
+            "qrv",
+            F.expr(
+                "zip_with(pe, element_at(ivfc, CAST(pcid + 1 AS INT)).cv,"
+                " (x, c) -> x - c)"
+            ),
+        )
+        .select(
+            "q_id",
+            "pcid",
+            *[f"plut{m}" for m in range(_OPQ_M)],
+            *[
+                F.expr(
+                    f"transform(rescents, c ->"
+                    f" {_opq_sqd('qrv', 'c.cv', m * dd + 1, dd)})"
+                ).alias(f"slut{m}")
+                for m in range(_OPQ_M)
+            ],
+        )
+    )
+    cand = coded.join(
+        F.broadcast(probe), coded.cell == probe.pcid
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    sadc = " + ".join(
+        f"element_at(slut{m}, CAST(sc{m} - {_IVFPQ_C} + 1 AS INT))"
+        for m in range(_OPQ_M)
+    )
+    padc = " + ".join(
+        f"element_at(plut{m}, CAST(pc{m} + 1 AS INT))" for m in range(_OPQ_M)
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.expr(sadc).alias("adc_residual"),
+        F.expr(padc).alias("adc_plain"),
+    )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_residual"), F.asc("vec_id")
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_plain"), F.asc("vec_id")
+    )
+    ranked = (
+        scored.withColumn("rn_residual", F.row_number().over(ws))
+        .withColumn("rn_plain", F.row_number().over(wp))
+        .filter(
+            (F.col("rn_residual") <= _IVFPQ_TOPK)
+            | (F.col("rn_plain") <= _IVFPQ_TOPK)
+        )
+        .select("q_id", "vec_id", "rn_residual", "rn_plain")
+    )
+    exact5 = _ivfpq_exact_topk(both)
+    return (
+        exact5.join(F.broadcast(ranked), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count_if(F.col("rn_residual") <= _IVFPQ_TOPK)
+            .cast("bigint")
+            .alias("n_hit_residual"),
+            F.count_if(F.col("rn_plain") <= _IVFPQ_TOPK)
+            .cast("bigint")
+            .alias("n_hit_plain"),
+            F.expr(
+                f"CAST(count_if(rn_residual <= {_IVFPQ_TOPK}) * 1000000"
+                " DIV count(1) AS BIGINT)"
+            ).alias("recall_residual_ppm"),
+            F.expr(
+                f"CAST(count_if(rn_plain <= {_IVFPQ_TOPK}) * 1000000"
+                " DIV count(1) AS BIGINT)"
+            ).alias("recall_plain_ppm"),
+        )
+    )
+
+
 def _file_order_violations(order_col: str) -> F.Column:
     """Physical per-FILE order witness: count rows whose ``order_col``
     DECREASES relative to the previous row of the same file in file
