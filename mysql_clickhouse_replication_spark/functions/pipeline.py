@@ -4566,3 +4566,176 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d2).cast("bigint").alias("sum_d2"),
         F.count_if(F.col("v")).cast("bigint").alias("order_violations"),
     )
+
+
+#: Consumed-prefix fraction of the epoch-shuffle resume key: the
+#: simulated crash happens after 2/5 of each shard has been consumed
+#: (cutoff = (n_s * 2) DIV 5 rows in h order — rank-exact on both
+#: engines, no float fraction).
+_SHUF_RESUME_NUM = 2
+_SHUF_RESUME_DEN = 5
+
+
+@register(
+    "docs_epoch_shuffle_resume",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, {_shuf_h_sql('0', duck=True)} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h, CAST(h % {_SHUF_SHARDS} AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY h % {_SHUF_SHARDS}
+                            ORDER BY h) AS rk,
+         COUNT(*) OVER (PARTITION BY h % {_SHUF_SHARDS}) AS n_s
+  FROM a
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk * {_SHUF_RESUME_DEN}
+                     <= n_s * {_SHUF_RESUME_NUM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_consumed,
+       CAST(SUM(CASE WHEN rk * {_SHUF_RESUME_DEN}
+                     > n_s * {_SHUF_RESUME_NUM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resumed,
+       COALESCE(MAX(CASE WHEN rk * {_SHUF_RESUME_DEN}
+                         <= n_s * {_SHUF_RESUME_NUM}
+                         THEN h END), -1) AS cursor_h,
+       CAST(SUM(doc_id) AS BIGINT) AS keysum,
+       CAST(SUM(CASE WHEN rk * {_SHUF_RESUME_DEN}
+                     <= n_s * {_SHUF_RESUME_NUM}
+                     THEN doc_id ELSE 0 END) AS BIGINT)
+         AS keysum_consumed,
+       CAST(SUM(CASE WHEN rk * {_SHUF_RESUME_DEN}
+                     > n_s * {_SHUF_RESUME_NUM}
+                     THEN doc_id ELSE 0 END) AS BIGINT)
+         AS keysum_resumed,
+       CAST(0 AS BIGINT) AS order_violations
+FROM r GROUP BY shard
+""",
+)
+def docs_epoch_shuffle_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-EPOCH RESTART of the epoch-shuffle reader (r13 verdict
+    next-round #3) — the contract production training jobs actually
+    exercise: a job consuming epoch 0's landed shard files in (shard,
+    h) order crashes after {_SHUF_RESUME_NUM}/{_SHUF_RESUME_DEN} of
+    each shard; its checkpoint is ONLY the 8-row (shard -> last
+    consumed h) cursor (the stream_resume_incremental discipline: the
+    resume state is bounded metadata, never consumed data).  The
+    resumed job re-opens the SAME landed files with a FRESH scan and
+    emits exactly the unread suffix, in order.  Verified entirely from
+    the re-read files, per shard: consumed/resumed row counts and
+    doc_id keysums that must re-assemble the full epoch (the oracle
+    recomputes all parts from scratch, so a resume that loses or
+    duplicates one row hash-mismatches), the cursor value itself, and
+    the resumed read's per-file order witness (oracle-pinned 0 — the
+    suffix must still stream in h order for downstream sequence
+    packing to stay deterministic).
+
+    Cursor semantics: strictly-greater (h > cursor_h) against the
+    BIJECTIVE lattice hash — no two docs share an h, so the boundary
+    can never tear a row in half, and a torn cursor BETWEEN two h
+    values resumes identically (tests/test_edges.py pins both, plus
+    cursor-at-max -> empty resume).  Empty consumption (a shard whose
+    cutoff is 0) degrades to cursor -1 = resume-from-start on both
+    engines.
+
+    Scale: ONE epoch write (the parent one-exchange shape), two scans
+    of the landed files; per-shard ranks come from the
+    docs_epoch_shuffle_read two-level decomposition ((shard, h-top-8-
+    bits) histogram + bounded cumulative window + bucket-local
+    row_number — never a shard-sized sort partition); the cursor is an
+    8-row broadcast; and the resume scan's h > cursor_h predicate
+    prunes row groups via parquet min/max stats on the h-SORTED layout
+    — a restart near epoch end re-reads almost nothing, which is the
+    entire point of landing sorted shards."""
+    pre = _epoch_shuffle_prewrite(spark, sf_dir, epoch=0)
+    sink = scratch_path(
+        "epoch_shuffle_resume", os.path.basename(sf_dir)
+    )
+    pre.write.mode("overwrite").partitionBy("shard").parquet(sink)
+
+    # --- consumed prefix: rank-in-shard via the bucketed decomposition
+    rb = spark.read.parquet(sink)
+    aud = rb.withColumn("cb", F.expr(f"h DIV {_SHUF_RANK_BUCKET}"))
+    hist = aud.groupBy("shard", "cb").agg(F.count(F.lit(1)).alias("bc"))
+    wcum = (
+        Window.partitionBy("shard")
+        .orderBy("cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = hist.select(
+        "shard",
+        "cb",
+        F.coalesce(F.sum("bc").over(wcum), F.lit(0)).alias("off"),
+    )
+    wrb = Window.partitionBy("shard", "cb").orderBy("h")
+    ranked = aud.join(F.broadcast(off), ["shard", "cb"]).withColumn(
+        "rk", F.col("off") + F.row_number().over(wrb)
+    )
+    ns = ranked.groupBy("shard").agg(F.count(F.lit(1)).alias("n_s"))
+    consumed = (
+        ranked.join(F.broadcast(ns), "shard")
+        .filter(
+            F.col("rk") * _SHUF_RESUME_DEN
+            <= F.col("n_s") * _SHUF_RESUME_NUM
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_consumed"),
+            F.max("h").alias("cursor_h"),
+            F.sum("doc_id").cast("bigint").alias("keysum_consumed"),
+        )
+    )
+
+    # --- the restart: a FRESH scan + the 8-row cursor broadcast ------
+    cursor = consumed.select("shard", "cursor_h")
+    rb2 = (
+        spark.read.parquet(sink)
+        .withColumn("fname", F.col("_metadata.file_path"))
+        .withColumn("ridx", F.col("_metadata.row_index"))
+    )
+    wf = Window.partitionBy("fname").orderBy("ridx")
+    resumed = (
+        rb2.join(F.broadcast(cursor), "shard", "left")
+        .filter(F.col("h") > F.coalesce(F.col("cursor_h"), F.lit(-1)))
+        .withColumn("_prev", F.lag("h").over(wf))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_resumed"),
+            F.sum("doc_id").cast("bigint").alias("keysum_resumed"),
+            _file_order_violations("h").alias("order_violations"),
+        )
+    )
+
+    totals = rb.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("keysum"),
+    )
+    return (
+        totals.join(consumed, "shard", "left")
+        .join(resumed, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            F.coalesce("n_consumed", F.lit(0))
+            .cast("bigint")
+            .alias("n_consumed"),
+            F.coalesce("n_resumed", F.lit(0))
+            .cast("bigint")
+            .alias("n_resumed"),
+            F.coalesce("cursor_h", F.lit(-1))
+            .cast("bigint")
+            .alias("cursor_h"),
+            "keysum",
+            F.coalesce("keysum_consumed", F.lit(0))
+            .cast("bigint")
+            .alias("keysum_consumed"),
+            F.coalesce("keysum_resumed", F.lit(0))
+            .cast("bigint")
+            .alias("keysum_resumed"),
+            F.coalesce("order_violations", F.lit(0))
+            .cast("bigint")
+            .alias("order_violations"),
+        )
+    )

@@ -1238,3 +1238,55 @@ def test_tokenize_pack_zero_token_docs(spark, tmp_path_factory, sf_dir):
     )
     assert sum(r.n_tokens for r in packs) == enc_total
     spark.catalog.clearCache()
+
+
+def test_epoch_resume_torn_cursor(spark, tmp_path_factory):
+    """docs_epoch_shuffle_resume's cursor semantics under the failure
+    modes a real checkpoint store produces: (a) an EXACT cursor (the
+    last consumed row's h) resumes precisely the unread suffix; (b) a
+    TORN cursor — a value strictly between two adjacent h's, e.g. a
+    checkpoint written from a clock or a mid-transaction read — resumes
+    the IDENTICAL suffix, because the filter is strictly-greater over
+    bijective integer h's (no row can be half-consumed); (c) a cursor
+    at the shard max resumes nothing.  Run over a deliberately gapped
+    h sequence so 'between two h values' is constructible."""
+    from pyspark.sql import functions as F
+
+    rows = [(3 * i + 7, i) for i in range(1000)]  # gapped, sorted h
+    tmp = tmp_path_factory.mktemp("resume_torn")
+    path = str(tmp / "shard0")
+    (
+        spark.createDataFrame(rows, "h bigint, doc_id bigint")
+        .coalesce(1)
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+    def resume_set(cursor):
+        return sorted(
+            r.doc_id
+            for r in spark.read.parquet(path)
+            .filter(F.col("h") > cursor)
+            .collect()
+        )
+
+    k = 400
+    exact_cursor = rows[k - 1][0]
+    suffix = [i for (h, i) in rows[k:]]
+    assert resume_set(exact_cursor) == suffix
+    # torn: strictly between h[k-1] and h[k] (gap is 3)
+    assert resume_set(exact_cursor + 1) == suffix
+    assert resume_set(exact_cursor + 2) == suffix
+    assert resume_set(rows[-1][0]) == []
+
+    # and the registered key's union invariant holds on the fixture
+    out = e.queries()["docs_epoch_shuffle_resume"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.n_consumed + r.n_resumed == r.n_docs, r
+        assert r.keysum_consumed + r.keysum_resumed == r.keysum, r
+        assert r.order_violations == 0, r
+        assert r.n_consumed == r.n_docs * 2 // 5, r
