@@ -474,6 +474,145 @@ def cdc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heartbeat parameters: the replica applies everything committed more
+#: than 2 minutes before the stream head (a fixed apply lag), the
+#: source emits one heartbeat row per minute, and a table is paged
+#: "stale" past 24 hours — above the multi-hour NATURAL event gaps of
+#: the sparsest fixture (sf0.001: ~8 events/table/day, measured max
+#: gap ~4.7 h) and far below the idle table's ~12-day divergence, so
+#: the flag separates idle from sparse at every gate SF.  Table t2
+#: goes IDLE at the source for the last 40% of the time range.
+_HB_APPLY_LAG_US = 120_000_000
+_HB_STALE_S = 86400
+
+
+@register(
+    "cdc_heartbeat",
+    oracle=f"""
+WITH log AS (SELECT tbl, ts FROM ({_DECODE_SQL})),
+b AS (SELECT MIN(ts) AS t0, MAX(ts) AS wm FROM log),
+src AS (
+  SELECT l.tbl, l.ts FROM log l, b
+  WHERE NOT (l.tbl = 't2' AND epoch_us(l.ts) * 10
+             > epoch_us(b.t0) * 4 + epoch_us(b.wm) * 6)
+),
+applied AS (
+  SELECT s.tbl, s.ts FROM src s, b
+  WHERE epoch_us(s.ts) <= epoch_us(b.wm) - {_HB_APPLY_LAG_US}
+),
+hb AS (
+  SELECT unnest(generate_series(date_trunc('minute', t0), wm,
+                                INTERVAL 1 MINUTE)) AS hb_ts
+  FROM b
+),
+hba AS (
+  SELECT MAX(hb_ts) AS hb_last FROM hb, b
+  WHERE epoch_us(hb_ts) <= epoch_us(b.wm) - {_HB_APPLY_LAG_US}
+),
+per AS (
+  SELECT tbl, COUNT(*) AS n_applied, MAX(ts) AS last_applied_ts
+  FROM applied GROUP BY tbl
+)
+SELECT tbl, n_applied, last_applied_ts,
+       CAST((epoch_us(wm) - epoch_us(last_applied_ts)) // 1000000
+            AS BIGINT) AS freshness_lag_s,
+       CAST((epoch_us(wm) - epoch_us(hb_last)) // 1000000
+            AS BIGINT) AS heartbeat_lag_s,
+       CAST((epoch_us(wm) - epoch_us(last_applied_ts)) // 1000000
+            - (epoch_us(wm) - epoch_us(hb_last)) // 1000000
+            AS BIGINT) AS divergence_s,
+       CAST((epoch_us(wm) - epoch_us(last_applied_ts)) // 1000000
+              > {_HB_STALE_S}
+            AND (epoch_us(wm) - epoch_us(hb_last)) // 1000000
+              <= {_HB_STALE_S} AS INT) AS false_stale
+FROM per, b, hba
+""",
+)
+def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-heartbeat parity (r13 verdict next-round #4): a heartbeat row
+    written SOURCE-SIDE at fixed cadence (1/minute) and replicated
+    through the same pipeline measures end-to-end replication lag
+    INDEPENDENT of event traffic.  cdc_freshness's per-table max-ts lag
+    stalls on idle tables — a table whose source writes simply stopped
+    pages "stale" forever even though replication is healthy, the
+    classic false-stale page.  The fixture injects exactly that: table
+    t2 goes idle at the source for the last 40% of the time range
+    (integer-exact cut, the cdc_row_checksum discipline), and the
+    replica applies everything committed more than 2 minutes before
+    the stream head (a fixed apply watermark, deterministic — never
+    wall clock).  Surface per table: the applied row count and last
+    applied event time, freshness_lag_s (what cdc_freshness would
+    page on), heartbeat_lag_s (the TRUE pipeline lag, ~120-180 s for
+    every table since the heartbeat stream is shared), divergence_s =
+    freshness - heartbeat (≈ 12 days for the idle t2, hours at most
+    for active-but-sparse tables), and false_stale — freshness says
+    stale (> 24 h) while the heartbeat says healthy (<= 24 h), which
+    fires for t2 and ONLY t2 at every gate SF.
+
+    Determinism: all lags are exact integer seconds from
+    unix_micros/epoch_us floors (lags are nonnegative, so floor ==
+    truncate across engines); divergence subtracts the already-floored
+    second values so no rounding identity is trusted; the heartbeat
+    stream is generated minutely from date_trunc('minute', min ts) to
+    the watermark on both engines.
+
+    Scale: one map-combined per-table MAX/COUNT over the applied
+    changelog, a 1-row bounds broadcast, and a generated heartbeat
+    frame bounded by CADENCE x TIME RANGE (43 201 rows for 30 days of
+    minutes — independent of event volume, the entire point of
+    pt-heartbeat); at 100 TB the heartbeat table is still ~43k rows
+    per month and the lag readout costs one aggregate."""
+    log = _changelog(spark, sf_dir).select("tbl", "ts")
+    b = log.agg(F.min("ts").alias("t0"), F.max("ts").alias("wm"))
+    src = log.crossJoin(F.broadcast(b)).filter(
+        ~(
+            (F.col("tbl") == "t2")
+            & (
+                F.unix_micros("ts") * 10
+                > F.unix_micros("t0") * 4 + F.unix_micros("wm") * 6
+            )
+        )
+    )
+    applied = src.filter(
+        F.unix_micros("ts") <= F.unix_micros("wm") - _HB_APPLY_LAG_US
+    )
+    per = applied.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_applied"),
+        F.max("ts").alias("last_applied_ts"),
+    )
+    hb = b.select(
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('minute', t0), wm,"
+                " interval 1 minute)"
+            )
+        ).alias("hb_ts"),
+        "wm",
+    )
+    hba = hb.filter(
+        F.unix_micros("hb_ts") <= F.unix_micros("wm") - _HB_APPLY_LAG_US
+    ).agg(F.max("hb_ts").alias("hb_last"))
+    fresh_s = F.expr(
+        "(unix_micros(wm) - unix_micros(last_applied_ts)) DIV 1000000"
+    )
+    hb_s = F.expr("(unix_micros(wm) - unix_micros(hb_last)) DIV 1000000")
+    return (
+        per.crossJoin(F.broadcast(b.select("wm")))
+        .crossJoin(F.broadcast(hba))
+        .select(
+            "tbl",
+            "n_applied",
+            "last_applied_ts",
+            fresh_s.cast("bigint").alias("freshness_lag_s"),
+            hb_s.cast("bigint").alias("heartbeat_lag_s"),
+            (fresh_s - hb_s).cast("bigint").alias("divergence_s"),
+            ((fresh_s > _HB_STALE_S) & (hb_s <= _HB_STALE_S))
+            .cast("int")
+            .alias("false_stale"),
+        )
+    )
+
+
 @register(
     "cdc_column_drift_stats",
     oracle=f"""

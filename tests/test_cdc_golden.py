@@ -133,3 +133,33 @@ def test_checkpoint_resumes_mid_stream_exactly_once(spark, sf_dir, tmp_path):
     )
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
+
+
+def test_heartbeat_separates_idle_from_lagging(spark, sf_dir):
+    """cdc_heartbeat's reason to exist: the idle table (t2, whose
+    source writes stop for the last 40% of the range) must page
+    false_stale — freshness lag says stale (> 24 h) while the shared
+    heartbeat says the pipeline is healthy — and ONLY t2 may (the
+    threshold sits above sparse-fixture natural gaps, below the
+    ~12-day idle divergence).  The
+    heartbeat lag itself is the same for every table (one replicated
+    heartbeat stream) and sits in [120 s, 180 s): the 2-minute apply
+    watermark plus at most one heartbeat cadence.  Divergence must
+    equal freshness - heartbeat exactly (floored-seconds arithmetic,
+    no re-derivation)."""
+    import __spark_entry__ as e
+
+    rows = {r.tbl: r for r in e.queries()["cdc_heartbeat"](spark, sf_dir).collect()}
+    assert set(rows) == {"t0", "t1", "t2", "t3"}
+    hb_lags = {r.heartbeat_lag_s for r in rows.values()}
+    assert len(hb_lags) == 1  # one shared heartbeat stream
+    (hb_lag,) = hb_lags
+    assert 120 <= hb_lag < 180, hb_lag
+    for tbl, r in rows.items():
+        assert r.divergence_s == r.freshness_lag_s - r.heartbeat_lag_s
+        assert r.false_stale == (1 if tbl == "t2" else 0), r
+    # the idle table's divergence is ~40% of a 30-day range — days,
+    # not minutes; active tables diverge by at most the stale bound
+    assert rows["t2"].divergence_s > 5 * 86400
+    for tbl in ("t0", "t1", "t3"):
+        assert rows[tbl].divergence_s < 86400
