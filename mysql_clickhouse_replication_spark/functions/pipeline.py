@@ -2606,7 +2606,7 @@ def _pca_ss(x: str, d: str) -> str:
 
 def _pca_u0_sql(k: int) -> str:
     """Deterministic start vectors: ones for the dominant direction,
-    then sign patterns of period 2 and 4 — mutually orthogonal and
+    then sign patterns of period 2, 4 and 8 — mutually orthogonal and
     generically non-orthogonal to any eigenvector (no random())."""
     if k == 1:
         return "CAST(1 AS BIGINT)"
@@ -2614,16 +2614,20 @@ def _pca_u0_sql(k: int) -> str:
         return (
             "CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)"
         )
-    return "CAST(CASE WHEN i % 4 < 2 THEN 1 ELSE -1 END AS BIGINT)"
+    if k == 3:
+        return "CAST(CASE WHEN i % 4 < 2 THEN 1 ELSE -1 END AS BIGINT)"
+    return "CAST(CASE WHEN i % 8 < 4 THEN 1 ELSE -1 END AS BIGINT)"
 
 
-def _pca_topk_ctes() -> str:
-    """The full top-3 deflated power iteration as a generated DuckDB CTE
+def _pca_topk_ctes(n: int = _PCA_TOPK) -> str:
+    """The full top-n deflated power iteration as a generated DuckDB CTE
     chain over the shared gram CTEs — the oracle twin of
     _pca_topk_frames, formula-for-formula (rescale, integer
     Gram-Schmidt orth, matvec, normalize), so the engines are exact by
-    construction, not by tolerance.  Ends with nm1/nm2/nm3 (emission
-    frames: i, mag, sgn) and c1/c2/c3 (the 1e5-quantized basis)."""
+    construction, not by tolerance.  Ends with nm1../nm{{n}} (emission
+    frames: i, mag, sgn) and c1../c{{n}} (the 1e5-quantized basis).
+    Default n=3 keeps every pre-r14 oracle string byte-identical;
+    sim_opq_alternate asks n=4 for the next deflated direction."""
 
     def ss(x: str, d: str) -> str:
         return (
@@ -2641,7 +2645,7 @@ def _pca_topk_ctes() -> str:
         gram = gram.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
     parts = [gram]
     parts.append("dims AS MATERIALIZED (SELECT DISTINCT i FROM gf)")
-    for k in range(1, _PCA_TOPK + 1):
+    for k in range(1, n + 1):
         u0 = _pca_u0_sql(k).replace(" DIV ", " // ")
         parts.append(f"k{k}u0 AS MATERIALIZED (SELECT i, {u0} AS v FROM dims)")
         for t in range(_PCA_STEPS):
@@ -2741,10 +2745,14 @@ _PCA_TOPK_SELECT = "\nUNION ALL\n".join(
 _PCA_TOPK_MEMO: dict = {}
 
 
-def _pca_topk_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """The three (i, mag, sgn) emission frames of the deflated power
-    iteration — Spark twin of _pca_topk_ctes, formula-for-formula."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _pca_topk_frames(
+    spark: SparkSession, sf_dir: str, n: int = _PCA_TOPK
+) -> list[DataFrame]:
+    """The top-n (i, mag, sgn) emission frames of the deflated power
+    iteration — Spark twin of _pca_topk_ctes, formula-for-formula.
+    Default n=3 (the family's shared basis); n=4 adds the next
+    deflated direction for sim_opq_alternate's candidate set."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
     hit = session_memo_lookup(_PCA_TOPK_MEMO, key)
     if hit is not None:
         # The emission frames are localCheckpoint-ed (lineage CUT, RDD
@@ -2803,7 +2811,7 @@ def _pca_topk_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
     frames: list[DataFrame] = []
     bases: list[tuple[DataFrame, DataFrame]] = []  # (c frame, cd scalar)
-    for k in range(1, _PCA_TOPK + 1):
+    for k in range(1, n + 1):
         u = dims.select("i", F.expr(_pca_u0_sql(k)).alias("v"))
         for t in range(_PCA_STEPS):
             w = rescaled(u, guard=gmax if (k == 1 and t == 0) else None)
@@ -3118,32 +3126,22 @@ def _opq_sqd(a: str, b: str, lo: int | None = None, n: int | None = None) -> str
     )
 
 
-def _opq_spaces(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The shared two-space corpus of the OPQ family: builds the exact
-    Householder-chain rotation (see sim_opq_rotate's docstring for the
-    construction and integer-exactness argument) and returns
-
-    * ``both``  — (vec_id, pe, re): the corpus at 1e4 fixed-point scale
-      in plain and rotated space, ONE map-only projection;
-    * ``cents`` — 1-row frame with the 8-entry PQ codebooks of both
-      spaces (pcents/rcents: sorted arrays of (cid, cv) structs);
-    * ``out``   — ``both`` x ``cents`` with per-subspace argmin structs
-      pb0..pb3 / rb0..rb3 (field ``k`` = code, ``d`` = distortion).
-
-    sim_opq_rotate surfaces codes + distortions from ``out``;
-    sim_ivfpq_search adds IVF routing and ADC search on top of the
-    same frames."""
-    frames = _pca_topk_frames(spark, sf_dir)
-
-    # --- rotation construction: d-row Householder chain ---------------
-    hws: list[tuple[DataFrame, DataFrame]] = []  # (hw frame, wtw scalar)
-    for r in range(1, _PCA_TOPK + 1):
+def _opq_chain_hws(
+    basis: list[DataFrame],
+    reuse: tuple = (),
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Householder chain aligning ``basis[r-1]`` (a d-row (i, v) frame
+    at 1e2 scale) with coordinate _OPQ_TARGETS[r] — the construction
+    documented on sim_opq_rotate, factored out so sim_opq_alternate can
+    build chains from PERTURBED basis vectors.  Returns per reflection
+    the (hw frame, wtw scalar) pair.  ``reuse`` passes already-built
+    LEADING reflections (a candidate perturbing basis r shares the
+    incumbent's reflections 1..r-1 exactly — basis vectors before r are
+    unperturbed and see only unperturbed predecessors)."""
+    hws: list[tuple[DataFrame, DataFrame]] = list(reuse)
+    for r in range(len(hws) + 1, _PCA_TOPK + 1):
         t = _OPQ_TARGETS[r]
-        cur = frames[r - 1].select(
-            "i", F.expr("sgn * (mag DIV 100)").alias("v")
-        )
+        cur = basis[r - 1]
         for p in range(1, r):
             hw, ww = hws[p - 1]
             dot = (
@@ -3197,8 +3195,13 @@ def _opq_spaces(
             F.expr("GREATEST(COALESCE(SUM(w * w), 0), 1)").alias("wtw")
         )
         hws.append((hw, ww))
+    return hws
 
-    # collapse to ONE 1-row broadcast: 3 w-arrays + 3 wtw scalars
+
+def _opq_rot_frame(hws: list[tuple[DataFrame, DataFrame]]) -> DataFrame:
+    """Collapse a Householder chain to ONE checkpointed 1-row frame
+    (w1..w{n} arrays + wtw1..wtw{n} scalars) — the broadcast every
+    corpus rotation pass consumes."""
     rot = None
     for r, (hw, ww) in enumerate(hws, start=1):
         arr = hw.agg(
@@ -3207,17 +3210,13 @@ def _opq_spaces(
         scl = ww.select(F.col("wtw").alias(f"wtw{r}"))
         piece = arr.crossJoin(scl)
         rot = piece if rot is None else rot.crossJoin(piece)
-    rot = rot.localCheckpoint(eager=True)
+    return rot.localCheckpoint(eager=True)
 
-    # --- map-only corpus pass: plain + rotated in one projection ------
-    emb = table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * 10)"
-        ).alias("e"),
-    ).crossJoin(F.broadcast(rot))
+
+def _opq_apply_rot(base: DataFrame) -> tuple[DataFrame, str]:
+    """Apply the chain's reflections to column ``e`` of a frame already
+    cross-joined with the rot broadcast; returns the frame plus the
+    final rotated column name — one map-only projection."""
     cur_col = "e"
     for r in range(1, _PCA_TOPK + 1):
         base = base.withColumn(
@@ -3234,6 +3233,48 @@ def _opq_spaces(
             ),
         )
         cur_col = f"er{r}"
+    return base, cur_col
+
+
+def _opq_fixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding corpus at the family's 1e4 fixed-point scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * 10)"
+        ).alias("e"),
+    )
+
+
+def _opq_spaces(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared two-space corpus of the OPQ family: builds the exact
+    Householder-chain rotation (see sim_opq_rotate's docstring for the
+    construction and integer-exactness argument) and returns
+
+    * ``both``  — (vec_id, pe, re): the corpus at 1e4 fixed-point scale
+      in plain and rotated space, ONE map-only projection;
+    * ``cents`` — 1-row frame with the 8-entry PQ codebooks of both
+      spaces (pcents/rcents: sorted arrays of (cid, cv) structs);
+    * ``out``   — ``both`` x ``cents`` with per-subspace argmin structs
+      pb0..pb3 / rb0..rb3 (field ``k`` = code, ``d`` = distortion).
+
+    sim_opq_rotate surfaces codes + distortions from ``out``;
+    sim_ivfpq_search adds IVF routing and ADC search on top of the
+    same frames."""
+    frames = _pca_topk_frames(spark, sf_dir)
+    basis = [
+        f.select("i", F.expr("sgn * (mag DIV 100)").alias("v"))
+        for f in frames
+    ]
+    rot = _opq_rot_frame(_opq_chain_hws(basis))
+
+    # --- map-only corpus pass: plain + rotated in one projection ------
+    base = _opq_fixed_corpus(spark, sf_dir).crossJoin(F.broadcast(rot))
+    base, cur_col = _opq_apply_rot(base)
     both = base.select(
         "vec_id", F.col("e").alias("pe"), F.col(cur_col).alias("re")
     )
@@ -4006,6 +4047,281 @@ def sim_ivfpq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV count(1) AS BIGINT)"
             ).alias("recall_init_ppm"),
         )
+    )
+
+
+#: sim_opq_alternate's deterministic candidate set: cand 0 is the
+#: incumbent eigenvalue-allocation rotation; cand 2r-1 / 2r perturb
+#: basis vector r by +/- the 4th deflated direction (r, sign) pairs.
+_OPQ_ALT_CANDS = [(0, 0)] + [(r, s) for r in (1, 2, 3) for s in (1, -1)]
+
+
+def _opq_alt_ctes() -> str:
+    """The 7-candidate rotation re-score as generated DuckDB CTEs over
+    the _pca_topk_ctes(4) + _opq_rotation_ctes + _opq_train_ctes chain
+    — the oracle twin of sim_opq_alternate, formula-for-formula.
+    Candidate chains reuse the incumbent's hw{{p}}/ww{{p}} reflections
+    for p < r (unperturbed prefixes are identical) and rebuild from r
+    on; every candidate's rotated corpus is scored against the TRAINED
+    codebook cb{{K}} by exact BIGINT subspace distances."""
+
+    def ss(x: str, d: str) -> str:
+        return (
+            f"CASE WHEN {x} < 0 THEN -(abs({x}) // {d})"
+            f" ELSE ({x}) // {d} END"
+        )
+
+    dd = _OPQ_D
+    cbf = f"cb{_OPQ_TRAIN_ROUNDS}"
+    parts = [
+        "x4 AS MATERIALIZED (SELECT i, sgn * (mag // 100) AS v FROM nm4)"
+    ]
+
+    def score(pfx: str, corpus: str, cand: int) -> None:
+        parts.append(
+            f"{pfx}d AS MATERIALIZED (SELECT v.vec_id, b.m, b.cid,"
+            f" list_sum([(v.e[b.m * {dd} + i] - b.sv[i])"
+            f" * (v.e[b.m * {dd} + i] - b.sv[i])"
+            f" FOR i IN range(1, {dd + 1})]) AS d"
+            f" FROM {corpus} v CROSS JOIN {cbf} b)"
+        )
+        parts.append(
+            f"{pfx}a AS MATERIALIZED (SELECT vec_id, m, d FROM {pfx}d"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d, cid) = 1)"
+        )
+        parts.append(
+            f"{pfx}o AS MATERIALIZED (SELECT CAST({cand} AS INTEGER)"
+            f" AS cand, CAST(m AS INTEGER) AS m,"
+            f" CAST(SUM(d) AS BIGINT) AS distortion"
+            f" FROM {pfx}a GROUP BY m)"
+        )
+
+    score("g0", f"rx{_PCA_TOPK}", 0)
+    for cand, (r, s) in enumerate(_OPQ_ALT_CANDS):
+        if cand == 0:
+            continue
+        pfx = f"g{cand}"
+        op = "+" if s > 0 else "-"
+        parts.append(
+            f"{pfx}b AS MATERIALIZED (SELECT b.i, b.v {op} x.v AS v"
+            f" FROM b{r} b JOIN x4 x ON b.i = x.i)"
+        )
+        # rebuild reflections r..TOPK (prefix 1..r-1 is the incumbent's)
+        for rr in range(r, _PCA_TOPK + 1):
+            cur = f"{pfx}b" if rr == r else f"b{rr}"
+            for p in range(1, rr):
+                hwp = f"hw{p}" if p < r else f"{pfx}hw{p}"
+                wwp = f"ww{p}" if p < r else f"{pfx}ww{p}"
+                parts.append(
+                    f"{pfx}yd{rr}_{p} AS MATERIALIZED (SELECT"
+                    f" COALESCE(SUM(y.v * w.w), 0) AS t"
+                    f" FROM {cur} y JOIN {hwp} w ON y.i = w.i)"
+                )
+                parts.append(
+                    f"{pfx}ya{rr}_{p} AS MATERIALIZED (SELECT y.i,"
+                    f" y.v - ({ss('2 * w.w * s.t', 'ww.wtw')}) AS v"
+                    f" FROM {cur} y JOIN {hwp} w ON y.i = w.i"
+                    f" CROSS JOIN {pfx}yd{rr}_{p} s CROSS JOIN {wwp} ww)"
+                )
+                cur = f"{pfx}ya{rr}_{p}"
+            if rr > 1:
+                fixed = ", ".join(
+                    str(_OPQ_TARGETS[p]) for p in range(1, rr)
+                )
+                parts.append(
+                    f"{pfx}yz{rr} AS MATERIALIZED (SELECT i,"
+                    f" CASE WHEN i IN ({fixed}) THEN 0 ELSE v END AS v"
+                    f" FROM {cur})"
+                )
+                cur = f"{pfx}yz{rr}"
+            t = _OPQ_TARGETS[rr]
+            parts.append(
+                f"{pfx}yn{rr} AS MATERIALIZED (SELECT CAST(FLOOR(SQRT("
+                f"CAST(COALESCE(SUM(v * v), 0) AS DOUBLE))) AS BIGINT)"
+                f" AS nr FROM {cur})"
+            )
+            parts.append(
+                f"{pfx}ys{rr} AS MATERIALIZED (SELECT CASE WHEN"
+                f" COALESCE(MAX(CASE WHEN i = {t} THEN v END), 0) >= 0"
+                f" THEN 1 ELSE -1 END AS s FROM {cur})"
+            )
+            w_raw = (
+                f"CASE WHEN y.i = {t} THEN y.v + ys.s * yn.nr"
+                f" ELSE y.v END"
+            )
+            parts.append(
+                f"{pfx}hw{rr} AS MATERIALIZED (SELECT y.i,"
+                f" {ss('(' + w_raw + ')', '10')} AS w"
+                f" FROM {cur} y CROSS JOIN {pfx}yn{rr} yn"
+                f" CROSS JOIN {pfx}ys{rr} ys)"
+            )
+            parts.append(
+                f"{pfx}ww{rr} AS MATERIALIZED (SELECT"
+                f" GREATEST(COALESCE(SUM(w * w), 0), 1) AS wtw"
+                f" FROM {pfx}hw{rr})"
+            )
+            parts.append(
+                f"{pfx}wl{rr} AS MATERIALIZED (SELECT list(w ORDER BY i)"
+                f" AS w FROM {pfx}hw{rr})"
+            )
+        # candidate corpus rotation: all three reflections
+        cur = "qv0"
+        for rr in range(1, _PCA_TOPK + 1):
+            wl = f"wl{rr}" if rr < r else f"{pfx}wl{rr}"
+            ww = f"ww{rr}" if rr < r else f"{pfx}ww{rr}"
+            refl = ss("2 * wv[i] * dot", "wtw")
+            parts.append(
+                f"{pfx}rx{rr} AS MATERIALIZED (SELECT vec_id,"
+                f" [e[i] - ({refl}) FOR i IN range(1, len(e) + 1)] AS e"
+                f" FROM (SELECT vec_id, e, w.w AS wv, ww.wtw,"
+                f" list_sum([e[i] * w.w[i] FOR i IN range(1, len(e) + 1)])"
+                f" AS dot FROM {cur} CROSS JOIN {wl} w"
+                f" CROSS JOIN {ww} ww))"
+            )
+            cur = f"{pfx}rx{rr}"
+        score(pfx, cur, cand)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM g{c}o" for c in range(len(_OPQ_ALT_CANDS))
+    )
+    parts.append(f"allc AS MATERIALIZED ({union})")
+    parts.append(
+        "tot AS MATERIALIZED (SELECT cand,"
+        " CAST(SUM(distortion) AS BIGINT) AS cand_total"
+        " FROM allc GROUP BY cand)"
+    )
+    parts.append(
+        "totc AS MATERIALIZED (SELECT cand, cand_total,"
+        " CAST(ROW_NUMBER() OVER (ORDER BY cand_total, cand) = 1"
+        " AS INT) AS chosen FROM tot)"
+    )
+    return ",\n".join(parts)
+
+
+_OPQ_ALT_SELECT = """
+SELECT a.cand, a.m, a.distortion, t.cand_total, t.chosen
+FROM allc a JOIN totc t ON a.cand = t.cand
+"""
+
+
+@register(
+    "sim_opq_alternate",
+    oracle=f"""
+WITH {_pca_topk_ctes(_PCA_TOPK + 1)},
+{_opq_rotation_ctes()},
+{_opq_train_ctes()},
+{_opq_alt_ctes()}
+{_OPQ_ALT_SELECT}
+""",
+)
+def sim_opq_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ alternation's EXACT rotation half (r13 verdict
+    next-round #5): one rotation-improvement round closing the
+    rotate <-> train loop.  Full OPQ-NP (Ge et al., CVPR 2013 section
+    4) updates the rotation by an SVD Procrustes solve, which has no
+    exact cross-engine arithmetic form — so instead of trusting a
+    float SVD, this key re-scores a SMALL DETERMINISTIC CANDIDATE SET
+    of rotations by their MEASURED integer distortion under the
+    TRAINED codebook (sim_opq_train's K={_OPQ_TRAIN_ROUNDS}-round
+    Lloyd result) and keeps the argmin: the incumbent
+    eigenvalue-allocation chain plus 6 neighbors perturbing basis
+    vector r by +/- the 4th deflated power-iteration direction (the
+    next direction the allocation LEFT OUT — exactly the subspace the
+    init could have mis-allocated).  The incumbent is in the set, so
+    the chosen rotation's distortion is monotone non-increasing vs
+    the trained incumbent, which itself is <= sim_opq_train's round-K
+    surface (Lloyd) — the alternation inequality chain, asserted in
+    tests with exact integers.
+
+    Surface per (candidate, subspace): the distortion under the
+    trained codebook, the candidate's total, and chosen (the (total,
+    cand)-argmin) — the readout an OPQ deployment uses to decide
+    whether another alternation round pays.
+
+    Exactness: candidate basis vectors are integer sums b_r +/- b_4 at
+    the shared 1e2 scale; every Householder chain, rotation
+    application and distance is the family's exact BIGINT arithmetic
+    under total orders, so the machine-generated CTE oracle (which
+    rebuilds only reflections >= r per candidate — unperturbed
+    prefixes are shared with the incumbent, same as the Spark side)
+    matches bit-for-bit.
+
+    Scale: candidate count is CONSTANT (7); each candidate costs one
+    map-only corpus rotation + the 32-codeword encode pass under 1-row
+    broadcasts — at 100 TB this is 7 scans (or one scan emitting 7
+    rotated copies if scan-bound), all embarrassingly parallel;
+    chain rebuilds are d-row micro-jobs.  The trained codebook comes
+    from the memoized _opq_train_state (once per session)."""
+    frames = _pca_topk_frames(spark, sf_dir, n=_PCA_TOPK + 1)
+    basis = [
+        f.select("i", F.expr("sgn * (mag DIV 100)").alias("v"))
+        for f in frames[:_PCA_TOPK]
+    ]
+    d4 = frames[_PCA_TOPK].select(
+        "i", F.expr("sgn * (mag DIV 100)").alias("v4")
+    )
+    _, cb = _opq_train_state(spark, sf_dir)
+    cb1 = cb.agg(
+        F.array_sort(F.collect_list(F.struct("m", "cid", "sv"))).alias(
+            "cball"
+        )
+    ).localCheckpoint(eager=True)
+    corpus = _opq_fixed_corpus(spark, sf_dir)
+    inc_hws = _opq_chain_hws(basis)
+    dd = _OPQ_D
+    outs: list[DataFrame] = []
+    for cand, (r, s) in enumerate(_OPQ_ALT_CANDS):
+        if cand == 0:
+            hws = inc_hws
+        else:
+            pert = basis[r - 1].join(d4, "i").select(
+                "i", (F.col("v") + s * F.col("v4")).alias("v")
+            )
+            cand_basis = list(basis)
+            cand_basis[r - 1] = pert
+            hws = _opq_chain_hws(cand_basis, reuse=inc_hws[: r - 1])
+        rot = _opq_rot_frame(hws)
+        base, fincol = _opq_apply_rot(corpus.crossJoin(F.broadcast(rot)))
+        per = base.crossJoin(F.broadcast(cb1)).select(
+            *[
+                F.expr(
+                    f"array_min(transform(filter(cball, c -> c.m = {m}),"
+                    f" c -> named_struct('d',"
+                    f" {_opq_sqd(f'slice({fincol}, {m * dd + 1}, {dd})', 'c.sv')},"
+                    f" 'k', c.cid))).d"
+                ).alias(f"d{m}")
+                for m in range(_OPQ_M)
+            ]
+        )
+        agg = per.agg(
+            *[
+                F.sum(f"d{m}").cast("bigint").alias(f"d{m}")
+                for m in range(_OPQ_M)
+            ]
+        )
+        stack = ", ".join(f"{m}, d{m}" for m in range(_OPQ_M))
+        outs.append(
+            agg.selectExpr(
+                f"CAST({cand} AS INT) AS cand",
+                f"stack({_OPQ_M}, {stack}) AS (m, distortion)",
+            )
+        )
+    allc = outs[0]
+    for fr in outs[1:]:
+        allc = allc.unionAll(fr)
+    tot = allc.groupBy("cand").agg(
+        F.sum("distortion").cast("bigint").alias("cand_total")
+    )
+    wtot = Window.orderBy("cand_total", "cand")  # 7 rows: bounded
+    totc = tot.withColumn(
+        "chosen", (F.row_number().over(wtot) == 1).cast("int")
+    )
+    return allc.join(F.broadcast(totc), "cand").select(
+        F.col("cand").cast("int").alias("cand"),
+        F.col("m").cast("int").alias("m"),
+        F.col("distortion").cast("bigint").alias("distortion"),
+        "cand_total",
+        "chosen",
     )
 
 

@@ -1290,3 +1290,52 @@ def test_epoch_resume_torn_cursor(spark, tmp_path_factory):
         assert r.keysum_consumed + r.keysum_resumed == r.keysum, r
         assert r.order_violations == 0, r
         assert r.n_consumed == r.n_docs * 2 // 5, r
+
+
+def test_opq_alternate_monotone_chain(spark, sf_dir, tmp_path_factory):
+    """sim_opq_alternate's alternation inequality chain, in exact
+    integers: chosen_total <= incumbent_total (the incumbent is IN the
+    candidate set, so the argmin can never regress) and
+    incumbent_total <= sim_opq_train's round-K surface (the incumbent
+    scored under the FINAL Lloyd codebook vs the round-K INCOMING
+    codebook — Lloyd's two-step descent, modulo the <1-lattice-step
+    integer-mean rounding the trainer's own monotone assert already
+    tolerates, measured never binding).  Exactly one candidate is
+    chosen, totals reconcile with per-subspace rows, and engines agree
+    exactly on the planted-spectrum shape."""
+    rows = e.queries()["sim_opq_alternate"](spark, sf_dir).collect()
+    assert len(rows) == 28  # 7 candidates x 4 subspaces
+    totals = {}
+    for r in rows:
+        totals.setdefault(r.cand, [0, r.cand_total, r.chosen])
+        totals[r.cand][0] += r.distortion
+    for cand, (s, tot, _) in totals.items():
+        assert s == tot, (cand, s, tot)  # totals reconcile
+    chosen = [c for c, v in totals.items() if v[2] == 1]
+    assert len(chosen) == 1
+    chosen_total = totals[chosen[0]][1]
+    inc_total = totals[0][1]
+    assert chosen_total <= inc_total
+    assert chosen_total == min(v[1] for v in totals.values())
+
+    trows = e.queries()["sim_opq_train"](spark, sf_dir).collect()
+    k = max(r.round for r in trows)
+    dk_total = sum(r.distortion for r in trows if r.round == k)
+    assert inc_total <= dk_total, (inc_total, dk_total)
+
+    tmp, _ = _planted_spectrum_dir(tmp_path_factory, "opq_alternate")
+    srows = sorted(
+        tuple(r)
+        for r in e.queries()["sim_opq_alternate"](spark, tmp).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["sim_opq_alternate"]).fetchall()
+    )
+    assert srows == orows
+    spark.catalog.clearCache()
