@@ -15,31 +15,28 @@ The driver's correctness gate records only the FIRST 50 keys of the
 (tools/verify_local.py -> VERIFY_LOCAL_r{N}.json), but driver-recorded
 proof rotates through the registry in 50-key windows:
 
-* rounds 1-12 proved ALL 340 then-registered keys green (the
+* rounds 1-13 proved ALL 346 then-registered keys green (the
   ``_DRIVER_GREEN`` list below is the union of green rows across
-  CORRECTNESS_r01..r12; round 8 closed the contract at 311/311,
-  rounds 9-12 kept it closed at 317/317, 323/323, 334/334 and
-  340/340).
+  CORRECTNESS_r01..r13; round 8 closed the contract at 311/311,
+  rounds 9-13 kept it closed at 317/317, 323/323, 334/334, 340/340
+  and 346/346).
 * with coverage complete, the remaining contract risk is REGRESSION:
   code and fixtures change under keys whose only driver proof is
-  rounds old.  ``_R13_FRONT`` holds the 46 keys whose NEWEST green
-  row is stalest (ALL 40 keys last proven in round 6, then the 6
-  oldest round-7 keys by name), ordered stalest-first (newest-green
-  round, then key) -- recomputed this round from the r01..r12 union
-  exactly as the r12 verdict prescribed ("rotate the driver window to
-  the r6-vintage block").
-* the 6 keys first registered in round 13 (text_bpe_encode,
-  sim_ivfpq_search, sim_opq_train, docs_epoch_shuffle_read, and the
-  unasked sim_ivfpq_search_trained + docs_tokenize_pack -- not in
-  ``_DRIVER_GREEN``) have no driver proof at all, so they sort FIRST;
-  the stalest list fills the window behind them (6 + 46 = 52, so the
-  50-key cut drops the last two front entries,
-  cdc_dedup_bounded_window and cdc_dlq_replay_merge, back into the
-  tail).  After this round records, no key's newest green predates
-  round 7.  All window keys were pre-flighted through
-  tools/pandas_gate_sim.py + tools/oracle_dtype_lint.py
-  (PREFLIGHT_r13.txt) before this ordering was committed, per the
-  established hazard-gate discipline.
+  rounds old.  ``_R14_FRONT`` holds the 46 keys whose NEWEST green
+  row is round 7 -- the stalest vintage cohort after r13's rotation
+  (newest-green histogram r7:46, r8-r13: 50 each), recomputed from
+  the r01..r13 union exactly as the r13 verdict prescribed ("rotate
+  the r14 driver window to the 46 r7-vintage keys").
+* the 4 keys first registered in round 14 (sim_ivfpq_residual,
+  sim_opq_alternate, docs_epoch_shuffle_resume, cdc_heartbeat -- not
+  in ``_DRIVER_GREEN``) have no driver proof at all, so they sort
+  FIRST; the 46 r7-vintage keys fill the window behind them
+  (4 + 46 = 50 exactly -- no fill from r8 needed).  After this round
+  records, no key's newest green predates round 8.  All window keys
+  were pre-flighted through tools/pandas_gate_sim.py +
+  tools/oracle_dtype_lint.py (PREFLIGHT_r14.txt) before this
+  ordering was committed, per the established hazard-gate
+  discipline.
 """
 
 from __future__ import annotations
@@ -179,36 +176,40 @@ _DRIVER_GREEN = [
     "text_bpe_merge_step", "text_bpe_train_steps",
     "scan_tokenbf_skip_index", "scan_projection_route",
     "embedding_pca_topk", "sim_opq_rotate", "docs_epoch_shuffle_write",
-    "text_bpe_train_to_vocab"
+    "text_bpe_train_to_vocab",
+    "text_bpe_encode", "sim_ivfpq_search", "sim_opq_train",
+    "sim_ivfpq_search_trained", "docs_tokenize_pack",
+    "docs_epoch_shuffle_read"
 ]
 
-# The 46 stalest driver greens for round 13 (ALL 40 keys whose newest
-# green row is round 6, then the 6 oldest r7 keys by name) -- sampled
-# behind the 4 new r13 registrations; recomputed from the r01..r12
-# union exactly as the r12 verdict prescribed (after this round
-# records, no key's newest green predates round 7).
-_R13_FRONT = [
-    "docs_block_dedup", "docs_chunk_overlap",
-    "docs_contamination_check", "docs_license_filter",
-    "docs_mix_weighted", "docs_pack_sequences",
-    "docs_quality_filter_pipeline", "docs_repetition_ratio",
-    "docs_temperature_sample", "embedding_quantize",
-    "events_ab_ztest", "events_counter_delta_sum",
-    "events_histogram", "events_markov_transitions",
-    "events_peak_concurrency", "fn_try_cast",
-    "orders_active_coverage", "orders_backlog_aging",
-    "profile_skew", "reshape_pivot_multi",
-    "sample_importance_weighted", "sample_reservoir",
-    "scan_sorted_layout_prune", "scan_zorder_layout",
-    "text_entropy", "text_stats", "tpch_q11_shape",
-    "tpch_q13_shape", "tpch_q15_shape", "tpch_q16_shape",
-    "tpch_q17_shape", "tpch_q20_shape", "tpch_q21_shape",
-    "tpch_q22_shape", "tpch_q2_shape", "tpch_q9_shape",
-    "win_ignore_nulls", "win_ntile", "win_reset_running_sum",
-    "win_time_range_frame",
-    "agg_topk_weighted", "cdc_compaction_ratio", "cdc_conflict_lww",
-    "cdc_ddl_apply", "cdc_dedup_bounded_window",
-    "cdc_dlq_replay_merge"
+# The 46 stalest driver greens for round 14: ALL keys whose newest
+# green row is round 7 (the stalest vintage after r13's rotation) --
+# recomputed from the r01..r13 union exactly as the r13 verdict
+# prescribed; sampled behind the 4 new r14 registrations (4 + 46 =
+# 50, a perfect window -- after this round records, no key's newest
+# green predates round 8).
+_R14_FRONT = [
+    "cdc_dedup_bounded_window", "cdc_dlq_replay_merge",
+    "cdc_dlq_split", "cdc_gap_check", "cdc_lag_percentiles",
+    "cdc_minimal_image_reconstruct", "cdc_multi_table_route",
+    "cdc_order_violations", "cdc_partitioned_changelog_prune",
+    "cdc_pit_join", "cdc_replace_partition", "cdc_sink_wire",
+    "cdc_snapshot_chunks", "cdc_tombstone_gc", "cdc_tx_batches",
+    "dedup_containment", "dedup_incremental",
+    "dedup_minhash_accuracy", "dedup_source_matrix",
+    "dedup_survivor_pick", "docs_dedup_pipeline",
+    "docs_language_balance", "docs_length_mad_outliers",
+    "docs_ngram_coverage_eval", "docs_novelty_ratio",
+    "docs_shard_balance", "docs_split_leakage_safe",
+    "docs_substring_dedup", "docs_url_dedup",
+    "docs_vocab_growth", "embedding_hard_negatives",
+    "sim_ann_recall", "sim_centroid_classify",
+    "sim_centroid_drift", "sim_hybrid_rrf",
+    "sim_ivf_nprobe_sweep", "sim_ivf_refine",
+    "sim_matryoshka_recall", "sim_pq_adc_search",
+    "sim_product_quantize", "text_bm25_search",
+    "text_collocations_pmi", "text_entropy_rate",
+    "text_langid_eval", "text_normalize", "text_topn_ngrams"
 ]
 
 
@@ -217,9 +218,9 @@ def _ordered_keys() -> list[str]:
     stalest greens, then the remaining driver greens."""
     proven = set(_DRIVER_GREEN)
     unproven = [k for k in QUERIES if k not in proven]
-    front = [k for k in _R13_FRONT if k in QUERIES]
+    front = [k for k in _R14_FRONT if k in QUERIES]
     tail = [k for k in _DRIVER_GREEN
-            if k in QUERIES and k not in set(_R13_FRONT)]
+            if k in QUERIES and k not in set(_R14_FRONT)]
     return unproven + front + tail
 
 

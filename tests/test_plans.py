@@ -2209,3 +2209,48 @@ def test_ivfpq_search_plan_broadcast_only(plans, spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     simple = plans("sim_ivfpq_search", "simple")
     assert simple.count("Exchange hashpartitioning") <= 4, simple
+
+
+def test_ivfpq_residual_plan_broadcast_only(plans):
+    """sim_ivfpq_residual keeps the fused-search plan contract: the
+    candidate join is a BroadcastHashJoin on the IVF cell (probe side =
+    20 rows carrying the per-cell residual LUTs), 1-row codebook /
+    centroid attaches are broadcast crosses, no SortMergeJoin, no
+    Python — residual encoding must not change the scale shape."""
+    p = plans("sim_ivfpq_residual")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    simple = plans("sim_ivfpq_residual", "simple")
+    assert simple.count("Exchange hashpartitioning") <= 4, simple
+
+
+def test_epoch_resume_plan_no_global_sort(plans):
+    """docs_epoch_shuffle_resume's post-write audit: rank windows are
+    (shard, bucket)-bounded and the cursor join is a broadcast — no
+    global Sort over the corpus (sortWithinPartitions in the landed
+    write is per-task), no SortMergeJoin, no Python."""
+    p = plans("docs_epoch_shuffle_resume")
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # every Sort is window-local: the formatted Sort node's Arguments
+    # line is "[keys...], <global>, 0" — none may carry global=true
+    sort_args = [
+        ln.strip()
+        for ln in p.splitlines()
+        if ln.strip().startswith("Arguments: [")
+        and "ASC NULLS" in ln
+        and ln.strip().endswith(", 0")
+    ]
+    assert sort_args, p  # the window sorts must exist
+    assert all(", false, 0" in ln for ln in sort_args), sort_args
+
+
+def test_heartbeat_plan_single_pass(plans):
+    """cdc_heartbeat is one map-combined per-table aggregate + 1-row
+    broadcasts + a generated heartbeat frame: no SortMergeJoin, no
+    Python, no corpus-keyed window."""
+    p = plans("cdc_heartbeat")
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Window" not in p
