@@ -1386,6 +1386,8 @@ _BOUNDED_SINGLE_PARTITION_WINDOWS = {
     "orders_revenue_concentration": "banded decile offsets: |bands| rows",
     "profile_skew": "per-column top-1 summary rows",
     "sim_hybrid_rrf": "per-query fused top-k (k-bounded)",
+    "sim_opq_alternate": "the (total, cand) argmin over the 7-row "
+    "candidate-total frame (|candidates| is a plan constant)",
 }
 
 
