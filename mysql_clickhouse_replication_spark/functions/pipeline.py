@@ -4248,10 +4248,18 @@ def sim_opq_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate count is CONSTANT (7); each candidate costs one
     map-only corpus rotation + the 32-codeword encode pass under 1-row
-    broadcasts — at 100 TB this is 7 scans (or one scan emitting 7
-    rotated copies if scan-bound), all embarrassingly parallel;
+    broadcasts — at 100 TB this is 7 scans, embarrassingly parallel;
     chain rebuilds are d-row micro-jobs.  The trained codebook comes
-    from the memoized _opq_train_state (once per session)."""
+    from the memoized _opq_train_state (once per session).  A fused
+    one-scan variant (all 7 rotations in one 21-array broadcast, one
+    projection emitting all 28 distortions) was built and REJECTED on
+    measurement: 20.6 s vs 9.5 s at sf0.1 — zip_with/aggregate/
+    transform lambdas evaluate interpreted (no whole-stage codegen)
+    with no cross-expression subexpression elimination, so each fused
+    argmin re-derives its candidate's full reflection chain and the
+    single pass multiplies per-row re-evaluation ~4x; the 7 scans are
+    each map-only and scan-parallel, so separate passes win on both
+    engines' actual execution model."""
     frames = _pca_topk_frames(spark, sf_dir, n=_PCA_TOPK + 1)
     basis = [
         f.select("i", F.expr("sgn * (mag DIV 100)").alias("v"))
