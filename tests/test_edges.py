@@ -1339,3 +1339,91 @@ def test_opq_alternate_monotone_chain(spark, sf_dir, tmp_path_factory):
     )
     assert srows == orows
     spark.catalog.clearCache()
+
+
+def test_epoch_resume_tiny_corpus_cursor_minus_one(spark, tmp_path_factory):
+    """docs_epoch_shuffle_resume's empty-consumption degradation: with
+    3 docs spread over 8 shards, every shard has n_s in {0..3} and
+    cutoff = (n_s*2) DIV 5 = 0 or 1 — shards with cutoff 0 must emit
+    cursor_h = -1 (resume-from-start), n_consumed = 0, and the resumed
+    read must re-emit the WHOLE shard; the union invariant holds; and
+    the engines agree exactly (the coalesce(-1) sits on both sides)."""
+    d = tmp_path_factory.mktemp("resume_tiny")
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "gamma", "delta epsilon zeta"],
+            "lang": ["en"] * 3,
+            "category": ["x"] * 3,
+            "published_at": [None] * 3,
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    rows = (
+        e.queries()["docs_epoch_shuffle_resume"](spark, str(d))
+        .orderBy("shard")
+        .collect()
+    )
+    assert sum(r.n_docs for r in rows) == 3
+    for r in rows:
+        assert r.n_consumed + r.n_resumed == r.n_docs
+        assert r.keysum_consumed + r.keysum_resumed == r.keysum
+        if r.n_consumed == 0:
+            assert r.cursor_h == -1, r  # resume-from-start sentinel
+            assert r.n_resumed == r.n_docs, r
+    assert any(r.n_consumed == 0 for r in rows)  # the path is exercised
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            e.oracle_sql()["docs_epoch_shuffle_resume"]
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in rows) == orows
+
+
+def test_heartbeat_span_shorter_than_watermark(spark, tmp_path_factory):
+    """cdc_heartbeat on a corpus whose whole time span is shorter than
+    the 2-minute apply watermark: nothing (events or heartbeats) is
+    applied, so last_applied_ts / hb_last are NULL and every lag is
+    NULL — identical three-valued propagation on both engines (the
+    deterministic degenerate, not a crash); the surface stays
+    hash-equal cross-engine."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("hb_tiny")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["signup", "click", "error"]),
+            "ts": pa.array(
+                [t0, t0 + datetime.timedelta(seconds=30),
+                 t0 + datetime.timedelta(seconds=60)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k": 1}'] * 3),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "events.parquet"))
+    rows = sorted(
+        tuple(r)
+        for r in e.queries()["cdc_heartbeat"](spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(e.oracle_sql()["cdc_heartbeat"]).fetchall()
+    )
+    assert rows == orows
+    assert rows == []  # nothing applied -> per-table agg is empty
