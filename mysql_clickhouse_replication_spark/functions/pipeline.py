@@ -4752,8 +4752,22 @@ _SHUF_RANK_BUCKET = _SHUF_MOD // 256
 #: Corpus-size bound under which sum_d2 = SUM((r0-r1)^2) provably fits
 #: BIGINT: worst-case rank-distance mass is n(n^2-1)/3 < n^3/3, and
 #: 2e6^3 = 8e18 < 2^63 ~ 9.2e18 with 3x slack from the /3.  Enforced
-#: IN PLAN by docs_epoch_shuffle_read/_resume (r13 ADVICE).
+#: IN PLAN by docs_epoch_shuffle_read (r13 ADVICE).
 _SHUF_D2_MAX_N = 2_000_000
+
+
+def _shuf_d2_guarded(r0: str = "r0", r1: str = "r1") -> F.Column:
+    """Squared rank distance (r0-r1)^2 with the n^3 headroom guard in
+    plan: rank == n at the corpus max, so a rank past _SHUF_D2_MAX_N
+    raises loudly instead of letting the BIGINT sum wrap silently
+    (negative-tested in tests/test_edges.py)."""
+    return F.expr(
+        f"CASE WHEN {r0} > {_SHUF_D2_MAX_N} THEN"
+        " CAST(raise_error('docs_epoch_shuffle_read: corpus exceeds the"
+        " BIGINT n^3 headroom of sum_d2 (~2e6 docs) — widen sum_d2 to"
+        " DECIMAL(38,0) on both engines') AS BIGINT)"
+        f" ELSE ({r0} - {r1}) * ({r0} - {r1}) END"
+    )
 
 
 @register(
@@ -4872,13 +4886,7 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_shuf_guarded_id, _pca_guard_scale) raises.  rank == n at the
     # corpus max, so guarding the rank guards the corpus size;
     # constant-false branch on in-bound fixtures, codegen-free.
-    d2 = F.expr(
-        f"CASE WHEN r0 > {_SHUF_D2_MAX_N} THEN"
-        " CAST(raise_error('docs_epoch_shuffle_read: corpus exceeds the"
-        " BIGINT n^3 headroom of sum_d2 (~2e6 docs) — widen sum_d2 to"
-        " DECIMAL(38,0) on both engines') AS BIGINT)"
-        " ELSE (r0 - r1) * (r0 - r1) END"
-    )
+    d2 = _shuf_d2_guarded()
     return per_doc.groupBy(
         F.col("shard0").cast("int").alias("shard")
     ).agg(

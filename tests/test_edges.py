@@ -1427,3 +1427,52 @@ def test_heartbeat_span_shorter_than_watermark(spark, tmp_path_factory):
     )
     assert rows == orows
     assert rows == []  # nothing applied -> per-table agg is empty
+
+
+def test_shuf_d2_guard_fires_past_bound(spark):
+    """Negative control for the sum_d2 n^3 headroom guard (r13 ADVICE):
+    in-bound ranks compute (r0-r1)^2 exactly; a rank past
+    _SHUF_D2_MAX_N must raise in plan instead of letting the BIGINT
+    sum wrap silently."""
+    from mysql_clickhouse_replication_spark.functions.pipeline import (
+        _SHUF_D2_MAX_N,
+        _shuf_d2_guarded,
+    )
+
+    ok = spark.createDataFrame(
+        [(int(_SHUF_D2_MAX_N), 7)], "r0 bigint, r1 bigint"
+    ).select(_shuf_d2_guarded().alias("d2"))
+    assert ok.collect()[0].d2 == (_SHUF_D2_MAX_N - 7) ** 2
+
+    bad = spark.createDataFrame(
+        [(int(_SHUF_D2_MAX_N) + 1, 7)], "r0 bigint, r1 bigint"
+    ).select(_shuf_d2_guarded().alias("d2"))
+    with pytest.raises(Exception, match="headroom"):
+        bad.collect()
+
+
+def test_session_memo_lookup_evicts_dead_sessions(spark):
+    """The r13 ADVICE memo fix, unit-tested: entries keyed by a DEAD
+    applicationId are evicted (and unpersisted where possible) on any
+    lookup with a live key; the live entry survives and is returned."""
+    from mysql_clickhouse_replication_spark.session import (
+        session_memo_lookup,
+    )
+
+    class FakeFrame:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    app = spark.sparkContext.applicationId
+    stale = FakeFrame()
+    live = object()
+    memo = {("dead-app-123", "/x"): stale, (app, "/x"): live}
+    assert session_memo_lookup(memo, (app, "/x")) is live
+    assert ("dead-app-123", "/x") not in memo
+    assert stale.unpersisted
+    # miss on a new key still evicts nothing live and returns None
+    assert session_memo_lookup(memo, (app, "/y")) is None
+    assert (app, "/x") in memo
