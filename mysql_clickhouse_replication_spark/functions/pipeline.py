@@ -2332,22 +2332,19 @@ _PCA_PPM = 1000000
 _PCA_MATVEC_HEADROOM = (2**63 - 1) // (64 * (_PCA_RESCALE + 1))
 
 
-def _pca_guard_scale(d_frame: DataFrame, gmax_frame: DataFrame) -> DataFrame:
-    """Fold the measured matvec-headroom guard into a rescale scalar:
-    returns the 1-row ``d`` frame unchanged while max|g| (column ``hg``
-    of ``gmax_frame``) is inside the int64 bound, raises in-plan past
-    it.  Both engines stay exact below the bound; above it Spark would
-    silently wrap while DuckDB errors — this makes the divergence
-    impossible by making the Spark side fail first, loudly."""
-    return d_frame.crossJoin(F.broadcast(gmax_frame)).select(
-        F.expr(
-            f"CASE WHEN hg > {_PCA_MATVEC_HEADROOM} THEN"
-            " CAST(raise_error('pca power iteration: gram magnitude"
-            " exceeds the int64 matvec headroom (max|g| * 64 * 2^16"
-            " >= 2^63) — widen the gram aggregation to DECIMAL(38,0)')"
-            " AS BIGINT) ELSE d END"
-        ).alias("d")
-    )
+def _py_guard_gmax(hg: int) -> None:
+    """The measured matvec-headroom guard, enforced at PLAN time (r14:
+    the former in-plan raise_error form, _pca_guard_scale, moved to
+    Python alongside the iteration itself): raises while building the
+    query if max|g| exceeds the int64 bound, so neither engine can
+    reach arithmetic that Spark would silently wrap and DuckDB would
+    error on.  Same bound, same loudness, strictly earlier failure."""
+    if hg > _PCA_MATVEC_HEADROOM:
+        raise ValueError(
+            "pca power iteration: gram magnitude exceeds the int64"
+            " matvec headroom (max|g| * 64 * 2^16 >= 2^63) — widen the"
+            " gram aggregation to DECIMAL(38,0)"
+        )
 
 _PCA_GRAM_CTE = """
 q AS (
@@ -2395,6 +2392,58 @@ v3 AS (
 d3 AS (SELECT MAX(abs(v)) // {_PCA_PPM} + 1 AS d FROM v3)"""
 
 
+def _py_gram_values(spark: SparkSession, sf_dir: str):
+    """Collect the memoized distributed gram (d(d+1)/2 rows of three
+    ints — bounded by the embedding dimension, never by N) and return
+    (mirrored {(i, j): g}, sorted dims, max|g|).  The corpus pass
+    stays Spark (_gram_cells, memoized per session); only its
+    d^2-bounded RESULT crosses to the driver — the same split MLlib's
+    RowMatrix makes before its driver-side eigensolve."""
+    cells = [
+        (int(r["i"]), int(r["j"]), int(r["gram_fp"]))
+        for r in _gram_cells(spark, sf_dir).collect()
+    ]
+    gm: dict = {}
+    for i, j, g in cells:
+        gm[(i, j)] = g
+        if i != j:
+            gm[(j, i)] = g
+    dims = sorted({i for i, _, _ in cells} | {j for _, j, _ in cells})
+    hg = max(abs(g) for _, _, g in cells) if cells else 0
+    return gm, dims, hg
+
+
+def _py_pca_iter(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Plan-time exact twin of _PCA_ITER_CTE (the 3-step scaled-integer
+    power iteration): returns [(i, comp_ppm, sgn)] ordered by i —
+    shared by sim_pca_power_iteration (emits it) and
+    embedding_pca_project (consumes it as the projection direction)."""
+    gm, dims, hg = _py_gram_values(spark, sf_dir)
+    _py_guard_gmax(hg)
+
+    def rescaled(v: dict, denom: int) -> dict:
+        d = max(abs(x) for x in v.values()) // denom + 1
+        return {i: _py_ss(x, d) for i, x in v.items()}
+
+    def matvec(v: dict) -> dict:
+        out = {i: 0 for i in dims}
+        for (i, j), g in gm.items():
+            out[i] += g * v[j]
+        return out
+
+    v1r = {i: 0 for i in dims}
+    for (i, _j), g in gm.items():
+        v1r[i] += g
+    v1 = rescaled(v1r, _PCA_RESCALE)
+    v2 = rescaled(matvec(v1), _PCA_RESCALE)
+    v3 = matvec(v2)
+    d3 = max(abs(x) for x in v3.values()) // _PCA_PPM + 1
+    return [
+        (i, abs(v3[i]) // d3, -1 if v3[i] < 0 else (1 if v3[i] > 0 else 0))
+        for i in dims
+    ]
+
+
 @register(
     "sim_pca_power_iteration",
     oracle=f"""
@@ -2432,77 +2481,30 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bound is max|g| < 2^63 / (64 * (2^16 + 1)) ~ 2.2e12
     (worst-case max-magnitude embeddings reach it near 2e6 corpus
     rows; unit-norm embeddings near 1e8).  The first rescale scalar
-    carries _pca_guard_scale: max|g| is measured over the gram and
-    the plan RAISES past the bound instead of Spark wrapping where
-    DuckDB errors.  Past it, production widens the gram agg to
+    discipline carries _py_guard_gmax: max|g| is measured over the
+    gram and query CONSTRUCTION raises past the bound instead of Spark
+    wrapping where DuckDB errors.  Past it, production widens the gram agg to
     DECIMAL(38,0) and the same rescaling discipline carries through
     unchanged.
 
     Scale: the distributed work is the shared _gram_cells scan (memoed
     — this key and embedding_gram_matrix read it once per session, the
-    production shape); the three matvecs are joins over the d^2-row
-    mirrored gram frame with the 64-row iterate — driver-scale data
-    kept IN-PLAN so the oracle can follow, never a corpus pass.  At
+    production shape); the three matvecs run over the d^2-row mirrored
+    gram — a bounded constant, never a corpus pass.  r14 optimization
+    (guide §1.2/§5): the matvecs moved from in-plan 64-row broadcast-
+    join micro-jobs to PLAN-TIME exact Python over the collected gram
+    (d(d+1)/2 = 2080 rows of three ints — the ddl.py bounded-collect
+    discipline; MLlib's RowMatrix.computePrincipalComponents makes the
+    same split, Gram distributed / eigensolve on the driver).  The
+    arithmetic is operation-for-operation identical (_py_ss for every
+    sign-split DIV, Python ints wider than the BIGINT they replace),
+    so both engines still agree bit-for-bit; the measured int64 guard
+    (_py_guard_gmax) now fails at plan time instead of mid-job.  At
     100 TB: corpus scan once, then O(d^2) per step regardless of N."""
-    gu = _gram_cells(spark, sf_dir)
-    g = gu.select("i", "j", F.col("gram_fp").alias("g"))
-    # The mirrored gram is d^2 rows (4096) — a driver-scale constant,
-    # not data.  coalesce(1) collapses what would otherwise be ~12
-    # inherited 64-partition micro-stages across the three matvecs
-    # into 1-task stages (measured 12.3 s -> 9.1 s cold / 4.1 -> 1.1 s
-    # warm at sf0.01 — the remaining cold cost is the gram scan);
-    # the DATA-sized work all lives in the shared _gram_cells scan.
-    gf = (
-        g.unionByName(
-            g.filter("i <> j").select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "g"
-            )
-        )
-        .coalesce(1)
-    )
-
-    def rescaled(
-        vr: DataFrame, denom: int, guard: DataFrame | None = None
-    ) -> DataFrame:
-        d = vr.agg(
-            F.expr(f"MAX(abs(v)) DIV {denom} + 1").alias("d")
-        )
-        if guard is not None:
-            d = _pca_guard_scale(d, guard)
-        return vr.crossJoin(F.broadcast(d)).select(
-            "i",
-            F.expr(
-                "CASE WHEN v < 0 THEN -(abs(v) DIV d)"
-                " ELSE abs(v) DIV d END"
-            ).alias("v"),
-        )
-
-    def matvec(v: DataFrame) -> DataFrame:
-        return (
-            gf.join(
-                F.broadcast(
-                    v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
-                ),
-                "j",
-            )
-            .groupBy("i")
-            .agg(F.sum(F.expr("g * vj")).alias("v"))
-        )
-
-    gmax = gf.agg(F.max(F.abs(F.col("g"))).alias("hg"))
-    v1 = rescaled(
-        gf.groupBy("i").agg(F.sum("g").alias("v")), _PCA_RESCALE, guard=gmax
-    )
-    v2 = rescaled(matvec(v1), _PCA_RESCALE)
-    v3 = matvec(v2)
-    d3 = v3.agg(F.expr(f"MAX(abs(v)) DIV {_PCA_PPM} + 1").alias("d"))
-    return v3.crossJoin(F.broadcast(d3)).select(
-        F.col("i").cast("int").alias("i"),
-        F.expr("CAST(abs(v) DIV d AS BIGINT)").alias("comp_ppm"),
-        F.expr(
-            "CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1"
-            " ELSE 0 END AS INT)"
-        ).alias("sgn"),
+    rows = _py_pca_iter(spark, sf_dir)
+    return _local_rows(
+        spark, rows,
+        [("i", "INT"), ("comp_ppm", "BIGINT"), ("sgn", "INT")],
     )
 
 
@@ -2551,12 +2553,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     q in [-1000, 1000], direction in ppm, so |proj| <= d * 1e9 and the
     bucket arithmetic ((p - mn) * 10 DIV span) stays positive-range
     BIGINT — trunc == floor on both engines."""
-    dirn = sim_pca_power_iteration(spark, sf_dir).select(
-        "i", F.expr("comp_ppm * sgn").alias("c")
+    # r14: the direction is _py_pca_iter's plan-time result (ordered by
+    # i) as a literal 1-row array — the former in-plan collapse paid a
+    # 64-row sorted collect_list job per invocation for the same values
+    rows = _py_pca_iter(spark, sf_dir)
+    d1 = _local_1row_sql(
+        spark,
+        _sql_larr(ppm * sgn for _i, ppm, sgn in rows) + " AS dir",
     )
-    d1 = dirn.agg(
-        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("dc")
-    ).select(F.expr("transform(dc, s -> s.c)").alias("dir"))
     e = table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -2755,106 +2759,81 @@ def _pca_topk_frames(
     key = (spark.sparkContext.applicationId, sf_dir, n)
     hit = session_memo_lookup(_PCA_TOPK_MEMO, key)
     if hit is not None:
-        # The emission frames are localCheckpoint-ed (lineage CUT, RDD
-        # blocks outside the catalog cache), so unlike the gram memo
-        # there is nothing for clearCache() to evict and nothing to
-        # re-pin — a hit is always directly reusable.
+        # The emission frames are literal LocalRelations (no RDD blocks,
+        # no catalog-cache entries), so unlike the gram memo there is
+        # nothing for clearCache() to evict and nothing to re-pin — a
+        # hit is always directly reusable.
         return hit
-    gu = _gram_cells(spark, sf_dir)
-    g = gu.select("i", "j", F.col("gram_fp").alias("g"))
-    # d^2-row mirrored gram: driver-scale, single-task (the
-    # sim_pca_power_iteration coalesce(1) rationale)
-    gf = (
-        g.unionByName(
-            g.filter("i <> j").select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "g"
-            )
-        )
-        .coalesce(1)
-    )
-    gmax = gf.agg(F.max(F.abs(F.col("g"))).alias("hg"))
-    dims = gf.select("i").distinct()
+    # PLAN-TIME EXACT ITERATION (r14 optimization, guide §1.2/§5): the
+    # distributed, data-sized work is the shared memoized _gram_cells
+    # corpus pass; everything after it is O(d^2) state — 2080 gram
+    # cells, 64-row iterates.  The former in-plan form scheduled ~12
+    # eager localCheckpoint micro-jobs per component (plus a broadcast
+    # build per rescale/orth/matvec); measured at sf0.1 that overhead
+    # dominated every consumer key's wall (sim_opq_rotate construction
+    # alone 39 s cold).  Spark MLlib's own PCA does exactly this split
+    # (RowMatrix.computePrincipalComponents: Gram distributed,
+    # eigensolve on the driver), so the d^2-bounded iteration runs
+    # here in Python ints replicating the CTE/former-plan semantics
+    # operation-for-operation (_py_ss for every DIV; plain int
+    # products/sums, wider than the BIGINT they replace).  The
+    # collect is d(d+1)/2 rows of three ints — bounded by the
+    # embedding dimension, never by N (the ddl.py bounded-collect
+    # discipline).
+    gm, dims, hg = _py_gram_values(spark, sf_dir)
+    _py_guard_gmax(hg)  # the measured int64 matvec guard, plan-time
 
-    def rescaled(vr: DataFrame, guard: DataFrame | None = None) -> DataFrame:
-        d = vr.agg(
-            F.expr(f"MAX(abs(v)) DIV {_PCA_RESCALE} + 1").alias("d")
-        )
-        if guard is not None:
-            d = _pca_guard_scale(d, guard)
-        return vr.crossJoin(F.broadcast(d)).select(
-            "i", F.expr(_pca_ss("v", "d")).alias("v")
-        )
+    def rescaled(v: dict) -> dict:
+        d = max(abs(x) for x in v.values()) // _PCA_RESCALE + 1
+        return {i: _py_ss(x, d) for i, x in v.items()}
 
-    def matvec(v: DataFrame) -> DataFrame:
-        return (
-            gf.join(
-                F.broadcast(
-                    v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
-                ),
-                "j",
-            )
-            .groupBy("i")
-            .agg(F.sum(F.expr("g * vj")).alias("v"))
-        )
+    def matvec(v: dict) -> dict:
+        out = {i: 0 for i in dims}
+        for (i, j), g in gm.items():
+            out[i] += g * v[j]
+        return out
 
-    def orth(w: DataFrame, c: DataFrame, cd: DataFrame) -> DataFrame:
-        t = (
-            w.join(F.broadcast(c), "i")
-            .agg(F.expr("COALESCE(SUM(v * c), CAST(0 AS BIGINT))").alias("t"))
-        )
-        return (
-            w.join(F.broadcast(c), "i")
-            .crossJoin(F.broadcast(t))
-            .crossJoin(F.broadcast(cd))
-            .select("i", F.expr(f"v - ({_pca_ss('c * t', 'cd')})").alias("v"))
-        )
+    def orth(w: dict, c: dict, cd: int) -> dict:
+        t = sum(w[i] * c[i] for i in w)
+        return {i: w[i] - _py_ss(c[i] * t, cd) for i in w}
+
+    def u0(k: int) -> dict:
+        if k == 1:
+            return {i: 1 for i in dims}
+        if k == 2:
+            return {i: (1 if i % 2 == 0 else -1) for i in dims}
+        if k == 3:
+            return {i: (1 if i % 4 < 2 else -1) for i in dims}
+        return {i: (1 if i % 8 < 4 else -1) for i in dims}
 
     frames: list[DataFrame] = []
-    bases: list[tuple[DataFrame, DataFrame]] = []  # (c frame, cd scalar)
+    bases: list[tuple[dict, int]] = []  # (c vector, cd scalar)
     for k in range(1, n + 1):
-        u = dims.select("i", F.expr(_pca_u0_sql(k)).alias("v"))
-        for t in range(_PCA_STEPS):
-            w = rescaled(u, guard=gmax if (k == 1 and t == 0) else None)
+        u = u0(k)
+        for _t in range(_PCA_STEPS):
+            w = rescaled(u)
             for c, cd in bases:
                 w = orth(w, c, cd)
             if bases:
                 w = rescaled(w)
-            # CUT the lineage at every d-row iterate (eager
-            # localCheckpoint — the pagerank per-round-state discipline
-            # taken one step further): every rescale/deflation
-            # references its input 2-3 times, and each reference
-            # DUPLICATES the subtree in the logical plan, so a lazy
-            # 12-level chain is exponential both to evaluate (each
-            # broadcast subtree re-derives the upstream) and to even
-            # PLAN (the analyzed tree string passes 1 GB — measured
-            # OOM).  Checkpointed, each step is one shallow micro-job
-            # over a 64-row frame and the plan stays O(1).  The blocks
-            # are d rows in local executor storage; a production
-            # cluster uses reliable checkpointing for the same cut.
-            u = matvec(w).localCheckpoint(eager=True)
+            u = matvec(w)
         w = rescaled(u)
         for c, cd in bases:
             w = orth(w, c, cd)
-        mx = w.agg(
-            F.expr("GREATEST(COALESCE(MAX(abs(v)), 0), 1)").alias("mx")
-        )
-        nm = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                "i",
-                F.expr(f"abs(v) * {_PCA_PPM} DIV mx").alias("mag"),
-                F.expr(
-                    "CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1"
-                    " ELSE 0 END AS INT)"
-                ).alias("sgn"),
+        mx = max(max(abs(x) for x in w.values()), 1)
+        nm = [
+            (i, abs(w[i]) * _PCA_PPM // mx,
+             -1 if w[i] < 0 else (1 if w[i] > 0 else 0))
+            for i in dims
+        ]
+        frames.append(
+            _local_rows(
+                spark, nm,
+                [("i", "INT"), ("mag", "BIGINT"), ("sgn", "INT")],
             )
-            .localCheckpoint(eager=True)
         )
-        frames.append(nm)
-        ck = nm.select("i", F.expr("sgn * (mag DIV 10)").alias("c"))
-        cdk = ck.agg(
-            F.expr("GREATEST(COALESCE(SUM(c * c), 0), 1)").alias("cd")
-        )
+        ck = {i: sgn * (mag // 10) for i, mag, sgn in nm}
+        cdk = max(sum(c * c for c in ck.values()), 1)
         bases.append((ck, cdk))
     _PCA_TOPK_MEMO[key] = frames
     return frames
@@ -2888,7 +2867,7 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a sign-split truncating division, the deflation projection is
     exact integer arithmetic over the 1e5-quantized basis, and the
     post-deflation re-rescale restores the <= 2^16 iterate bound so the
-    measured int64 matvec guard (_pca_guard_scale, max|g| * 64 *
+    measured int64 matvec guard (_py_guard_gmax, max|g| * 64 *
     (2^16+1) < 2^63) covers every matvec of every component.  The
     deflation residual (~1e-5 angular per pass, the basis quantization)
     is identical on both engines BY CONSTRUCTION: the oracle is the
@@ -2898,14 +2877,15 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the ONLY data-sized work is the shared memoized gram scan
     (one corpus pass per session across embedding_gram_matrix /
     sim_pca_power_iteration / this key / sim_opq_rotate); everything
-    downstream is O(d^2) joins of the single-task mirrored gram with
-    d-row iterates — 9 matvecs + 9 deflations of 64-row frames,
-    driver-scale kept IN-PLAN so the oracle can follow.  At 100 TB:
-    corpus scan once, then work independent of N.  Each iterate is
-    eagerly localCheckpoint-ed (lineage cut — without it the reused
-    subframes make the logical plan tree exponential; see the in-code
-    note) and the three emission frames are memoized per session for
-    sim_opq_rotate to share."""
+    downstream is O(d^2) — 9 matvecs + 9 deflations over 64-row
+    iterates, which since r14 run at PLAN time in exact Python over
+    the collected gram (2080 bounded cells; the MLlib RowMatrix split
+    — formerly ~12 eager in-plan micro-jobs per component whose
+    scheduling overhead dominated every consumer's wall; the oracle
+    follows because both sides compute the identical integer formula
+    chain, _pca_topk_ctes).  At 100 TB: corpus scan once, then work
+    independent of N.  The three emission frames are literal
+    LocalRelations memoized per session for sim_opq_rotate to share."""
     frames = _pca_topk_frames(spark, sf_dir)
     out = None
     for k, nm in enumerate(frames, start=1):
@@ -3126,91 +3106,142 @@ def _opq_sqd(a: str, b: str, lo: int | None = None, n: int | None = None) -> str
     )
 
 
-def _opq_chain_hws(
-    basis: list[DataFrame],
+def _py_ss(x: int, d: int) -> int:
+    """Python twin of _pca_ss (sign-split truncating division): Python
+    // floors like DuckDB //, Spark DIV truncates — on abs() all three
+    agree, so splitting the sign out keeps every engine identical."""
+    return -((-x) // d) if x < 0 else x // d
+
+
+def _py_chain_hws(
+    basis: list[dict],
     reuse: tuple = (),
-) -> list[tuple[DataFrame, DataFrame]]:
-    """Householder chain aligning ``basis[r-1]`` (a d-row (i, v) frame
-    at 1e2 scale) with coordinate _OPQ_TARGETS[r] — the construction
+) -> list[tuple[dict, int]]:
+    """Householder chain aligning ``basis[r-1]`` (an {i: v} dict at 1e2
+    scale) with coordinate _OPQ_TARGETS[r] — the construction
     documented on sim_opq_rotate, factored out so sim_opq_alternate can
     build chains from PERTURBED basis vectors.  Returns per reflection
-    the (hw frame, wtw scalar) pair.  ``reuse`` passes already-built
-    LEADING reflections (a candidate perturbing basis r shares the
-    incumbent's reflections 1..r-1 exactly — basis vectors before r are
-    unperturbed and see only unperturbed predecessors)."""
-    hws: list[tuple[DataFrame, DataFrame]] = list(reuse)
+    the ({i: w}, wtw) pair.  ``reuse`` passes already-built LEADING
+    reflections (a candidate perturbing basis r shares the incumbent's
+    reflections 1..r-1 exactly — basis vectors before r are unperturbed
+    and see only unperturbed predecessors).
+
+    PLAN-TIME EXACT ARITHMETIC (r14 optimization, guide §1.2/§5): the
+    chain operates on d-row vectors — bounded by the embedding
+    dimension, never by data — yet the former in-plan form cost one
+    eager localCheckpoint micro-job per reflection plus 3-4 broadcast
+    builds each (measured: query CONSTRUCTION alone 31-39 s cold for
+    the family keys, dominated by d-row scheduling, not compute).
+    Spark's own MLlib sets the precedent (RowMatrix
+    .computePrincipalComponents: Gram distributed, eigensolve on the
+    driver), so the d-bounded algebra runs here in arbitrary-precision
+    Python ints replicating the SQL semantics operation-for-operation:
+    _py_ss for every DIV, math.floor(math.sqrt(float(x))) for
+    FLOOR(SQRT(CAST(x AS DOUBLE))) (sums of squares stay < 2^53, where
+    float(int) and IEEE-754 sqrt are exact/correctly-rounded in both
+    the JVM and CPython), Python ints for every product and sum (wider
+    than the BIGINT they replace).  The distributed corpus passes that
+    CONSUME the rotation are untouched."""
+    import math
+
+    hws: list[tuple[dict, int]] = list(reuse)
     for r in range(len(hws) + 1, _PCA_TOPK + 1):
         t = _OPQ_TARGETS[r]
-        cur = basis[r - 1]
+        cur = dict(basis[r - 1])
         for p in range(1, r):
             hw, ww = hws[p - 1]
-            dot = (
-                cur.join(F.broadcast(hw), "i")
-                .agg(
-                    F.expr(
-                        "COALESCE(SUM(v * w), CAST(0 AS BIGINT))"
-                    ).alias("t")
-                )
-            )
-            cur = (
-                cur.join(F.broadcast(hw), "i")
-                .crossJoin(F.broadcast(dot))
-                .crossJoin(F.broadcast(ww))
-                .select(
-                    "i",
-                    F.expr(
-                        f"v - ({_pca_ss('2 * w * t', 'wtw')})"
-                    ).alias("v"),
-                )
-            )
+            dot = sum(cur[i] * hw[i] for i in cur)
+            cur = {
+                i: cur[i] - _py_ss(2 * hw[i] * dot, ww) for i in cur
+            }
         if r > 1:
-            fixed = ", ".join(str(_OPQ_TARGETS[p]) for p in range(1, r))
-            cur = cur.select(
-                "i",
-                F.expr(
-                    f"CASE WHEN i IN ({fixed}) THEN CAST(0 AS BIGINT)"
-                    " ELSE v END"
-                ).alias("v"),
-            )
-        nr = cur.agg(
-            F.expr(
-                "CAST(FLOOR(SQRT(CAST(COALESCE(SUM(v * v), 0)"
-                " AS DOUBLE))) AS BIGINT)"
-            ).alias("nr")
-        )
-        sgn = cur.agg(
-            F.expr(
-                f"CASE WHEN COALESCE(MAX(CASE WHEN i = {t} THEN v END),"
-                " 0) >= 0 THEN 1 ELSE -1 END"
-            ).alias("s")
-        )
-        w_raw = f"(CASE WHEN i = {t} THEN v + s * nr ELSE v END)"
-        hw = (
-            cur.crossJoin(F.broadcast(nr))
-            .crossJoin(F.broadcast(sgn))
-            .select("i", F.expr(_pca_ss(w_raw, "10")).alias("w"))
-            .localCheckpoint(eager=True)  # the pca_topk lineage cut
-        )
-        ww = hw.agg(
-            F.expr("GREATEST(COALESCE(SUM(w * w), 0), 1)").alias("wtw")
-        )
+            fixed = {_OPQ_TARGETS[p] for p in range(1, r)}
+            cur = {i: (0 if i in fixed else v) for i, v in cur.items()}
+        nr = math.floor(math.sqrt(float(sum(v * v for v in cur.values()))))
+        s = 1 if cur.get(t, 0) >= 0 else -1
+        hw = {
+            i: _py_ss((v + s * nr) if i == t else v, 10)
+            for i, v in cur.items()
+        }
+        ww = max(sum(w * w for w in hw.values()), 1)
         hws.append((hw, ww))
     return hws
 
 
-def _opq_rot_frame(hws: list[tuple[DataFrame, DataFrame]]) -> DataFrame:
-    """Collapse a Householder chain to ONE checkpointed 1-row frame
-    (w1..w{n} arrays + wtw1..wtw{n} scalars) — the broadcast every
-    corpus rotation pass consumes."""
-    rot = None
+def _opq_rot_frame(spark: SparkSession, hws: list[tuple[dict, int]]) -> DataFrame:
+    """Collapse a Python-side Householder chain to ONE literal 1-row
+    frame (w1..w{n} bigint arrays + wtw1..wtw{n} scalars, coordinates
+    ascending by i) — a LocalRelation, so the broadcast every corpus
+    rotation pass consumes costs no job at all (the former in-plan
+    chain paid an eager checkpoint here)."""
+    parts = []
     for r, (hw, ww) in enumerate(hws, start=1):
-        arr = hw.agg(
-            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("sw")
-        ).select(F.expr("transform(sw, s -> s.w)").alias(f"w{r}"))
-        scl = ww.select(F.col("wtw").alias(f"wtw{r}"))
-        piece = arr.crossJoin(scl)
-        rot = piece if rot is None else rot.crossJoin(piece)
-    return rot.localCheckpoint(eager=True)
+        parts.append(f"{_sql_larr(hw[i] for i in sorted(hw))} AS w{r}")
+        parts.append(f"{int(ww)}L AS wtw{r}")
+    return _local_1row_sql(spark, ", ".join(parts))
+
+
+def _local_rows(
+    spark: SparkSession, rows: list[tuple], cols: list[tuple]
+) -> DataFrame:
+    """Bounded plan-time rows as a TRUE LocalRelation (VALUES + a
+    foldable cast projection).  createDataFrame(list) is RDD-backed —
+    every collect/broadcast/materialization of it schedules a
+    defaultParallelism-sliced micro-job (measured ~1 s per frame on
+    local[32]); a LocalRelation's executeCollect is driver-side and
+    its BroadcastExchange builds without launching a job.  ``cols`` is
+    [(name, sql_type)]; values must be ints."""
+    vals = ", ".join(
+        "(" + ", ".join(str(int(x)) for x in r) + ")" for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({names})")
+
+
+def _local_1row_sql(spark: SparkSession, select_sql: str) -> DataFrame:
+    """One literal row from a foldable SELECT-expression STRING — a
+    projection over a VALUES LocalRelation, folded to a plain
+    LocalRelation by ConvertToLocalRelation (zero-job collect and
+    broadcast; spark.range(1) stays a Range operator and a FROM-less
+    SELECT stays a OneRowRelation scan — both pay a job per broadcast
+    build).  A single SQL string instead of nested Column objects: the
+    literal-heavy frames here carry hundreds of values, and one py4j
+    round-trip per F.lit was measured at ~2 s of pure driver-side
+    construction per Lloyd round."""
+    return spark.sql(f"SELECT {select_sql} FROM VALUES (1) AS t(x)")
+
+
+def _sql_larr(vals) -> str:
+    """BIGINT array literal as SQL text."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _opq_cball_lit(spark: SparkSession, cb: dict) -> DataFrame:
+    """Driver-held codebook {(m, cid): sv} as the literal 1-row
+    ``cball`` frame (array of struct(m, cid, sv), ordered by (m, cid)
+    like the former array_sort(collect_list(...)) — (m, cid) is unique,
+    so the struct sort never reaches sv) that every encode pass
+    broadcast-crosses against."""
+    entries = ", ".join(
+        f"named_struct('m', {int(m)}, 'cid', {int(cid)}L,"
+        f" 'sv', {_sql_larr(sv)})"
+        for (m, cid), sv in sorted(cb.items())
+    )
+    return _local_1row_sql(spark, f"array({entries}) AS cball")
+
+
+def _collect_basis_vecs(frames: list[DataFrame], scale: int = 100) -> list[dict]:
+    """Collect emission frames (i, mag, sgn) into {i: sgn*(mag DIV
+    scale)} dicts — a bounded d-row collect per frame (the ddl.py
+    bounded-collect discipline: |d| rows of three ints, never data)."""
+    out = []
+    for f in frames:
+        rows = f.select("i", "mag", "sgn").collect()  # d rows, bounded
+        out.append(
+            {int(r["i"]): int(r["sgn"]) * (int(r["mag"]) // scale) for r in rows}
+        )
+    return out
 
 
 def _opq_apply_rot(base: DataFrame) -> tuple[DataFrame, str]:
@@ -3266,11 +3297,8 @@ def _opq_spaces(
     sim_ivfpq_search adds IVF routing and ADC search on top of the
     same frames."""
     frames = _pca_topk_frames(spark, sf_dir)
-    basis = [
-        f.select("i", F.expr("sgn * (mag DIV 100)").alias("v"))
-        for f in frames
-    ]
-    rot = _opq_rot_frame(_opq_chain_hws(basis))
+    basis = _collect_basis_vecs(frames)  # d rows x 3 frames, bounded
+    rot = _opq_rot_frame(spark, _py_chain_hws(basis))
 
     # --- map-only corpus pass: plain + rotated in one projection ------
     base = _opq_fixed_corpus(spark, sf_dir).crossJoin(F.broadcast(rot))
@@ -3662,7 +3690,7 @@ def sim_opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector to its nearest codeword (exact BIGINT squared-L2,
     (d, cid) argmin), recomputes each codeword as the integer mean of
     its members (sign-split truncating division — exact on both
-    engines; EMPTY cells keep their codeword), and checkpoints the
+    engines; EMPTY cells keep their codeword), and holds the
     512-cell stats frame that IS the round's state.  Surface per
     (round, subspace): total distortion under the round's INCOMING
     codebook and the number of cells used — the compression trajectory;
@@ -3686,7 +3714,8 @@ def sim_opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row codebook broadcast; codebook rebuild and the surface are
     bounded post-aggs of that frame.  Round count scales exactly like
     the BPE trainer: per-round cost independent of history because the
-    state (32 codewords) is checkpointed, not re-derived.  At extreme
+    state (32 codewords) is driver-held between rounds (the MLlib
+    KMeans loop shape, r14), not re-derived.  At extreme
     corpus sizes the BIGINT distortion sums widen to DECIMAL(38,0),
     the established escape."""
     out_rounds, _ = _opq_train_state(spark, sf_dir)
@@ -3705,40 +3734,40 @@ _OPQ_TRAIN_MEMO: dict = {}
 
 def _opq_train_state(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame]:
+) -> tuple[list[DataFrame], dict]:
     """The K-round per-subspace Lloyd loop shared by sim_opq_train
-    (surface: the distortion trajectory) and sim_ivfpq_search_trained
-    (consumer: the final 32-row codebook frame).  Semantics and plan
-    shape documented on sim_opq_train."""
+    (surface: the distortion trajectory) and sim_ivfpq_search_trained /
+    sim_opq_alternate (consumers: the final driver-held {(m, cid): sv}
+    codebook, 32 bounded entries — rendered back into plans via
+    _opq_cball_lit).  Semantics and plan shape documented on
+    sim_opq_train."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     hit = session_memo_lookup(_OPQ_TRAIN_MEMO, memo_key)
     if hit is not None:
         return hit
     both, cents, _ = _opq_spaces(spark, sf_dir)
     dd = _OPQ_D
-    # initial codebook: rcents subvectors, 32 rows (m, cid, sv)
-    cb = (
-        cents.select(
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(0, {_OPQ_M - 1}), m ->"
-                    " transform(rcents, c -> named_struct("
-                    "'m', m, 'cid', c.cid,"
-                    f" 'sv', slice(c.cv, m * {dd} + 1, {dd})))))"
-                )
-            ).alias("e")
-        )
-        .select("e.m", "e.cid", "e.sv")
-        .localCheckpoint(eager=True)
-    )
+    # DRIVER-HELD CODEBOOK BETWEEN ROUNDS (r14 optimization, guide
+    # §1.2/§5 — exactly MLlib KMeans' loop shape: assignment + partial
+    # sums distributed, centroid update on the driver).  Each round is
+    # ONE corpus aggregation whose result is <= M*K*dd = 512 bounded
+    # rows; the former form re-entered Spark for the 32-row means join
+    # + two eager checkpoints per round.  The integer mean is the same
+    # sign-split division (_py_ss), so values are bit-identical.
+    #
+    # initial codebook: rcents subvectors, 32 (m, cid) -> sv entries
+    # (1-row bounded collect of the cents frame)
+    crow = cents.collect()[0]
+    cb: dict = {}
+    for m in range(_OPQ_M):
+        for c in crow["rcents"]:
+            cb[(m, int(c["cid"]))] = [
+                int(x) for x in c["cv"][m * dd : m * dd + dd]
+            ]
     corpus = both.select("vec_id", "re")
     out_rounds: list[DataFrame] = []
     for r in range(1, _OPQ_TRAIN_ROUNDS + 1):
-        cb1 = cb.agg(
-            F.array_sort(
-                F.collect_list(F.struct("m", "cid", "sv"))
-            ).alias("cball")
-        )
+        cb1 = _opq_cball_lit(spark, cb)
         bms = [
             F.expr(
                 f"array_min(transform(filter(cball, c -> c.m = {m}),"
@@ -3752,7 +3781,9 @@ def _opq_train_state(
             "vec_id", "re", *bms
         )
         # ONE corpus pass: (m, cid, dim) partial sums + member counts +
-        # per-(vec, m) distortions (dim 0 carries d exactly once)
+        # per-(vec, m) distortions (dim 0 carries d exactly once);
+        # the result is bounded (<= M*K*dd rows) and collected as the
+        # round's driver-held state
         stats = (
             assigned.select(
                 "re",
@@ -3781,44 +3812,36 @@ def _opq_train_state(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("d").alias("sd"),
             )
-            .localCheckpoint(eager=True)  # the round's persisted state
+            .collect()
         )
+        srows = [
+            (int(r0["m"]), int(r0["cid"]), int(r0["dim"]),
+             int(r0["sx"]), int(r0["n"]), int(r0["sd"]))
+            for r0 in stats
+        ]
+        surf = []
+        for m in range(_OPQ_M):
+            d0 = [(cid, sd) for mm, cid, dim, _sx, _n, sd in srows
+                  if mm == m and dim == 0]
+            surf.append(
+                (r, m, sum(sd for _cid, sd in d0),
+                 len({cid for cid, _sd in d0}))
+            )
         out_rounds.append(
-            stats.filter(F.col("dim") == 0)
-            .groupBy("m")
-            .agg(
-                F.sum("sd").cast("bigint").alias("distortion"),
-                F.countDistinct("cid").cast("bigint").alias("n_cells_used"),
-            )
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                F.col("m").cast("int").alias("m"),
-                "distortion",
-                "n_cells_used",
+            _local_rows(
+                spark, surf,
+                [("round", "INT"), ("m", "INT"),
+                 ("distortion", "BIGINT"), ("n_cells_used", "BIGINT")],
             )
         )
-        means = (
-            stats.select(
-                "m",
-                "cid",
-                "dim",
-                F.expr(_pca_ss("sx", "n")).alias("v"),
-            )
-            .groupBy("m", "cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list("
-                    "struct(dim, v))), s -> s.v)"
-                ).alias("nsv")
-            )
-        )
-        cb = (
-            cb.join(F.broadcast(means), ["m", "cid"], "left")
-            .select(
-                "m", "cid", F.coalesce("nsv", "sv").alias("sv")
-            )
-            .localCheckpoint(eager=True)
-        )
+        means: dict = {}
+        for m, cid, dim, sx, n, _sd in srows:
+            means.setdefault((m, cid), {})[dim] = _py_ss(sx, n)
+        cb = {
+            key: ([v[dim] for dim in sorted(v)]
+                  if (v := means.get(key)) is not None else sv)
+            for key, sv in cb.items()
+        }
     _OPQ_TRAIN_MEMO[memo_key] = (out_rounds, cb)
     return out_rounds, cb
 
@@ -3931,11 +3954,7 @@ def sim_ivfpq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, cents, out = _opq_spaces(spark, sf_dir)
     _, cb = _opq_train_state(spark, sf_dir)
     dd = _OPQ_D
-    cb1 = cb.agg(
-        F.array_sort(F.collect_list(F.struct("m", "cid", "sv"))).alias(
-            "cball"
-        )
-    )
+    cb1 = _opq_cball_lit(spark, cb)  # driver-held codebook, literal
     d_q = _opq_sqd("pe", "c.cv")
     ivfc = _ivf_centroids_frame(both)
 
@@ -4249,8 +4268,10 @@ def sim_opq_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate count is CONSTANT (7); each candidate costs one
     map-only corpus rotation + the 32-codeword encode pass under 1-row
     broadcasts — at 100 TB this is 7 scans, embarrassingly parallel;
-    chain rebuilds are d-row micro-jobs.  The trained codebook comes
-    from the memoized _opq_train_state (once per session).  A fused
+    chain rebuilds are plan-time Python over the d-row collected basis
+    (_py_chain_hws — the r14 optimization; formerly 12 eager d-row
+    micro-jobs per invocation).  The trained codebook comes from the
+    memoized _opq_train_state (once per session).  A fused
     one-scan variant (all 7 rotations in one 21-array broadcast, one
     projection emitting all 28 distortions) was built and REJECTED on
     measurement: 20.6 s vs 9.5 s at sf0.1 — zip_with/aggregate/
@@ -4261,34 +4282,23 @@ def sim_opq_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each map-only and scan-parallel, so separate passes win on both
     engines' actual execution model."""
     frames = _pca_topk_frames(spark, sf_dir, n=_PCA_TOPK + 1)
-    basis = [
-        f.select("i", F.expr("sgn * (mag DIV 100)").alias("v"))
-        for f in frames[:_PCA_TOPK]
-    ]
-    d4 = frames[_PCA_TOPK].select(
-        "i", F.expr("sgn * (mag DIV 100)").alias("v4")
-    )
+    vecs = _collect_basis_vecs(frames)  # d rows x 4 frames, bounded
+    basis, d4 = vecs[: _PCA_TOPK], vecs[_PCA_TOPK]
     _, cb = _opq_train_state(spark, sf_dir)
-    cb1 = cb.agg(
-        F.array_sort(F.collect_list(F.struct("m", "cid", "sv"))).alias(
-            "cball"
-        )
-    ).localCheckpoint(eager=True)
+    cb1 = _opq_cball_lit(spark, cb)  # driver-held codebook, literal
     corpus = _opq_fixed_corpus(spark, sf_dir)
-    inc_hws = _opq_chain_hws(basis)
+    inc_hws = _py_chain_hws(basis)
     dd = _OPQ_D
     outs: list[DataFrame] = []
     for cand, (r, s) in enumerate(_OPQ_ALT_CANDS):
         if cand == 0:
             hws = inc_hws
         else:
-            pert = basis[r - 1].join(d4, "i").select(
-                "i", (F.col("v") + s * F.col("v4")).alias("v")
-            )
+            pert = {i: basis[r - 1][i] + s * d4[i] for i in basis[r - 1]}
             cand_basis = list(basis)
             cand_basis[r - 1] = pert
-            hws = _opq_chain_hws(cand_basis, reuse=inc_hws[: r - 1])
-        rot = _opq_rot_frame(hws)
+            hws = _py_chain_hws(cand_basis, reuse=inc_hws[: r - 1])
+        rot = _opq_rot_frame(spark, hws)
         base, fincol = _opq_apply_rot(corpus.crossJoin(F.broadcast(rot)))
         per = base.crossJoin(F.broadcast(cb1)).select(
             *[
@@ -4883,7 +4893,7 @@ def docs_epoch_shuffle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # In-plan n^3 headroom guard (r13 ADVICE): sum_d2's BIGINT bound is
     # a CONTRACT, not a docstring — past ~2e6 docs (n^3 ~ 8e18 vs 2^63
     # ~ 9.2e18) Spark would wrap silently where the family's discipline
-    # (_shuf_guarded_id, _pca_guard_scale) raises.  rank == n at the
+    # (_shuf_guarded_id, _py_guard_gmax) raises.  rank == n at the
     # corpus max, so guarding the rank guards the corpus size;
     # constant-false branch on in-bound fixtures, codegen-free.
     d2 = _shuf_d2_guarded()

@@ -629,25 +629,146 @@ def test_ttl_rollup_all_expired_and_none_expired(spark, tmp_path_factory):
     assert {r[2] for r in srows} == {"raw"} and len(srows) == 2
 
 
+def test_py_ss_matches_both_engines_on_sign_grid(spark):
+    """r14 optimization invariant: _py_ss (the plan-time Python twin of
+    the family's sign-split truncating division) must agree with BOTH
+    engines' native division on every sign combination — Spark DIV
+    truncates, DuckDB // floors, Python // floors; the sign-split makes
+    all three identical, and the d-bounded chain arithmetic that moved
+    to plan time (_py_chain_hws, _py_pca_iter, _pca_topk_frames, the
+    Lloyd means) leans on exactly this identity."""
+    import duckdb
+
+    from mysql_clickhouse_replication_spark.functions.pipeline import (
+        _pca_ss,
+        _py_ss,
+    )
+
+    grid = [
+        (x, d)
+        for x in (-1000001, -65537, -100, -7, -1, 0, 1, 7, 100, 65537, 1000001)
+        for d in (1, 2, 3, 10, 100, 65536)
+    ]
+    vals = ", ".join(f"({x}, {d})" for x, d in grid)
+    spark_rows = spark.sql(
+        f"SELECT x, d, {_pca_ss('x', 'd')} AS r"
+        f" FROM VALUES {vals} AS t(x, d)"
+    ).collect()
+    duck_rows = duckdb.sql(
+        "SELECT x, d, CASE WHEN x < 0 THEN -(abs(x) // d)"
+        f" ELSE x // d END AS r FROM (VALUES {vals}) t(x, d)"
+    ).fetchall()
+    for r in spark_rows:
+        assert _py_ss(int(r["x"]), int(r["d"])) == int(r["r"]), r
+    for x, d, r in duck_rows:
+        assert _py_ss(int(x), int(d)) == int(r), (x, d, r)
+
+
+def test_opq_rot_frame_literal_matches_collected_chain(spark, sf_dir):
+    """r14 optimization invariant: the literal rotation frame
+    (_opq_rot_frame over _py_chain_hws) must carry exactly the
+    (w, wtw) values the former in-plan chain produced — pinned by
+    rebuilding the chain INSIDE Spark from the same collected basis
+    via the original expression sequence on 64-row frames and
+    comparing bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_replication_spark.functions.pipeline import (
+        _OPQ_TARGETS,
+        _PCA_TOPK,
+        _collect_basis_vecs,
+        _opq_rot_frame,
+        _pca_ss,
+        _pca_topk_frames,
+        _py_chain_hws,
+    )
+
+    frames = _pca_topk_frames(spark, sf_dir)
+    basis = _collect_basis_vecs(frames)
+    lit = _opq_rot_frame(spark, _py_chain_hws(basis)).collect()[0]
+
+    # original in-plan construction, replayed from the same basis
+    dims = sorted(basis[0])
+    bframes = [
+        spark.createDataFrame(
+            [(i, v[i]) for i in dims], "i int, v bigint"
+        )
+        for v in basis
+    ]
+    hws = []
+    for r in range(1, _PCA_TOPK + 1):
+        t = _OPQ_TARGETS[r]
+        cur = bframes[r - 1]
+        for p in range(1, r):
+            hw, ww = hws[p - 1]
+            dot = cur.join(F.broadcast(hw), "i").agg(
+                F.expr("COALESCE(SUM(v * w), CAST(0 AS BIGINT))").alias("t")
+            )
+            cur = (
+                cur.join(F.broadcast(hw), "i")
+                .crossJoin(F.broadcast(dot))
+                .crossJoin(F.broadcast(ww))
+                .select(
+                    "i",
+                    F.expr(f"v - ({_pca_ss('2 * w * t', 'wtw')})").alias("v"),
+                )
+            )
+        if r > 1:
+            fixed = ", ".join(str(_OPQ_TARGETS[p]) for p in range(1, r))
+            cur = cur.select(
+                "i",
+                F.expr(
+                    f"CASE WHEN i IN ({fixed}) THEN CAST(0 AS BIGINT)"
+                    " ELSE v END"
+                ).alias("v"),
+            )
+        nr = cur.agg(
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(COALESCE(SUM(v * v), 0)"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("nr")
+        )
+        sgn = cur.agg(
+            F.expr(
+                f"CASE WHEN COALESCE(MAX(CASE WHEN i = {t} THEN v END),"
+                " 0) >= 0 THEN 1 ELSE -1 END"
+            ).alias("s")
+        )
+        w_raw = f"(CASE WHEN i = {t} THEN v + s * nr ELSE v END)"
+        hw = (
+            cur.crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(sgn))
+            .select("i", F.expr(_pca_ss(w_raw, "10")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        ww = hw.agg(
+            F.expr("GREATEST(COALESCE(SUM(w * w), 0), 1)").alias("wtw")
+        )
+        hws.append((hw, ww))
+    for r, (hw, ww) in enumerate(hws, start=1):
+        want = [
+            int(x["w"]) for x in sorted(hw.collect(), key=lambda x: x["i"])
+        ]
+        assert list(lit[f"w{r}"]) == want, f"w{r} diverged"
+        assert int(lit[f"wtw{r}"]) == int(ww.collect()[0]["wtw"]), f"wtw{r}"
+
+
 def test_pca_matvec_guard_measured_and_loud(spark):
     """r11 verdict "What's wrong" #2 + ADVICE #3: the spectral chain's
     int64 bound is the MATVEC bound max|g| * 64 * (2^16 + 1) < 2^63,
-    and it must fail loudly, not wrap.  Below the bound the guard is
-    value-transparent; above it the rescale scalar raises in-plan."""
-    from pyspark.errors import SparkRuntimeException
-
+    and it must fail loudly, not wrap.  r14 moved the iteration (and
+    with it the guard) to plan-time Python — below the bound the guard
+    is a no-op; above it query CONSTRUCTION raises, strictly earlier
+    than the former in-plan raise_error form."""
     from mysql_clickhouse_replication_spark.functions.pipeline import (
         _PCA_MATVEC_HEADROOM,
-        _pca_guard_scale,
+        _py_guard_gmax,
     )
 
     assert _PCA_MATVEC_HEADROOM == (2**63 - 1) // (64 * (2**16 + 1))
-    d = spark.createDataFrame([(7,)], "d bigint")
-    ok = spark.createDataFrame([(_PCA_MATVEC_HEADROOM,)], "hg bigint")
-    assert _pca_guard_scale(d, ok).collect()[0]["d"] == 7
-    hot = spark.createDataFrame([(_PCA_MATVEC_HEADROOM + 1,)], "hg bigint")
-    with pytest.raises(SparkRuntimeException, match="matvec headroom"):
-        _pca_guard_scale(d, hot).collect()
+    assert _py_guard_gmax(_PCA_MATVEC_HEADROOM) is None  # transparent
+    with pytest.raises(ValueError, match="matvec headroom"):
+        _py_guard_gmax(_PCA_MATVEC_HEADROOM + 1)
 
 
 def test_epoch_shuffle_id_guard_bounds_the_lattice(spark):

@@ -2091,13 +2091,16 @@ def test_bloom_skip_index_single_exchange_probe_words(plans):
     assert main and "event_id" in main[0] and "props" not in main[0]
 
 
-def test_pca_power_iteration_broadcast_matvecs(plans):
-    """sim_pca_power_iteration: the three matvecs join the d^2-row
-    mirrored gram frame with the 64-row iterate as BROADCAST joins
-    (never sort-merge — the iterate is driver-scale), no window, no
-    Python; the only data-sized work is the shared gram scan."""
+def test_pca_power_iteration_plan_is_literal(plans):
+    """sim_pca_power_iteration (r14): the d^2-bounded matvecs run at
+    PLAN time over the collected memoized gram (the MLlib RowMatrix
+    split), so the emitted plan is a 64-row LocalRelation — zero
+    exchanges, zero joins, no window, no Python.  The data-sized work
+    (the shared gram corpus pass) is paid when _gram_cells
+    materializes, exactly as before."""
     p = plans("sim_pca_power_iteration")
-    assert "BroadcastHashJoin" in p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p
+    assert "Exchange" not in p and "Join" not in p
     assert "SortMergeJoin" not in p and "Window" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
