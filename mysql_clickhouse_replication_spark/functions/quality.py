@@ -1548,9 +1548,18 @@ def text_bpe_train_to_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus is read ONCE into round 0's word counts; every
     subsequent shuffle is vocabulary/alphabet-bounded; argmax winners
-    are TakeOrderedAndProject + 1-row broadcast crossJoins (never a
-    collect); symbol audits are single aggs over the pinned state."""
+    are ONE bounded row each, collected at plan time and re-entering
+    as literals (r14, the sim_opq d-bounded-state discipline — the
+    same TakeOrderedAndProject job either way, minus ~45 downstream
+    broadcast builds); symbol audits are single aggs over the pinned
+    state."""
     step_rows, _ = _bpe_train(spark, sf_dir, _BPE_VOCAB_ROUNDS)
+    if not step_rows:  # pairs exhausted before round 1: empty surface
+        return spark.sql(
+            "SELECT CAST(1 AS INT) AS step, '' AS merged_token,"
+            " CAST(0 AS BIGINT) AS pair_count,"
+            " CAST(0 AS BIGINT) AS symbols_after"
+        ).filter("1 = 0")
     out = step_rows[0]
     for sr in step_rows[1:]:
         out = out.unionAll(sr)
@@ -1569,19 +1578,32 @@ _BPE_MEMO: dict = {}
 
 def _bpe_train(
     spark: SparkSession, sf_dir: str, rounds: int
-) -> tuple[list[DataFrame], list[DataFrame]]:
+) -> tuple[list[DataFrame], list]:
     """The K-round distributed BPE training loop shared by
     text_bpe_train_to_vocab (surface: the merge trajectory) and
     text_bpe_encode (consumer: the encoded merge pairs).  Returns
     ``(step_rows, pairs)``: ``step_rows[k-1]`` is round k's (step,
     merged_token, pair_count, symbols_after) surface frame;
-    ``pairs[k-1]`` is the 1-ROW checkpointed frame holding round k's
-    merge pair IN ENCODED SPACE (column ``_m`` — two symbols, each a
-    letter or an earlier round's sentinel), exactly what the encoder's
-    ``replace(w, _m, chr(k))`` chain consumes.  Semantics and plan
-    shape are unchanged from the r12 trainer (see
-    text_bpe_train_to_vocab's docstring); this is the same loop with
-    its per-round state handed out for reuse."""
+    ``pairs[k-1]`` is round k's merge pair IN ENCODED SPACE (two
+    symbols, each a letter or an earlier round's sentinel — a plain
+    Python str, or None once pairs are exhausted), exactly what the
+    encoder's ``replace(w, pair, chr(k))`` chain consumes.
+
+    r14 optimization (guide §1.2/§5 — the sim_opq d-bounded-algebra
+    discipline): each round's argmax winner is ONE bounded row, so it
+    is collected at plan time (``limit(1).collect()`` — the same
+    TakeOrderedAndProject job the old eager 1-row localCheckpoint ran,
+    with the row kept instead of re-scheduled) and re-enters every
+    consumer as a foldable literal.  That deletes, per training run,
+    10 one-row checkpoint frames, ~45 crossJoin(broadcast(1-row))
+    builds in the trajectory surface's merge-expansion chains, and the
+    consumers' 10-agg merge-table assembly — pure driver/scheduler
+    round-trips whose count a real cluster pays MORE for.  The
+    VOCABULARY state stays distributed and checkpointed per round
+    (Heaps-unbounded at corpus scale — never collected); sentinel
+    expansion over the collected pairs is exact Python str.replace
+    (both engines' replace() is the same non-overlapping left-to-right
+    scan, pinned by the bruteforce property tests)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, rounds)
     hit = session_memo_lookup(_BPE_MEMO, memo_key)
     if hit is not None:
@@ -1594,11 +1616,17 @@ def _bpe_train(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    merges: list[DataFrame] = []  # 1-row frames: fully-expanded tok
+    merges_py: list[str] = []  # fully-expanded merged tokens
     step_rows: list[DataFrame] = []
-    enc_pairs: list[DataFrame] = []  # 1-row frames: encoded pair _m
+    enc_pairs: list = []  # encoded pair strings (None once exhausted)
+    exhausted = False
     for step in range(1, rounds + 1):
-        pairs = (
+        if exhausted:
+            # the old empty-frame lattice annihilated cur and emitted
+            # no further rows; skipping rounds is surface-identical
+            enc_pairs.append(None)
+            continue
+        best = (
             cur.filter(F.length("w") >= 2)
             .select(
                 "w",
@@ -1612,41 +1640,33 @@ def _bpe_train(
             )
             .groupBy("l", "r")
             .agg(F.sum("c").alias("cnt"))
-        )
-        best = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        expanded = best.select(F.concat("l", "r").alias("tok"), "cnt")
-        for j, mdf in reversed(list(enumerate(merges, start=1))):
-            expanded = expanded.crossJoin(
-                F.broadcast(mdf.select(F.col("tok").alias(f"_e{j}")))
-            ).select(
-                F.expr(f"replace(tok, chr({j}), _e{j})").alias("tok"), "cnt"
-            )
-        enc_pairs.append(best.select(F.concat("l", "r").alias("_m")))
-        nxt = (
-            cur.crossJoin(
-                F.broadcast(best.select(F.concat("l", "r").alias("_m")))
-            )
-            .select(
-                F.expr(f"replace(w, _m, chr({step}))").alias("w"), "c"
-            )
-            .localCheckpoint(eager=True)
-        )
-        symbols_after = nxt.agg(
-            F.sum(F.length("w") * F.col("c")).alias("n")
-        )
+        if not best:
+            exhausted = True
+            enc_pairs.append(None)
+            continue
+        pair = best[0]["l"] + best[0]["r"]
+        cnt = int(best[0]["cnt"])
+        tok = pair
+        for j in range(len(merges_py), 0, -1):
+            tok = tok.replace(chr(j), merges_py[j - 1])
+        enc_pairs.append(pair)
+        nxt = cur.select(
+            F.replace(F.col("w"), F.lit(pair), F.lit(chr(step))).alias("w"),
+            "c",
+        ).localCheckpoint(eager=True)
         step_rows.append(
-            expanded.crossJoin(symbols_after).select(
+            nxt.agg(F.sum(F.length("w") * F.col("c")).alias("n")).select(
                 F.lit(step).alias("step"),
-                F.col("tok").alias("merged_token"),
-                F.col("cnt").alias("pair_count"),
+                F.lit(tok).alias("merged_token"),
+                F.lit(cnt).cast("bigint").alias("pair_count"),
                 F.col("n").alias("symbols_after"),
             )
         )
-        merges.append(expanded.select("tok"))
+        merges_py.append(tok)
         cur = nxt
     _BPE_MEMO[memo_key] = (step_rows, enc_pairs)
     return step_rows, enc_pairs
@@ -1664,8 +1684,8 @@ def _bpe_encode_chain(rounds: int) -> str:
     """The corpus ENCODER as one fused expression: apply the K learned
     merges in training order via the sentinel replace chain (the exact
     re-segmentation step of _bpe_train, so encoding IS the trainer's
-    greedy left-to-right merge application).  ``_m{k}`` columns come
-    from the 1-row broadcast merge table."""
+    greedy left-to-right merge application).  ``_m{k}`` columns are
+    foldable pair literals (r14; formerly a 1-row broadcast)."""
     chain = "w"
     for k in range(1, rounds + 1):
         chain = f"replace({chain}, _m{k}, chr({k}))"
@@ -1745,26 +1765,26 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: training state comes from the memoized _bpe_train (computed
     once per session, checkpointed per round — the _GRAM_MEMO
-    discipline); the merge table collapses to ONE 1-row broadcast (K
-    pair strings; production's V-entry table is a vocab-sized
-    broadcast join, same shape), and the corpus pass is MAP-ONLY pure
+    discipline); the merge table enters as K foldable pair literals
+    (r14; production's V-entry table is a vocab-sized broadcast join —
+    at K=10 the broadcast machinery cost more than the pairs), and the
+    corpus pass is MAP-ONLY pure
     higher-order expressions — no explode, no shuffle, no window, no
     Python: filter(split(...)) -> transform(replace-chain) ->
     per-word id strings, one projection end to end.  At 100 TB this is
     the theoretical minimum: one scan, one broadcast."""
     _, enc_pairs = _bpe_train(spark, sf_dir, _BPE_VOCAB_ROUNDS)
-    mp = None
-    for k, pf in enumerate(enc_pairs, start=1):
-        # agg-first over the (possibly EMPTY) 1-row pair frame: always
-        # yields exactly one row; exhausted rounds coalesce to the no-op
-        one = pf.agg(
-            F.coalesce(F.first("_m"), F.lit(_BPE_ENC_NOOP)).alias(f"_m{k}")
-        )
-        mp = one if mp is None else mp.crossJoin(one)
+    # trained pairs are plan-time strings (r14 _bpe_train discipline):
+    # the merge table enters as foldable literals, exhausted rounds as
+    # the no-op pair — no agg frames, no broadcast build
+    mp = {
+        f"_m{k}": F.lit(p if p is not None else _BPE_ENC_NOOP)
+        for k, p in enumerate(enc_pairs, start=1)
+    }
     d = table(spark, sf_dir, "documents")
     chain = _bpe_encode_chain(_BPE_VOCAB_ROUNDS)
     return (
-        d.crossJoin(F.broadcast(mp))
+        d.withColumns(mp)
         .select(
             "doc_id",
             F.expr(
@@ -1841,25 +1861,24 @@ def docs_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     with GREATEST(cum, 1) so leading empties land in pack 0 (covered by
     the zero-token edge test).
 
-    Shape: the merge table is the memoized _bpe_train state collapsed
-    to one 1-row broadcast; token counting is the text_bpe_encode
-    projection (no explode, no Python); packing is the parent's
-    per-bucket cumulative window (never a global running sum) + one
-    grouped agg.  At 100 TB: one scan, one broadcast, one bucket-keyed
+    Shape: the merge table is the memoized _bpe_train state entering
+    as foldable pair literals (r14); token counting is the
+    text_bpe_encode projection (no explode, no Python); packing is the
+    parent's per-bucket cumulative window (never a global running sum)
+    + one grouped agg.  At 100 TB: one scan, one bucket-keyed
     exchange."""
     from .pipeline import _PACK_BUCKETS, _PACK_BUDGET
 
     _, enc_pairs = _bpe_train(spark, sf_dir, _BPE_VOCAB_ROUNDS)
-    mp = None
-    for k, pf in enumerate(enc_pairs, start=1):
-        one = pf.agg(
-            F.coalesce(F.first("_m"), F.lit(_BPE_ENC_NOOP)).alias(f"_m{k}")
-        )
-        mp = one if mp is None else mp.crossJoin(one)
+    # plan-time merge-pair literals (r14 _bpe_train discipline)
+    mp = {
+        f"_m{k}": F.lit(p if p is not None else _BPE_ENC_NOOP)
+        for k, p in enumerate(enc_pairs, start=1)
+    }
     chain = _bpe_encode_chain(_BPE_VOCAB_ROUNDS)
     d = (
         table(spark, sf_dir, "documents")
-        .crossJoin(F.broadcast(mp))
+        .withColumns(mp)
         .select(
             "doc_id",
             (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),

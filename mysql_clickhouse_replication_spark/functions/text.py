@@ -135,13 +135,21 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> distinct word-3-gram shingles (assumes >=3 tokens per doc,
     which the fixture guarantees; 1-gram Jaccard would be degenerate here:
-    the corpus vocabulary is ~31 words)."""
+    the corpus vocabulary is ~31 words).
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda (r14): ``slice(split(text), i, 3)`` inside ``transform``
+    re-splits the text once per position — O(tokens^2) per doc — the
+    exact trap dedup_containment measured and fixed in r8 (29.7 s ->
+    16.5 s per shingling pass at sf1); split() used twice is non-cheap,
+    so CollapseProject keeps the two-level projection and the split
+    runs once per row."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    return d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+            "array_distinct(transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3))))"
         ).alias("shingles"),
     )
 
@@ -1415,12 +1423,15 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, first-token) key; work is O(distinct bigrams), never
     corpus-squared."""
     d = table(spark, sf_dir, "documents")
-    bg = d.select(
+    # toks materialized before the lambda (the _shingled / r8
+    # dedup_containment discipline): slice(split(text), i, 2) inside
+    # transform re-splits the text per position, O(tokens^2) per doc
+    bg = d.select("lang", F.split("text", " ").alias("toks")).select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', slice(toks, i, 2)))"
             )
         ).alias("bigram"),
     )
