@@ -515,42 +515,60 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplications (a/b >= 0.3 <=> 10a >= 3b) cast to
     INT — no float or boolean reaches the output.
 
-    Shape: bigrams via the same slice/concat construction as
-    docs_contamination_check, exploded and counted per (doc, gram) —
-    one doc_id-keyed shuffle — then a max-share per doc off the same
-    grouping.  Per-doc state is its distinct-bigram counts; nothing is
-    global, so the plan partitions freely at 100 TB.  Single-token docs
-    degrade gracefully (1 'bigram' = the token, share 1.0 → drop)."""
+    Shape: MAP-ONLY — the top-bigram count is per-document state, so it
+    never needs to leave the row: sort the in-row bigram array and take
+    the longest equal run (max multiplicity).  The r14 optimization
+    round replaced the original explode → count-per-(doc, gram) →
+    max-per-doc pipeline (TWO doc_id-keyed exchanges shuffling every
+    bigram occurrence as a string row) with this 0-Exchange projection;
+    outputs proven identical (exceptAll both ways = 0 at sf0.01, oracle
+    hash-exact at sf0.001/0.01/0.1) and measured 2.97 s → well under
+    1 s at sf0.1.  At 100 TB the win is structural: per-doc work is
+    O(len·log len) in the scan stage and ZERO bytes shuffle, where the
+    old shape shuffled the whole bigram stream twice.  Single-token
+    docs degrade gracefully (1 'bigram' = the token, share 1.0 → drop)."""
     d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.greatest(F.size("toks") - 1, F.lit(1)).alias("n_bigrams"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
-                " i -> concat_ws(' ', slice(toks, i, 2)))"
-            )
-        ).alias("g"),
+    # aggregate() over the SORTED bigram array: acc = (prev, run, best);
+    # max multiplicity == longest equal run of the sorted array.  The
+    # lambda is interpreted (non-codegen HOF), but it runs once per
+    # bigram in the scan stage vs. shuffling that bigram twice before.
+    max_run = (
+        "aggregate(array_sort(transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat_ws(' ', slice(toks, i, 2)))),"
+        " named_struct('prev', CAST(NULL AS STRING),"
+        "              'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct('prev', x,"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev,"
+        "             acc.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', GREATEST(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev,"
+        "        acc.run + 1, CAST(1 AS BIGINT)))),"
+        " acc -> acc.best)"
     )
-    cnt = base.groupBy(
-        "doc_id", "n_tokens", "n_distinct", "n_bigrams", "g"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    return cnt.groupBy("doc_id", "n_tokens", "n_distinct", "n_bigrams").agg(
-        F.expr("CAST(n_distinct * 1000000 DIV n_tokens AS BIGINT)").alias(
-            "ttr_ppm"
-        ),
-        F.expr("CAST(max(c) * 1000000 DIV n_bigrams AS BIGINT)").alias(
-            "top_bigram_ppm"
-        ),
-        F.expr(
-            "CAST(n_distinct * 10 >= 3 * n_tokens"
-            " AND max(c) * 5 <= n_bigrams AS INT)"
-        ).alias("keep"),
-    ).select("doc_id", "n_tokens", "ttr_ppm", "top_bigram_ppm", "keep")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.greatest(F.size("toks") - 1, F.lit(1)).alias("n_bigrams"),
+            F.expr(max_run).alias("max_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(n_distinct * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr("CAST(max_c * 1000000 DIV n_bigrams AS BIGINT)").alias(
+                "top_bigram_ppm"
+            ),
+            F.expr(
+                "CAST(n_distinct * 10 >= 3 * n_tokens"
+                " AND max_c * 5 <= n_bigrams AS INT)"
+            ).alias("keep"),
+        )
+    )
 
 
 _BLOCK = 8  # tokens per boilerplate block

@@ -1821,37 +1821,50 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation candidates, and bundling analytics.  Lift > 1 means
     the pair co-occurs above independence.
 
-    Shape: one fact⋈broadcast(part) pass reduces to DISTINCT
-    (order, brand) — the basket table, bounded by orders x
-    brands-per-order, never raw line items.  The pair join is an
-    ORDER-KEYED self-join (a.p_brand < b.p_brand halves the output);
-    its fan-out per order is C(brands_in_order, 2), bounded by the
-    basket width (~7 lines/order), NOT quadratic in the table — the
-    same per-key bounded self-join every association miner runs.
-    Brand marginals and the order count are vocabulary-sized
-    broadcasts.  Lift is ALL-INTEGER e6 fixed point (floor division on
-    exact counts — no float surface), ranked with a total (brand_a,
-    brand_b) tiebreak."""
+    Shape (r14 optimization round): one fact⋈broadcast(part) pass
+    reduces to ONE groupBy(l_orderkey) building the per-order SORTED
+    DISTINCT brand array — the basket as a row.  Everything downstream
+    derives from that single exchange: the order count is an agg over
+    it, brand marginals explode it (a basket contains each brand once
+    by construction, so exploding the set array IS the distinct
+    (order, brand) count), and co-occurrence pairs are generated
+    IN-ROW from the sorted array (x before y in a sorted distinct
+    array ⟺ x < y), bounded by C(basket_width, 2) ~ C(7, 2) per order.
+    This replaced the original DISTINCT-(order, brand) + order-keyed
+    SELF-JOIN shape, which exchanged the basket table four times
+    (distinct, order-count distinct, and both self-join sides
+    re-keyed on l_orderkey); now the basket table is keyed once and
+    the three consumers ReuseExchange it, with only brand-pair /
+    brand-marginal tokens (vocabulary-sized) shuffling afterwards.
+    Outputs proven identical (collect == collect at sf0.01; oracle
+    hash-exact at sf0.001/0.01/0.1).  Brand marginals and the order
+    count are vocabulary-sized broadcasts.  Lift is ALL-INTEGER e6
+    fixed point (floor division on exact counts — no float surface),
+    ranked with a total (brand_a, brand_b) tiebreak."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    arrs = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
-    n = baskets.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    n = arrs.agg(F.count(F.lit(1)).alias("n_orders"))
+    bc = (
+        arrs.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    bc = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select(
-        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    # in-row ordered pairs: every (x, y) with x earlier than y in the
+    # sorted distinct basket array — exactly the brand_a < brand_b
+    # halved pair set of the old self-join, C(width, 2) per order
+    pair_expr = (
+        "flatten(transform(bs, (x, i) ->"
+        " transform(slice(bs, i + 2, size(bs)),"
+        " y -> named_struct('brand_a', x, 'brand_b', y))))"
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        arrs.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 5)

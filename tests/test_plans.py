@@ -504,10 +504,12 @@ def test_importance_sample_is_scalar_broadcast_plus_agg(plans):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
-def test_repetition_ratio_doc_keyed_only(plans):
-    # bigram counting shuffles on doc-keyed groupings only — no global
-    # window, no join, no python.
+def test_repetition_ratio_map_only(plans):
+    # r14 optimization: the top-bigram count is per-doc state computed
+    # in-row (sorted-array max run), so the whole key is a 0-Exchange
+    # projection — no shuffle, no window, no join, no python.
     p = plans("docs_repetition_ratio", "simple")
+    assert "Exchange" not in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p
     assert "Window" not in p
@@ -1112,10 +1114,14 @@ def test_sliding_batch_expand_bounded_fanout(plans):
 
 
 def test_basket_lift_broadcast_dims_no_cartesian(plans):
-    # part, the marginals, and the order count are broadcasts; the
-    # pair self-join is keyed by order (bounded per-key fan-out).
+    # part, the marginals, and the order count are broadcasts; pairs
+    # are generated IN-ROW from the sorted basket array (r14
+    # optimization), so no shuffled join of any kind survives — the
+    # only joins left are broadcast attaches of vocabulary-sized frames.
     p = plans("orders_basket_lift", "simple")
     assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
 

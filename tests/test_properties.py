@@ -1795,3 +1795,127 @@ def test_bpe_encode_reconciles_with_trainer(spark, sf_dir):
     ).fetchone()[0]
     assert total_tokens == steps[-1].symbols_after + singles
     spark.catalog.clearCache()
+
+
+_rr_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_rr_texts)
+@settings(**_SETTINGS)
+def test_repetition_ratio_matches_bruteforce(spark, tmp_path_factory, texts):
+    """docs_repetition_ratio vs a literal Counter reference: the r14
+    in-row rewrite (sorted-bigram max run instead of explode + count)
+    must reproduce the exact per-doc max bigram multiplicity, ttr, and
+    keep gate for arbitrary texts — including empty strings, runs of
+    spaces (empty tokens), and single-token docs."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("rr"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.ttr_ppm, r.top_bigram_ppm, r.keep)
+        for r in e.queries()["docs_repetition_ratio"](spark, d).collect()
+    }
+    want = {}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        nd = len(set(toks))
+        nb = max(n - 1, 1)
+        grams = [
+            " ".join(toks[j : j + 2]) for j in range(max(n - 1, 1))
+        ]
+        top = max(Counter(grams).values())
+        want[i] = (
+            n,
+            nd * 1_000_000 // n,
+            top * 1_000_000 // nb,
+            int(nd * 10 >= 3 * n and top * 5 <= nb),
+        )
+    assert got == want, (got, want)
+
+
+_bl_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # l_orderkey
+        st.integers(min_value=0, max_value=11),  # l_partkey
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_bl_rows)
+@settings(**_SETTINGS)
+def test_basket_lift_matches_bruteforce(spark, tmp_path_factory, rows):
+    """orders_basket_lift vs literal basket enumeration: the r14 in-row
+    pair expansion over the sorted distinct brand array must reproduce
+    the old DISTINCT + self-join pipeline exactly — same ordered pairs,
+    same support counts, same integer lift, same (lift DESC, brand)
+    tie-ranked top-15."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    d = str(tmp_path_factory.mktemp("bl"))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    parts = sorted({p for _, p in rows})
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(parts, pa.int64()),
+                "p_brand": pa.array([f"B{p % 3}" for p in parts], pa.string()),
+            }
+        ),
+        f"{d}/part.parquet",
+    )
+    got = [
+        (r.brand_a, r.brand_b, r.c_ab, r.lift_e6)
+        for r in e.queries()["orders_basket_lift"](spark, d).collect()
+    ]
+    baskets: dict[int, set[str]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(f"B{p % 3}")
+    n_orders = len(baskets)
+    brand_c = Counter(b for bs in baskets.values() for b in bs)
+    pair_c = Counter(
+        pr for bs in baskets.values() for pr in combinations(sorted(bs), 2)
+    )
+    want = sorted(
+        (
+            (a, b, c, n_orders * c * 1_000_000 // (brand_c[a] * brand_c[b]))
+            for (a, b), c in pair_c.items()
+            if c >= 5
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:15]
+    assert got == want, (got, want)
