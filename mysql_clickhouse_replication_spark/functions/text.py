@@ -1279,10 +1279,28 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash for its 16 estimator hashes so BOTH engines compute
     bit-identical signatures (agreement counts are integers; the only
     doubles are est = k/16 and the error, exact in binary / rounded).
-    Shape: one explode + one 16-min aggregate per doc (signature
-    build), the verified pair set (equi-joined by doc id, two broadcast
-    -sized sides at audit scale), pure expressions throughout."""
-    sh = _shingled(spark, sf_dir)
+    Shape: the verified pair set is materialized FIRST
+    (localCheckpoint — it is pair-count-sized, and its own pipeline
+    already ran once to produce it), then the 16-md5 signature build
+    runs only over the pair ENDPOINT docs via a broadcast semi-join on
+    the shingle frame (r14: the estimator is consumed exclusively
+    through inner joins on doc_a/doc_b, so signatures of non-endpoint
+    docs were 16 md5+conv evaluations per shingle thrown away — at
+    sf0.1 that full-corpus pass was ~5x the whole remaining key; guide
+    §1.2 "don't compute things you throw away", §3.2 semi-join
+    prefilter).  At 100 TB the same shape holds: near-dup endpoints are
+    a vanishing fraction of the corpus, and the audit's cost tracks the
+    pair list, not the corpus."""
+    # exact-verified J>=0.5 pairs, materialized once (pair-count-sized)
+    pairs = dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir).join(
+        F.broadcast(endpoints), "doc_id", "semi"
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -1298,7 +1316,6 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_ACC_HASHES)
         ]
     )
-    pairs = dedup_minhash(spark, sf_dir)  # exact-verified J>=0.5 pairs
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(_ACC_HASHES)],
@@ -1312,9 +1329,12 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         agree = term if agree is None else agree + term
     est = agree / F.lit(float(_ACC_HASHES))
+    # explicit broadcasts: the checkpointed pair frame carries no size
+    # stats, so without the hint the planner falls back to SortMergeJoin
+    # even though both signature sides are endpoint-count-sized
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
