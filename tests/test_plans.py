@@ -1661,10 +1661,14 @@ def test_pagerank_no_cartesian_persisted_edges(plans):
     """graph_pagerank: every iteration joins ranks to edges on src —
     never a CartesianProduct (the broadcast 1-row node count rides a
     BroadcastNestedLoopJoin, which is fine); the edge frame is built
-    once and persisted (InMemoryTableScan in later iterations)."""
+    once and persisted (InMemoryTableScan in later iterations).  Since
+    the r14 single-persist rework, deg attaches via a window over src
+    (one pass, one cached frame) — no SortMergeJoin may reappear in the
+    frontier build."""
     p = plans("graph_pagerank")
     assert "CartesianProduct" not in p, p
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_exact_quantiles_bucketed_no_value_domain_window(plans):
