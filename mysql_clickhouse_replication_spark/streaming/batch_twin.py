@@ -881,17 +881,35 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d"),
         "cur",
     ).select("t", "d", "cur")
-    mx = c.agg(F.max("cur").alias("peak"))
-    first = (
-        c.crossJoin(F.broadcast(mx))
-        .filter(F.col("cur") == F.col("peak"))
-        .agg(F.min("t").alias("first_peak_ts"))
+    # ONE aggregation over the sweep produces all three outputs (r14
+    # opt): the old shape re-derived the whole sessionize+sweep subtree
+    # per output (peak, first-peak filter against a broadcast max, and
+    # a separate session count) and stitched them with two crossJoins —
+    # 52 Exchange / 32 Window nodes pre-AQE for three scalars.  Instead:
+    # every session contributes exactly one +1 and one -1 boundary row,
+    # so n_sessions = COUNT(*) DIV 2 of the sweep itself; the first
+    # peak instant is the lexicographic max of (cur, -t) — among rows
+    # at the max live count, the earliest t wins.  Plan: 52 Exchange ->
+    # 16, 32 Window -> 10, both crossJoins and all 4 BNLJ broadcast
+    # attaches gone; same banded sweep, one pass (the residual subtree
+    # doubling is the union's two sess projections, ReusedExchange'd
+    # at runtime).
+    best = F.max(
+        F.struct(
+            F.col("cur").alias("cur"),
+            (-F.unix_micros(F.col("t"))).alias("negt"),
+        )
     )
-    n = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     return (
-        n.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(first))
-        .select("n_sessions", "peak", "first_peak_ts")
+        c.agg(
+            F.expr("count(1) DIV 2").alias("n_sessions"),
+            best.alias("best"),
+        )
+        .select(
+            "n_sessions",
+            F.col("best.cur").alias("peak"),
+            F.timestamp_micros(-F.col("best.negt")).alias("first_peak_ts"),
+        )
     )
 
 

@@ -891,10 +891,15 @@ def test_wow_change_double_ratio_window(plans):
 
 def test_peak_concurrency_sweep_over_boundaries(plans):
     # the sweep runs over 2x|sessions| boundary rows, never raw events;
-    # peak/first-peak meet in 1-row broadcasts.
+    # since the r14 single-agg rework, n_sessions/peak/first_peak_ts
+    # all fold in ONE aggregation over the sweep (count DIV 2 + max of
+    # (cur, -t)) — the only joins left are banded_running_sum's own
+    # offset broadcasts, so the old 1-row crossJoin stitches (BNLJ)
+    # must not reappear.
     p = plans("events_peak_concurrency", "simple")
     assert "Union" in p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
 
 
