@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators._util import values_df
 from ..registry import register
 from ..session import session_memo_lookup, table
 from .vectors import _cos, _vecs
@@ -149,7 +150,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak. Emits the fixture's true lang alongside for downstream
     accuracy checks."""
     d = table(spark, sf_dir, "documents")
-    m = spark.createDataFrame(
+    m = values_df(
+        spark,
         [(lang, ws) for lang, ws in _LANG_MARKERS.items()],
         "m_lang string, markers array<string>",
     )

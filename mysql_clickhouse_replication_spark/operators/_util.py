@@ -220,3 +220,59 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     return F.when(rank <= big, idiv(rank - 1, q + 1) + 1).otherwise(
         r + idiv(rank - big - 1, qg) + 1
     )
+
+
+def _sql_lit(v) -> str:
+    """One Python value as a foldable SQL literal (strings quoted with
+    '' escaping, lists as array(...) constructors, None as NULL)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
+    raise TypeError(f"unsupported literal type: {type(v)!r}")
+
+
+def values_df(spark, rows, schema: str):
+    """Bounded literal rows as a TRUE LocalRelation: VALUES + a foldable
+    cast projection, collapsed by ConvertToLocalRelation.
+
+    Replaces ``spark.createDataFrame(rows, schema)`` for constant dims:
+    createDataFrame(list) is RDD-backed, so every materialization or
+    BroadcastExchange build over it schedules a defaultParallelism-
+    sliced micro-job (measured ~0.1-1 s per frame on local[32], and a
+    scheduler round-trip per job on a real cluster), while a
+    LocalRelation collects driver-side and broadcasts without launching
+    a job (the r14 ``_local_rows`` discipline, generalized to string/
+    array/timestamp columns).  ``schema`` is the same "name type, ..."
+    DDL string createDataFrame took, so call sites swap 1:1."""
+    cols: list[str] = []
+    depth, cur = 0, ""
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    cols.append(cur)
+    pairs = [c.strip().split(None, 1) for c in cols]
+    if not rows:  # VALUES needs >= 1 row; emit a typed empty frame
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in pairs)
+        return spark.sql(f"SELECT {sel} WHERE 1 = 0")
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    names = ", ".join(n for n, _ in pairs)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in pairs)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({names})")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import scratch_path, table
-from ._util import D12, banded_row_number, ntile_from_rank
+from ._util import D12, banded_row_number, ntile_from_rank, values_df
 
 
 @register(
@@ -1156,7 +1156,7 @@ def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed agg joined on the day key.  Evaluation is pure expression —
     all integer."""
     ev = table(spark, sf_dir, "events")
-    rules = spark.createDataFrame(_ALERT_RULES, "r_type string, threshold_ppm long")
+    rules = values_df(spark, _ALERT_RULES, "r_type string, threshold_ppm long")
     daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )

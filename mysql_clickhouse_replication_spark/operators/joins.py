@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import QUERIES, register
 from ..session import table
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, dsum, sql_davg, sql_dsum, values_df
 
 _BIG = 450000.0  # ~10% of orders; splits customers into have/have-not
 
@@ -252,7 +252,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcasting the tiny side (BroadcastNestedLoopJoin) — one pass
     over the fact, no shuffle before the final aggregation."""
     p = table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(_SIZE_BUCKETS, "bucket string, lo int, hi int")
+    dim = values_df(spark, _SIZE_BUCKETS, "bucket string, lo int, hi int")
     cond = (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi"))
     return (
         p.join(F.broadcast(dim), cond)
@@ -348,12 +348,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_end. Same physical shape as join_theta_range: broadcast the literal
     window dim, single fact pass."""
     o = table(spark, sf_dir, "orders")
-    dim = spark.createDataFrame(
-        _WINDOWS, "w_name string, w_start string, w_end string"
-    ).select(
-        "w_name",
-        F.col("w_start").cast("timestamp").alias("w_start"),
-        F.col("w_end").cast("timestamp").alias("w_end"),
+    dim = values_df(
+        spark, _WINDOWS, "w_name string, w_start timestamp, w_end timestamp"
     )
     o_end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     cond = (F.col("o_orderdate") <= F.col("w_end")) & (o_end >= F.col("w_start"))
@@ -391,7 +387,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     still required for broadcast-ineligible skewed hash joins and for
     deterministic bucket layouts."""
     li = table(spark, sf_dir, "lineitem")
-    dim = spark.createDataFrame(
+    dim = values_df(
+        spark,
         [("A", "returned"), ("N", "kept"), ("R", "refunded")],
         "flag string, flag_label string",
     )
@@ -550,12 +547,8 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication factor vs per-bucket fan-in; months here because the
     fixture windows span half-years while orders span 30 days."""
     o = table(spark, sf_dir, "orders")
-    dim = spark.createDataFrame(
-        _WINDOWS, "w_name string, w_start string, w_end string"
-    ).select(
-        "w_name",
-        F.col("w_start").cast("timestamp").alias("w_start"),
-        F.col("w_end").cast("timestamp").alias("w_end"),
+    dim = values_df(
+        spark, _WINDOWS, "w_name string, w_start timestamp, w_end timestamp"
     )
     # the overlap predicate is o_orderdate <= w_end INCLUSIVE, so the
     # window's covered-bucket list must include w_end's own month —

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators._util import values_df
 from ..registry import register
 from ..session import table
 
@@ -591,8 +592,8 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {qname(t)}")
-    return spark.createDataFrame(
-        surface, "tbl string, col_name string, ch_type string"
+    return values_df(
+        spark, surface, "tbl string, col_name string, ch_type string"
     )
 
 

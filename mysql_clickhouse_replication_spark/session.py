@@ -110,6 +110,21 @@ def scratch_path(*parts: str, unique: bool = True) -> str:
     return os.path.join(repo, ".scratch", *parts, *leaf)
 
 
+#: (applicationId, abspath(sf_dir), table) -> lazy scan DataFrame.  A
+#: DataFrame here is an UNEVALUATED plan — no rows are cached; every
+#: action still reads the parquet files.  What the memo removes is the
+#: driver-side cost of re-creating the relation on every ``table()``
+#: call: file listing (InMemoryFileIndex) + footer schema inference +
+#: py4j round trips, measured at 0.1-0.6 s per call on the bench box
+#: and paid INSIDE the timed region by every query construction.  At
+#: 100 TB the same cost is the guide's §6 "file listing of heavily
+#: partitioned tables" driver bottleneck — re-listing a large table per
+#: query construction is pure waste; the fixture dirs are immutable for
+#: the life of a session, and the memo is keyed by applicationId so a
+#: restarted session re-lists from scratch.
+_TABLE_MEMO: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (parquet scan; Catalyst prunes columns and
     pushes predicates into the row-group reader — see scan_* operators).
@@ -123,6 +138,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Python fetch does, so oracle hashes agree — while a native
     timestamp passes through untouched.
     """
+    if os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0":
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            name,
+        )
+        hit = session_memo_lookup(_TABLE_MEMO, key)
+        if hit is not None:
+            return hit
+        df = _read_table(spark, sf_dir, name)
+        _TABLE_MEMO[key] = df
+        return df
+    return _read_table(spark, sf_dir, name)
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

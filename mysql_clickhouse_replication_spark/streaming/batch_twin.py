@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators._util import banded_running_max_excl, banded_running_sum
+from ..operators._util import (
+    banded_running_max_excl,
+    banded_running_sum,
+    values_df,
+)
 from ..registry import register
 from ..session import table
 
@@ -952,9 +956,7 @@ def events_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFr
     — fan-out x|windows| on the SHRINKING staged user sets, never on
     the raw stream; each stage stays one filtered keyed aggregate."""
     ev = table(spark, sf_dir, "events")
-    win = spark.range(0).sparkSession.createDataFrame(
-        [(1,), (3,), (7,)], "w int"
-    )
+    win = values_df(spark, [(1,), (3,), (7,)], "w int")
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
