@@ -154,6 +154,32 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _minhash_band_frames(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) for the 48-minhash banded LSH keys.  Expressions are
+    SQL strings, not Column trees: the Column spelling of this block was
+    ~400 py4j round trips (48 x min/xxhash64/lit/col/alias plus 24 band
+    structs), all paid at query CONSTRUCTION — inside the bench's timed
+    region — while the string form builds the IDENTICAL analyzed plan in
+    one JVM call per expression (the r14 _local_1row_sql lesson applied
+    to wide aggregates)."""
+    n_hashes = _N_BANDS * _BAND_ROWS
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = exploded.groupBy("doc_id").agg(
+        F.expr("min(xxhash64(0, sh)) AS m0"),
+        *[F.expr(f"min(xxhash64({i}, sh)) AS m{i}") for i in range(1, n_hashes)],
+    )
+    band_arr = ", ".join(
+        f"named_struct('h1', m{_BAND_ROWS * i}, 'h2', m{_BAND_ROWS * i + 1})"
+        for i in range(_N_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "sig"),
+    )
+    return sigs, bands
+
+
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -185,31 +211,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     escapes all 24 bands with prob (1-J^2)^24 — ~2e-11 at the J>=0.9 the
     fixture's planted near-dups sit at, verified exact-equal to the
     brute-force oracle at both gate scale factors."""
-    n_hashes = _N_BANDS * _BAND_ROWS
     # cached for its multiple consumers; released harness-side via
     # clearCache after each key (the r8 ADVICE lifetime convention)
     sh = _shingled(spark, sf_dir).cache()
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"m{_BAND_ROWS * i}").alias("h1"),
-                        F.col(f"m{_BAND_ROWS * i + 1}").alias("h2"),
-                    )
-                    for i in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
-    )
+    _sigs, bands = _minhash_band_frames(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -388,35 +393,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint").alias("h"),
     )
+    # SQL-string expressions (not Column trees) for the 32 vote sums, the
+    # 32-bit fold and the band array: the Column spelling was ~300 py4j
+    # round trips of query-construction time inside the bench's timed
+    # region; the strings build the IDENTICAL analyzed plan (see
+    # _minhash_band_frames).
     votes = h.groupBy("doc_id").agg(
+        F.expr(
+            "sum(CASE WHEN (shiftright(h, 0) & 1) = 1"
+            " THEN 1 ELSE -1 END) AS s0"
+        ),
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS s{b}"
+            )
+            for b in range(1, _SIMHASH_BITS)
+        ],
     )
-    simhash = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(_SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).alias("simhash"),
+    fold = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    simhash = votes.select("doc_id", F.expr(f"{fold} AS simhash"))
+    band_arr = ", ".join(
+        f"(shiftright(simhash, {8 * i}) & 255)" for i in range(_SIMHASH_BANDS)
     )
     bands = simhash.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
-                    for i in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "val"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -510,28 +516,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # released harness-side via clearCache (r8 ADVICE convention)
     ).cache()
     ex = ng.select("doc_id", F.explode("g").alias("gram"))
+    # SQL-string expressions for the 48-hash aggregate, band structs and
+    # agreement sum (identical analyzed plan, ~10x fewer py4j round
+    # trips at construction — see _minhash_band_frames)
     sigs = ex.groupBy("doc_id").agg(
+        F.expr("min(xxhash64(0, gram)) AS m0"),
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"m{i}")
-            for i in range(n_hashes)
+            F.expr(f"min(xxhash64({i}, gram)) AS m{i}")
+            for i in range(1, n_hashes)
         ]
         # released harness-side via clearCache (r8 ADVICE convention)
     ).cache()
+    band_arr = ", ".join(
+        "named_struct("
+        + ", ".join(
+            f"'h{j}', m{_NG_ROWS * i + j}" for j in range(_NG_ROWS)
+        )
+        + ")"
+        for i in range(_NG_BANDS)
+    )
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        *[
-                            F.col(f"m{_NG_ROWS * i + j}").alias(f"h{j}")
-                            for j in range(_NG_ROWS)
-                        ]
-                    )
-                    for i in range(_NG_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -544,20 +550,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_hashes)],
+    sa = sigs.selectExpr(
+        "doc_id AS doc_a", *[f"m{i} AS a{i}" for i in range(n_hashes)]
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_hashes)],
+    sb = sigs.selectExpr(
+        "doc_id AS doc_b", *[f"m{i} AS b{i}" for i in range(n_hashes)]
     )
-    agree = sum(
-        [
-            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-            for i in range(n_hashes)
-        ],
-        F.lit(0),
+    agree = F.expr(
+        " + ".join(f"CAST(a{i} = b{i} AS INT)" for i in range(n_hashes))
     )
     strong = (
         cand.join(sa, "doc_a")
@@ -988,31 +988,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe.  Candidates still exact-verify, so engine hashing never
     reaches the output and the brute-force asymmetric join is a true
     oracle (quadratic: gate-scale only, like dedup_minhash's)."""
-    n_hashes = _N_BANDS * _BAND_ROWS
     # cached for its multiple consumers; released harness-side via
     # clearCache after each key (the r8 ADVICE lifetime convention)
     sh = _shingled(spark, sf_dir).cache()
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"m{_BAND_ROWS * i}").alias("h1"),
-                        F.col(f"m{_BAND_ROWS * i + 1}").alias("h2"),
-                    )
-                    for i in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
-    )
+    _sigs, bands = _minhash_band_frames(sh)
     new_bands = bands.filter(F.col("doc_id") % 5 == 0).alias("n")
     corpus_bands = bands.filter(F.col("doc_id") % 5 != 0).alias("c")
     cand = (
@@ -1302,32 +1281,28 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(endpoints), "doc_id", "semi"
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # SQL-string expressions for the 16-hash aggregate and agreement sum
+    # (identical analyzed plan, fewer py4j construction round trips —
+    # see _minhash_band_frames)
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            ).alias(f"m{i}")
+            F.expr(
+                f"min(CAST(conv(substring(md5(concat('{i}:', s)), 1, 8),"
+                f" 16, 10) AS BIGINT)) AS m{i}"
+            )
             for i in range(_ACC_HASHES)
         ]
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_ACC_HASHES)],
+    sa = sig.selectExpr(
+        "doc_id AS doc_a", *[f"m{i} AS a{i}" for i in range(_ACC_HASHES)]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_ACC_HASHES)],
+    sb = sig.selectExpr(
+        "doc_id AS doc_b", *[f"m{i} AS b{i}" for i in range(_ACC_HASHES)]
     )
-    agree = None
-    for i in range(_ACC_HASHES):  # fixed order, integer adds
-        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        agree = term if agree is None else agree + term
+    # fixed order, integer adds
+    agree = F.expr(
+        " + ".join(f"CAST(a{i} = b{i} AS INT)" for i in range(_ACC_HASHES))
+    )
     est = agree / F.lit(float(_ACC_HASHES))
     # explicit broadcasts: the checkpointed pair frame carries no size
     # stats, so without the hint the planner falls back to SortMergeJoin
