@@ -117,7 +117,16 @@ def banded_row_number(df, band: Column, order_cols: list, alias: str):
 
 def banded_running_sum(df, band: Column, order_cols: list, value: Column, alias: str):
     """Exact global SUM(value) OVER (ORDER BY band, *order_cols ROWS
-    UNBOUNDED PRECEDING..CURRENT ROW) — two-level prefix sum."""
+    UNBOUNDED PRECEDING..CURRENT ROW) — two-level prefix sum.
+
+    ROW-PRESERVATION CONTRACT: the output has exactly one row per input
+    row (the offset join is an inner join on ``_band``, and every band
+    present in ``df`` is present on both sides by construction).
+    Callers COUNT the output rows relying on this — e.g.
+    events_funnel_window_sensitivity derives ``n_sessions = count(1)
+    DIV 2`` over the sweep (batch_twin.py) — so any change that filters
+    bands, drops empty groups, or alters the join type silently corrupts
+    those counts without a plan-test failure.  Keep it row-preserving."""
     from pyspark.sql import Window
 
     d = df.withColumn("_band", band)

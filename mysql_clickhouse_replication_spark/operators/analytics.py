@@ -2682,9 +2682,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: edges are built once (distinct custkey—suppkey pairs,
     symmetrized) and re-used every iteration — persisted, exactly the
-    frontier-reuse a 100 TB PageRank needs; each iteration is one
-    shuffle join on src plus one aggregation shuffle on dst, and ranks
-    stay (node, bigint) rows.  Dangling nodes cannot exist here by
+    frontier-reuse a 100 TB PageRank needs; each iteration BROADCASTS
+    the |nodes|-sized rank frame onto the cached src-partitioned edge
+    layout (zero shuffle, zero sort on the edge side) and pays one
+    aggregation shuffle on dst; ranks stay (node, bigint) rows.  On a
+    graph whose vertex state outgrows broadcast, the same loop runs
+    with the hint dropped — see the in-loop comment.  Dangling nodes cannot exist here by
     construction (symmetrized edges give every node outdegree >= 1).
     The persisted edge frame must outlive this function's lazy return
     (every iteration of the returned plan reads it), so it is released
