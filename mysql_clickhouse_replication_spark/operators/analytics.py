@@ -312,12 +312,24 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     window left runs over |bands| summary rows.  NTILE(4) is then the
     front-loaded-remainder closed form on (rank, n) — bit-identical to
     the oracle's NTILE by construction (ntile_from_rank), at any
-    customer count.  The three rank passes each reference their input
-    through two branches (window + band offsets), textually replicating
-    the orders-aggregate subtree in the plan — Spark's ReuseExchange
-    dedupes the repeated shuffle at runtime, and measurement shows that
-    beats an explicit cache here (a cached base scan blocks pipelining:
-    +80%% wall at sf0.1 when tried)."""
+    customer count.
+
+    r15 job-count fix (§2.4/§5): the three ranks are INDEPENDENT
+    functions of ``base``, but the former three CHAINED
+    banded_row_number passes made each later pass's broadcast offset
+    subtree nest the whole earlier pipeline (the m-band offsets derived
+    from the f-joined frame, which nested the r-joined frame...) —
+    measured 24 scheduled jobs per materialization, each broadcast
+    build a separate job over an ever-deeper subtree.  The local rank
+    windows still chain (windows schedule no jobs), but the three
+    per-band offset frames now derive directly from the SHALLOW banded
+    base projection, and the three band columns land in one batched
+    projection.  Rank values are identical by construction (chaining
+    never altered earlier rank columns; pinned vs the oracle's NTILE).
+    ReuseExchange still dedupes the repeated base-aggregate shuffle at
+    runtime, and the explicit-cache alternative remains rejected (a
+    cached base scan blocks pipelining: +80%% wall at sf0.1 when
+    tried, r4)."""
     base = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -329,19 +341,53 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(D12)).alias("monetary_dec"),
         )
     )
-    ranked = banded_row_number(
-        base, F.col("recency_days"), [F.asc("recency_days"), F.asc("o_custkey")],
-        "_r_rank",
+    b = base.select(
+        "*",
+        F.col("recency_days").alias("_rb"),
+        (-F.col("frequency")).alias("_fb"),
+        (-F.floor(F.col("monetary_dec") / 1000).cast("bigint")).alias("_mb"),
     )
-    ranked = banded_row_number(
-        ranked, -F.col("frequency"), [F.desc("frequency"), F.asc("o_custkey")],
-        "_f_rank",
+    wr = Window.partitionBy("_rb").orderBy(
+        F.asc("recency_days"), F.asc("o_custkey")
     )
-    ranked = banded_row_number(
-        ranked,
-        -F.floor(F.col("monetary_dec") / 1000).cast("bigint"),
-        [F.desc("monetary_dec"), F.asc("o_custkey")],
-        "_m_rank",
+    wf = Window.partitionBy("_fb").orderBy(
+        F.desc("frequency"), F.asc("o_custkey")
+    )
+    wm = Window.partitionBy("_mb").orderBy(
+        F.desc("monetary_dec"), F.asc("o_custkey")
+    )
+    loc = b.select(
+        "*",
+        F.row_number().over(wr).alias("_rloc"),
+        F.row_number().over(wf).alias("_floc"),
+        F.row_number().over(wm).alias("_mloc"),
+    )
+
+    def band_off(band: str, alias: str) -> DataFrame:
+        # banded_row_number's offset stage, derived from the shallow
+        # banded projection instead of the chained frame
+        woff = Window.orderBy(band).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            b.groupBy(band)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .select(
+                band,
+                F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias(alias),
+            )
+        )
+
+    ranked = (
+        loc.join(F.broadcast(band_off("_rb", "_roff")), "_rb")
+        .join(F.broadcast(band_off("_fb", "_foff")), "_fb")
+        .join(F.broadcast(band_off("_mb", "_moff")), "_mb")
+        .select(
+            "*",
+            (F.col("_roff") + F.col("_rloc")).alias("_r_rank"),
+            (F.col("_foff") + F.col("_floc")).alias("_f_rank"),
+            (F.col("_moff") + F.col("_mloc")).alias("_m_rank"),
+        )
     )
     n_total = base.agg(F.count(F.lit(1)).alias("_n"))
     n = F.col("_n")
