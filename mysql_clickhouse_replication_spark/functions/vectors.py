@@ -686,9 +686,13 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim_ann_lsh(spark, sf_dir).select(
         "q_id", F.col("vec_id").alias("a_vec_id")
     )
+    # both sides are (queries x k)-bounded, but neither carries size
+    # statistics (window outputs), so the planner fell back to
+    # SortMergeJoin — broadcast the approx side explicitly (the
+    # sim_ivfpq_search recall-join discipline; r15)
     return (
         exact.join(
-            approx,
+            F.broadcast(approx),
             (exact.q_id == approx.q_id) & (exact.vec_id == approx.a_vec_id),
             "left",
         )
@@ -1021,7 +1025,15 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("pr") <= _MAX_NPROBE))
         .select(F.col("vec_id").alias("q_id"), "cid", "pr")
     )
-    cand = probe.join(assign, "cid").filter(F.col("vec_id") != F.col("q_id"))
+    # probe is (queries x max_nprobe)-bounded but statistics-free (a
+    # window output), so the candidate join fell back to SortMergeJoin
+    # re-exchanging the corpus-sized assign frame — broadcast the probe
+    # side (r15; the corpus side never shuffles for this join now)
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
     candn = cand.select(
         "q_id",
         "vec_id",
@@ -1029,6 +1041,10 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = v.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
     cv = v.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    # candn is NOT broadcast: it grows with the corpus (queries x
+    # cell-member count x probe fanout) — a broadcast here was built,
+    # measured at sf1 (+15% consistently, 3/3 interleaved pairs) and
+    # REJECTED; the re-score join stays a shuffle join on vec_id.
     scored = (
         candn.join(F.broadcast(qv), "q_id")
         .join(cv, candn.vec_id == cv.c_id)
@@ -1047,10 +1063,12 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = sim_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
     grid = spark.range(1, _MAX_NPROBE + 1).select(F.col("id").cast("int").alias("nprobe"))
+    # approx is (nprobe x queries x k)-bounded: broadcast the recall
+    # join (r15; was the plan's remaining SortMergeJoin)
     joined = (
         grid.crossJoin(exact)
         .join(
-            approx,
+            F.broadcast(approx),
             (approx.nprobe == grid.nprobe)
             & (F.col("a_q") == F.col("q_id"))
             & (F.col("a_v") == F.col("vec_id")),
