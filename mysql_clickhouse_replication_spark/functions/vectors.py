@@ -792,7 +792,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         full_k.join(
-            trunc_k,
+            # (queries x k)-bounded but statistics-free: broadcast so
+            # the two 50-row recall sides never sort-merge (r15; the
+            # sim_ann_recall discipline)
+            F.broadcast(trunc_k),
             (F.col("q_id") == F.col("t_q_id"))
             & (F.col("vec_id") == F.col("t_vec_id")),
             "left",
