@@ -3352,7 +3352,7 @@ def _opq_spaces(
     both = base.select(
         "vec_id", F.col("e").alias("pe"), F.col(cur_col).alias("re")
     )
-    cents = both.filter(F.col("vec_id") < _OPQ_K).agg(
+    cents_plan = both.filter(F.col("vec_id") < _OPQ_K).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("vec_id").alias("cid"), F.col("pe").alias("cv"))
@@ -3363,6 +3363,30 @@ def _opq_spaces(
                 F.struct(F.col("vec_id").alias("cid"), F.col("re").alias("cv"))
             )
         ).alias("rcents"),
+    )
+    # The init codebooks are K x d BOUNDED trained state (8 sampled
+    # vectors per space), exactly the class _opq_train_state already
+    # collects driver-side for the Lloyd loop (its init codebook IS
+    # this frame's rcents, collected).  Collect ONCE per session and
+    # re-enter as a literal LocalRelation: every consumer's broadcast
+    # of cents stops costing a corpus-aggregate job per materialization
+    # (2 jobs per key per bench run across the family), and the values
+    # are BIGINTs, so the literal is bit-exact.  The cold collect cost
+    # is paid on first construction and recorded by the bench's
+    # extra_queries_cold, the _opq_train_state discipline.
+    crow = cents_plan.collect()[0]
+
+    def _cents_sql(entries) -> str:
+        return "array(" + ",".join(
+            f"named_struct('cid', {int(c['cid'])}L,"
+            f" 'cv', {_sql_larr(c['cv'])})"
+            for c in entries
+        ) + ")"
+
+    cents = _local_1row_sql(
+        spark,
+        f"{_cents_sql(crow['pcents'])} AS pcents,"
+        f" {_cents_sql(crow['rcents'])} AS rcents",
     )
     # The 8 per-subspace argmins are independent columns: ONE batched
     # selectExpr instead of 8 chained withColumns (each of which
@@ -3488,12 +3512,27 @@ def _ivf_centroids_frame(
     hit = session_memo_lookup(_IVFC_MEMO, key)
     if hit is not None:
         return hit
-    ivfc = both.filter(F.col("vec_id") < _IVFPQ_C).agg(
+    ivfc_plan = both.filter(F.col("vec_id") < _IVFPQ_C).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("vec_id").alias("cid"), F.col("pe").alias("cv"))
             )
         ).alias("ivfc")
+    )
+    # C x d bounded index state (16 IVF centroids) — collected once per
+    # session and re-entered as a BIGINT-exact literal, like the
+    # codebooks in _opq_spaces: the three search keys' routing
+    # broadcasts stop re-running the centroid aggregate per
+    # materialization (a production IVF index trains its centroids
+    # once; queries never re-derive them).
+    crow = ivfc_plan.collect()[0]
+    ivfc = _local_1row_sql(
+        spark,
+        "array(" + ",".join(
+            f"named_struct('cid', {int(c['cid'])}L,"
+            f" 'cv', {_sql_larr(c['cv'])})"
+            for c in crow["ivfc"]
+        ) + ") AS ivfc",
     )
     _IVFC_MEMO[key] = ivfc
     return ivfc
