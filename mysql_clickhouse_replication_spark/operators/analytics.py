@@ -2810,6 +2810,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, abspath(sf_dir), threshold) -> bool — the fixture is
+#: immutable per session and the count is metadata-only, but it still
+#: scheduled a job per query CONSTRUCTION (twice per bench run pair);
+#: memoized per the session table()-memo discipline (r15).
+_DEG_BCAST_MEMO: dict = {}
+
+
 def _degree_frame_broadcastable(spark: SparkSession, sf_dir: str) -> bool:
     """Is graph_triangle_count's |V|-row degree frame safely below the
     session's autoBroadcastJoinThreshold?  Upper bound |V| by |part|
@@ -2819,6 +2826,19 @@ def _degree_frame_broadcastable(spark: SparkSession, sf_dir: str) -> bool:
     (-1) or any parse surprise answers False (shuffle join — the
     always-safe path)."""
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    memo_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        raw,
+    )
+    hit = _DEG_BCAST_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    _DEG_BCAST_MEMO[memo_key] = out = _degree_bcast_uncached(spark, sf_dir, raw)
+    return out
+
+
+def _degree_bcast_uncached(spark: SparkSession, sf_dir: str, raw: str) -> bool:
     try:
         thresh = int(raw)
     except ValueError:
